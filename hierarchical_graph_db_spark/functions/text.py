@@ -1,0 +1,72 @@
+"""Text-analysis expressions (north-star LLM-pipeline ops, SURVEY.md §2.11).
+
+All pure Catalyst expressions over the ``documents`` table: tokenization,
+quality scoring, stopword-based language ID, token statistics. Each has an
+ANSI-SQL twin in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal English stopword list used by the heuristic language scorer and the
+#: quality stopword-ratio. Deliberately tiny + frozen: it is part of the
+#: operator's contract (the oracle SQL embeds the same list).
+EN_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (empty array for blank text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
+
+
+def stopword_hits(toks: Column) -> Column:
+    """Count of tokens that are (lowercased) English stopwords."""
+    stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stoplist, F.lower(t))))
+
+
+def language_id(toks: Column) -> Column:
+    """Heuristic language ID: stopword-density thresholding.
+
+    Reference analog: the declared-but-unimplemented NER/analysis agents
+    (README.md:86-88) — this is the analysis-stage shape. A real deployment
+    swaps the scorer for per-language stopword tables or fastText in a pandas
+    UDF; the operator contract (text → lang code) is identical.
+    """
+    n = F.size(toks)
+    density = stopword_hits(toks) / F.when(n == 0, F.lit(1)).otherwise(n)
+    return F.when(n == 0, F.lit("und")) \
+            .when(density >= 0.05, F.lit("en")) \
+            .otherwise(F.lit("other"))
+
+
+def quality_metrics(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature columns (length / punctuation / stopword ratios).
+
+    Returns named columns; callers select the ones they need. All ratios are
+    double in [0,1]; ``n_tokens`` is int.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    nonzero_chars = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars)
+    nonzero_tokens = F.when(n_tokens == 0, F.lit(1)).otherwise(n_tokens)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "alpha_ratio": (n_alpha / nonzero_chars).cast("double"),
+        "digit_ratio": (n_digit / nonzero_chars).cast("double"),
+        "punct_ratio": (n_punct / nonzero_chars).cast("double"),
+        "stopword_ratio": (stopword_hits(toks) / nonzero_tokens).cast("double"),
+        "mean_token_len": (F.length(F.regexp_replace(c, r"\s+", "")) / nonzero_tokens)
+        .cast("double"),
+    }

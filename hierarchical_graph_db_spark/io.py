@@ -1,0 +1,84 @@
+"""Parquet catalog: scan/sink layer.
+
+Reference analogs: the maildir tree scan + MongoDB sink (SURVEY.md §2.1 S1/S5).
+Here the canonical storage is columnar Parquet with declared schemas; reads go
+through :class:`Catalog` so every query gets column pruning and predicate
+pushdown at the scan (verify with ``.explain`` → ``ReadSchema``/``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.schemas import TABLE_NAMES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Resolves table names to DataFrames for one scale-factor directory.
+
+    ``register_views=True`` additionally exposes each table as a temp view so
+    operators can be written in SQL. At 100 TB these would be external-catalog
+    tables partitioned on their natural keys (orders by o_orderdate month,
+    events by ts day); the synthetic fixtures are single files, so partition
+    pruning is exercised in tests rather than here.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
+                 register_views: bool = False):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+        if register_views:
+            self.register_all_views()
+
+    def path(self, name: str) -> str:
+        return f"{self.sf_dir}/{name}.parquet"
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            if name not in TABLE_NAMES:
+                raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+            # Schema from the parquet footer (self-describing); declared
+            # schemas in schemas.FIXTURES are asserted in tests instead of
+            # forced here, so footer/declared drift fails loudly not silently.
+            if name == "events":
+                # ts is TIMESTAMP(NANOS) in the fixture parquet, which
+                # Spark's reader rejects → read as long nanos → exact micros.
+                # Set here (not only in session.py) so the queries also work
+                # under a caller-provided SparkSession (the driver's).
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = self.spark.read.parquet(self.path(name)).withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            else:
+                df = self.spark.read.parquet(self.path(name))
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_NAMES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_all_views(self) -> None:
+        for name in TABLE_NAMES:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                  mode: str = "overwrite") -> None:
+    """Parquet sink (reference S5's durable-store analog).
+
+    ``partition_by`` is the 100 TB lever: date-partitioned email/event tables
+    give partition pruning on the reference's date-range query surface
+    (SURVEY.md §2.3 Q5).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,258 @@
+"""Fuzzy / near-duplicate detection families (north-star, SURVEY.md §2.11).
+
+Four detectors over a text corpus, all pure DataFrame ops:
+
+* exact        — sha256 fingerprint groupBy (functions/hashing.py).
+* n-gram Jaccard — shingle inverted index self-join; exact Jaccard on
+                   candidate pairs (pairs sharing ≥1 shingle).
+* MinHash+LSH  — shingle → per-seed min-hash → banded bucket join; candidate
+                   pairs without the quadratic join.
+* SimHash      — 64-bit sign-aggregated token hashes; near-dups = same band
+                   prefix (Hamming-bucketed).
+
+Hashes are sha256-hex substrings compared lexicographically — deterministic
+and reproducible in ANSI SQL (the DuckDB oracles build identical strings),
+unlike engine-native ``xxhash64``/``hash`` which differ across engines.
+
+Scale: the shingle inverted index is the classic web-dedup layout — explode
+shingles (narrow), shuffle once on shingle, self-join within shingle groups.
+Hot shingles (stopword trigrams) are the skew risk: ``max_shingle_freq``
+drops shingles seen in more than N docs (they carry no discriminative signal)
+— this is the salting-equivalent lever at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.functions.hashing import fingerprint, normalized_text
+from hierarchical_graph_db_spark.functions.text import tokens
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: one row per fingerprint with keeper id + duplicate count.
+
+    First-writer-wins generalization of A1: keeper = min id.
+    """
+    return (
+        docs.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Word n-gram shingle set per doc → (id, shingle), distinct.
+
+    Built relationally (position self-join on the token index) so the same
+    construction is expressible in the SQL oracle.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(normalized_text(F.col(text_col)))).alias("pos", "tok"),
+    )
+    t0, t1, t2 = toks.alias("t0"), toks.alias("t1"), toks.alias("t2")
+    assert n == 3, "only trigram shingles wired; generalize via sequence() if needed"
+    return (
+        t0.join(t1, (F.col("t0.id") == F.col("t1.id"))
+                & (F.col("t1.pos") == F.col("t0.pos") + 1))
+        .join(t2, (F.col("t0.id") == F.col("t2.id"))
+              & (F.col("t2.pos") == F.col("t0.pos") + 2))
+        .select(
+            F.col("t0.id").alias("id"),
+            F.concat_ws(" ", "t0.tok", "t1.tok", "t2.tok").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle.
+
+    |A∩B| from the inverted-index self-join; |A|,|B| from per-doc counts;
+    J = common / (|A|+|B|-common). ``max_shingle_freq`` prunes stop-shingles
+    (skew + noise control at scale).
+    """
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), on="shingle").select(
+            "id", "shingle"
+        )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("n_shingles", "size_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_shingles", "size_b"), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Long-form MinHash signatures: (id, seed, minhash) — minhash is the
+    lexicographic min of ``substr(sha256(seed||'#'||shingle), 1, 12)``.
+
+    One explode (shingle × seeds) + one groupBy — the seeds dimension is a
+    constant-size array literal so the blowup factor is bounded (n_hashes×).
+    """
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed")
+    return (
+        sh.select("id", "shingle", seeds)
+        .select(
+            "id",
+            "seed",
+            F.substring(
+                F.sha2(F.concat(F.col("seed").cast("string"), F.lit("#"),
+                                F.col("shingle")), 256),
+                1, 12,
+            ).alias("h"),
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: docs agreeing on *all* rows of ≥1 band become candidates.
+
+    band_key = concat of that band's minhashes; candidates = equi-self-join on
+    (band, band_key) — linear in corpus size + bucket-local pairing, the
+    100 TB-safe shape (no all-pairs join anywhere).
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes=n_hashes, n=n,
+                             id_col=id_col, text_col=text_col)
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+            ).alias("band_key")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, n_bits: int = 64,
+                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash: per-token sha256 → bit votes → sign → n_bits-char '0'/'1' string.
+
+    Token hash bit b comes from hex digit ``b//4`` of the sha256 (bit
+    ``3-b%4``), decoded arithmetically (strpos on a hex alphabet) so the
+    identical computation exists in the SQL oracle. Bits explode to long form
+    (tokens × n_bits rows) — bounded blowup, single agg.
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
+        )
+        .withColumn("th", F.substring(F.sha2(F.col("tok"), 256), 1, n_bits // 4))
+    )
+    bits = toks.select(
+        "id",
+        "th",
+        F.explode(F.array(*[F.lit(b) for b in range(n_bits)])).alias("bit"),
+    ).select(
+        "id",
+        "bit",
+        # hex digit at position bit//4  →  value 0-15  →  test bit 3-(bit%4)
+        (
+            F.floor(
+                (F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.col("th"), (F.col("bit") / 4).cast("int") + 1, 1),
+                ) - 1)
+                / F.pow(F.lit(2.0), 3 - (F.col("bit") % 4))
+            ) % 2
+        ).cast("int").alias("is_set"),
+    )
+    votes = bits.groupBy("id", "bit").agg(
+        F.sum(F.when(F.col("is_set") == 1, 1).otherwise(-1)).alias("vote")
+    )
+    return votes.groupBy("id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bit", "vote"))),
+                lambda s: F.when(s["vote"] >= 0, "1").otherwise("0"),
+            ),
+        ).alias("simhash")
+    )
+
+
+def simhash_band_candidates(docs: DataFrame, n_bits: int = 64, bands: int = 4,
+                            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hamming-bucketed SimHash candidates: pairs equal on ≥1 of ``bands``
+    contiguous bit-bands (catches pairs within ~bands-1 bit flips)."""
+    width = n_bits // bands
+    fp = simhash_fingerprints(docs, n_bits=n_bits, id_col=id_col, text_col=text_col)
+    banded = fp.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"),
+                         F.substring("simhash", i * width + 1, width).alias("key"))
+                for i in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

@@ -1,0 +1,116 @@
+"""Deduplicating merge — the reference's central operator (SURVEY.md §2.4 A1).
+
+Reference semantics (``app/agents/parsing_agent.py:67-86``,
+``ingest_enron.py:184-213``):
+
+* match on ``dedupe_key``;
+* **first-writer-wins** for the document fields (``$setOnInsert`` — later
+  duplicates never overwrite), where "first" is defined by the deterministic
+  sorted walk order (user, folder, filename) — ``ingest_enron.py:165,170,175``;
+* duplicates contribute only their mailbox struct, **set-merged**
+  (``$addToSet`` — ``parsing_agent.py:81``).
+
+Spark-first design: one shuffle. ``groupBy(dedupe_key).agg(min_by(payload,
+order), collect_set(member))`` does first-writer-wins *and* set-union in a
+single hash aggregate with map-side partial aggregation. There is no unique
+index and no upsert race: the shuffle is the synchronization.
+
+100 TB posture: the aggregate shuffles on ``dedupe_key`` (high-cardinality,
+near-uniform — it is a hash for most rows) so there is no skew; partial
+aggregation collapses same-key rows within each map task before the exchange.
+For *incremental* ingest against an existing corpus, ``merge_into`` gives
+MERGE-emulation: new-batch keys are aggregated the same way, then
+anti/inner-joined against the target — only the touched partitions rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_merge(
+    df: DataFrame,
+    key: str | Column,
+    order_by: list[str],
+    member_cols: list[str],
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse duplicate rows per ``key``.
+
+    Parameters
+    ----------
+    key : the dedupe key column (A1's ``dedupe_key``).
+    order_by : columns defining "first" (A3's sorted-walk tie-break). Must be
+        a deterministic total order (include a unique column last).
+    member_cols : columns forming the set-merged membership struct (A2's
+        ``mailboxes`` — here generalized).
+    payload_cols : document columns that take first-writer-wins values;
+        default = all columns except key/members.
+
+    Returns one row per key: ``key, <payload_cols (first-writer)>, members
+    (array<struct>, set-semantics), n_duplicates``.
+    """
+    key_col = F.col(key) if isinstance(key, str) else key
+    if payload_cols is None:
+        skip = set(member_cols) | {key if isinstance(key, str) else ""}
+        payload_cols = [c for c in df.columns if c not in skip]
+
+    order_struct = F.struct(*[F.col(c) for c in order_by])
+    aggs = [
+        F.min_by(F.col(c), order_struct).alias(c) for c in payload_cols
+    ] + [
+        F.collect_set(F.struct(*[F.col(c) for c in member_cols])).alias("members"),
+        F.count(F.lit(1)).alias("n_duplicates"),
+    ]
+    return df.groupBy(key_col.alias("dedupe_key")).agg(*aggs)
+
+
+def merge_into(
+    target: DataFrame,
+    batch: DataFrame,
+    key: str,
+    order_by: list[str],
+    member_cols: list[str],
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental MERGE emulation (the ``foreachBatch`` sink body).
+
+    Plain-Spark equivalent of the reference's race-safe upsert
+    (``parsing_agent.py:76-83``): inserts = batch keys absent from target
+    (left-anti — exactly the ``$setOnInsert`` half); existing keys keep their
+    payload and union-in the batch's members (``$addToSet`` half, via
+    ``array_union`` + ``array_distinct``).
+
+    Both joins are equi-joins on the dedupe key; at scale, bucketing target
+    and batch on the key makes them shuffle-free. Result is the new target.
+    """
+    batch_merged = dedup_merge(batch, key, order_by, member_cols, payload_cols)
+    inserts = batch_merged.join(target, on="dedupe_key", how="left_anti")
+
+    updates = (
+        target.alias("t")
+        .join(batch_merged.select("dedupe_key", F.col("members").alias("_new_members")),
+              on="dedupe_key", how="left")
+        .withColumn(
+            "members",
+            F.when(F.col("_new_members").isNull(), F.col("t.members")).otherwise(
+                F.array_distinct(F.concat(F.col("t.members"), F.col("_new_members")))
+            ),
+        )
+        .drop("_new_members")
+    )
+    return updates.unionByName(inserts.select(*updates.columns))
+
+
+def ingest_counters(df: DataFrame, merged: DataFrame) -> dict[str, int]:
+    """The reference's printed invariants (``ingest_enron.py:214-216``):
+    files seen / unique inserted / mailbox merges. Two cheap counts — at
+    scale, prefer ``df.observe`` metrics on the write to avoid extra jobs."""
+    seen = df.count()
+    uniques = merged.count()
+    return {
+        "total_seen": seen,
+        "total_upserts": uniques,
+        "total_member_merges": seen - uniques,
+    }

@@ -1,0 +1,207 @@
+"""Hierarchical-graph layer (SURVEY.md §2.10 G1-G5) as DataFrame algorithms.
+
+The reference *declares* a relationship/communication graph, thread
+reconstruction, and hierarchy rollups but implements none of them
+(README.md:86-89; placeholders ``parsing_agent.py:62-63``). We implement them
+GraphFrames-style — vertices/edges DataFrames and iterative join algorithms —
+without the GraphFrames JAR dependency (plan B of SURVEY.md §7): connected
+components via alternating min-label propagation, PageRank via out-degree
+joins. Both loop on the driver but every *step* is a distributed join/agg;
+intermediate states are checkpointed via localCheckpoint to cut lineage.
+
+Scale posture: edges shuffle on src/dst only; iteration state is one
+(vertex, component|rank) table repartitioned consistently on id so successive
+joins reuse the partitioning. For 100 TB graphs the loop count is bounded
+(CC converges in O(log |V|) rounds with the large-star/small-star trick; we
+use plain propagation here — fine for the reference's mailbox/thread graphs,
+which are shallow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def communication_edges(emails: DataFrame) -> DataFrame:
+    """G3: explode recipient arrays into (src, dst, kind, date) edges.
+
+    ``select(from as src, explode(to|cc|bcc) as dst)`` — one narrow pass, no
+    shuffle; weighting afterwards is one groupBy.
+    """
+    def one(kind: str) -> DataFrame:
+        return emails.select(
+            F.col("from").alias("src"),
+            F.explode(kind).alias("dst"),
+            F.lit(kind).alias("kind"),
+            F.col("date"),
+        )
+
+    return one("to").unionByName(one("cc")).unionByName(one("bcc")).where(
+        (F.col("src") != "") & (F.col("dst") != "")
+    )
+
+
+def edge_weights(edges: DataFrame) -> DataFrame:
+    """Weighted graph: one row per (src, dst) with interaction count."""
+    return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """In/out/total degree per vertex — two aggs + one outer join (both sides
+    shuffle on the vertex id; at scale this is the natural partitioning)."""
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_degree"))
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("in_degree"))
+    return (
+        out_d.join(in_d, on="id", how="full_outer")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .withColumn("degree", F.col("out_degree") + F.col("in_degree"))
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation CC over undirected edges → (id, component).
+
+    Each round: component[v] = min(component[v], min over neighbors). Stops
+    when no label changes. Every step is a shuffle join on the vertex id; the
+    label table is tiny relative to edges, so AQE broadcasts it when it fits.
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("id", "b"), on="b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+    """PageRank over (src, dst) edges → (id, rank). Fixed iteration count.
+
+    rank = (1-d)/N + d·Σ rank(in)/out_degree(in); dangling mass redistributed
+    uniformly so ranks sum to 1 (matches the textbook formulation).
+    """
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    n = vertices.count()
+    out_deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src"), on="src")
+            .join(out_deg.withColumnRenamed("id", "src"), on="src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("in_rank"))
+        )
+        dangling = (
+            ranks.join(out_deg, on="id", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            vertices.join(contrib, on="id", how="left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+    return ranks
+
+
+def reply_edges(emails: DataFrame) -> DataFrame:
+    """G4 input: reply edges from the ``in-reply-to`` header (child → parent).
+
+    The reference stores all headers lowercased in a map
+    (``parsing_agent.py:36-39``); ``thread_id`` was declared and never
+    populated (``parsing_agent.py:63``).
+    """
+    return (
+        emails.select(
+            F.col("message_id").alias("src"),
+            F.element_at(F.col("headers"), "in-reply-to").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    )
+
+
+def thread_ids(emails: DataFrame, max_iter: int = 20) -> DataFrame:
+    """G4: thread reconstruction = connected components over reply edges.
+
+    Returns (message_id, thread_id) where thread_id is the lexicographic min
+    message-id in the thread (stable across runs). Messages with no reply
+    relation thread alone.
+    """
+    cc = connected_components(reply_edges(emails), max_iter=max_iter)
+    return (
+        emails.select(F.col("message_id").alias("id"))
+        .where(F.col("id").isNotNull())
+        .join(cc, on="id", how="left")
+        .select(
+            F.col("id").alias("message_id"),
+            F.coalesce("component", F.col("id")).alias("thread_id"),
+        )
+    )
+
+
+def sequential_interaction_edges(events: DataFrame) -> DataFrame:
+    """Driver-testdata analog of G3: pair each event's user with the next
+    user inside the same event_type stream (lag/lead windowing). Gives a
+    deterministic synthetic communication graph over ``events``."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        events.select(
+            "event_type",
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )

@@ -1,0 +1,198 @@
+"""Dedup operator family as oracle-matched queries (A1-A3 + north-star).
+
+``dedup_merge_events`` is the reference's central operator (SURVEY.md §2.4
+A1) demonstrated on the events fixture: first-writer-wins payload + set-merged
+membership in one shuffle. The fuzzy detectors (minhash/jaccard/simhash) run
+on documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.io import Catalog
+from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from hierarchical_graph_db_spark.operators.dedup_merge import dedup_merge
+from hierarchical_graph_db_spark.queries import query
+
+
+@query(
+    "dedup_merge_events",
+    """
+    SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS dedupe_key,
+           arg_min(ts, event_id)     AS first_ts,
+           arg_min(value, event_id)  AS first_value,
+           array_to_string(list_sort(list(DISTINCT CAST(event_id AS VARCHAR))), ',')
+                                     AS member_ids,
+           CAST(count(*) AS BIGINT)  AS n_duplicates
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def dedup_merge_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 on events: key=(user_id:event_type) plays dedupe_key; the earliest
+    event (min event_id — the deterministic walk order, §1.4.1) wins the
+    payload; every duplicate contributes its event_id to the set-merged
+    membership (the ``mailboxes`` $addToSet analog)."""
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "dk", F.concat_ws(":", F.col("user_id").cast("string"), F.col("event_type"))
+    )
+    merged = dedup_merge(
+        ev,
+        key="dk",
+        order_by=["event_id"],
+        member_cols=["event_id"],
+        payload_cols=["ts", "value"],
+    )
+    return merged.select(
+        "dedupe_key",
+        F.col("ts").alias("first_ts"),
+        F.col("value").alias("first_value"),
+        F.concat_ws(
+            ",",
+            F.array_sort(F.transform(F.col("members"),
+                                     lambda m: m["event_id"].cast("string"))),
+        ).alias("member_ids"),
+        F.col("n_duplicates"),
+    )
+
+
+@query(
+    "dedup_merge_idempotent",
+    """
+    SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS dedupe_key,
+           arg_min(ts, event_id)     AS first_ts,
+           CAST(count(*) AS BIGINT)  AS n_duplicates
+    FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+    GROUP BY user_id, event_type
+    """,
+)
+def dedup_merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-ingest property (§5c): merging the corpus with itself doubles
+    n_duplicates but never changes the winning payload — the at-least-once →
+    exactly-once-effects contract of the reference's upsert."""
+    ev = Catalog(spark, sf_dir).events
+    doubled = ev.unionByName(ev).withColumn(
+        "dk", F.concat_ws(":", F.col("user_id").cast("string"), F.col("event_type"))
+    )
+    merged = dedup_merge(doubled, key="dk", order_by=["event_id"],
+                         member_cols=["event_id"], payload_cols=["ts"])
+    return merged.select(
+        "dedupe_key", F.col("ts").alias("first_ts"), F.col("n_duplicates")
+    )
+
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_exact_docs",
+    f"""
+    SELECT sha256({_NORM})        AS fp,
+           min(doc_id)            AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup: hash-groupBy on the normalized-text sha256 fingerprint;
+    keeper = min doc_id (first-writer-wins generalized)."""
+    return exact_duplicates(Catalog(spark, sf_dir).documents)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    ),
+    sh AS (
+        SELECT DISTINCT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs (threshold 0.5) via the shingle
+    inverted-index self-join — the exact-Jaccard baseline the MinHash path
+    approximates."""
+    return ngram_jaccard_pairs(Catalog(spark, sf_dir).documents, threshold=0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    ),
+    sh AS (
+        SELECT DISTINCT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sig AS (
+        SELECT id, seed,
+               min(substring(sha256(CAST(seed AS VARCHAR) || '#' || shingle), 1, 12))
+                   AS minhash
+        FROM sh CROSS JOIN seeds
+        GROUP BY id, seed
+    ),
+    banded AS (
+        SELECT id, CAST(seed // 4 AS INT) AS band,
+               string_agg(minhash, '|' ORDER BY seed) AS band_key
+        FROM sig
+        GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16 seeds) + LSH(4 bands × 4 rows) candidate pairs — the
+    linear-cost fuzzy-dedup scale path (no all-pairs join anywhere)."""
+    return minhash_lsh_candidates(Catalog(spark, sf_dir).documents,
+                                  n_hashes=16, bands=4)
+
+
+@query("simhash_fingerprints", None)  # oracle'd via pytest; SQL twin is unwieldy
+def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (bit-string form). Deterministic —
+    validated by unit tests against a pure-Python reference implementation;
+    the SQL twin (64-way bit arithmetic) is omitted as non-idiomatic."""
+    return simhash_fingerprints(Catalog(spark, sf_dir).documents)

@@ -1,0 +1,128 @@
+"""Graph-layer queries (SURVEY.md §2.10) on the driver fixtures.
+
+The communication graph is emulated on ``events`` (FIXTURES.md B4):
+consecutive users within an event_type stream form directed edges. Edge
+building, weighting and degrees are oracle-matched; connected components is
+oracle-matched via a recursive-CTE reachability twin; PageRank is fixed-point
+iterative (rows-only — validated against networkx-free hand checks in
+pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.io import Catalog
+from hierarchical_graph_db_spark.operators.graph import (
+    connected_components,
+    degrees,
+    edge_weights,
+    pagerank,
+    sequential_interaction_edges,
+)
+from hierarchical_graph_db_spark.queries import query
+
+_SQL_EDGES = """
+    SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst
+    FROM (
+        SELECT user_id AS src,
+               lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+        FROM events
+    )
+    WHERE dst IS NOT NULL AND src <> dst
+"""
+
+
+@query(
+    "interaction_edge_weights",
+    f"""
+    WITH edges AS ({_SQL_EDGES})
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+    FROM edges
+    GROUP BY src, dst
+    """,
+)
+def interaction_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: edge construction + weighting. On the email corpus this is
+    explode(to/cc/bcc)+groupBy (operators/graph.communication_edges); here the
+    events-stream emulation. One window pass + one shuffle on (src,dst)."""
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return edge_weights(edges)
+
+
+@query(
+    "graph_degrees",
+    f"""
+    WITH edges AS (
+        SELECT DISTINCT src, dst FROM ({_SQL_EDGES})
+    ),
+    out_d AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree
+              FROM edges GROUP BY src),
+    in_d  AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_degree
+              FROM edges GROUP BY dst)
+    SELECT coalesce(out_d.id, in_d.id)        AS id,
+           coalesce(out_degree, 0)            AS out_degree,
+           coalesce(in_degree, 0)             AS in_degree,
+           coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+    FROM out_d FULL OUTER JOIN in_d ON out_d.id = in_d.id
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degrees over the distinct edge set."""
+    ev = Catalog(spark, sf_dir).events
+    edges = (
+        sequential_interaction_edges(ev)
+        .select(F.col("src").cast("string").alias("src"),
+                F.col("dst").cast("string").alias("dst"))
+        .distinct()
+    )
+    return degrees(edges)
+
+
+@query(
+    "graph_connected_components",
+    f"""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT src AS a, dst AS b FROM ({_SQL_EDGES})
+        UNION
+        SELECT DISTINCT dst AS a, src AS b FROM ({_SQL_EDGES})
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
+    )
+    SELECT node AS id, min(r) AS component
+    FROM reach
+    GROUP BY node
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4's engine: min-label-propagation connected components (used for
+    thread reconstruction on the email corpus). Label = lexicographic min
+    vertex id in the component — same fixed point the recursive-CTE oracle
+    computes via full reachability."""
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return connected_components(edges, max_iter=50)
+
+
+@query("graph_pagerank", None)  # iterative fixed-point: rows-only driver check
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 iterations, d=0.85) over the interaction graph. Scores
+    sum to 1 (dangling mass redistributed); rounded for stable output."""
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    ranks = pagerank(edges, n_iter=10)
+    return ranks.select("id", F.round("rank", 8).alias("rank"))

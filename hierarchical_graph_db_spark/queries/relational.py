@@ -1,0 +1,564 @@
+"""Core relational surface (SURVEY.md §2.2-§2.7) as oracle-matched queries.
+
+The reference has no joins, no aggregates over data columns, no sorts over
+data (§2.5, §2.4 "absent machinery") — its *declared* query surface is the
+MongoDB index set (§2.3) plus the dedup merge. These queries demonstrate the
+full relational surface the north-star engine exposes, each with the Catalyst
+physical strategy we actually want (broadcast for dims, sort-merge for
+fact-fact, AQE everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.io import Catalog
+from hierarchical_graph_db_spark.operators.hierarchy import (
+    denormalized_orders,
+    hierarchy_paths,
+    hierarchy_rollup,
+)
+from hierarchical_graph_db_spark.queries import query
+
+# --- flagship: hierarchical rollup (G5) --------------------------------------
+
+FLAGSHIP_ORACLE = """
+SELECT r_name,
+       n_name,
+       count(o_orderkey)                AS n_orders,
+       round(sum(o_totalprice), 2)      AS total_price,
+       CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS lvl
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query("flagship_hierarchy_rollup", FLAGSHIP_ORACLE)
+def flagship_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region→nation ROLLUP over the star join — the G5 mailbox-hierarchy
+    rollup re-expressed (user/folder ≙ region/nation). Dims broadcast; one
+    shuffle on the grouping keys; all rollup levels in a single agg pass."""
+    c = Catalog(spark, sf_dir)
+    return hierarchy_rollup(denormalized_orders(c.region, c.nation, c.customer, c.orders))
+
+
+# --- scans, filters, projections (P13/P14, Q3-Q6) ----------------------------
+
+
+@query(
+    "filter_project_pushdown",
+    """
+    SELECT o_orderkey,
+           o_totalprice,
+           CASE WHEN o_totalprice > 300000 THEN 'high' ELSE 'mid' END AS price_band
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND o_totalprice > 150000
+    """,
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range + value predicate and a 3-column projection: both must reach
+    the parquet scan (PushedFilters + pruned ReadSchema — asserted in
+    tests/test_plans.py). This is the reference's Q5 date-index query."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.orders
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_totalprice") > 150000)
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("o_totalprice") > 300000, "high").otherwise("mid")
+            .alias("price_band"),
+        )
+    )
+
+
+@query(
+    "point_lookup",
+    "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment "
+    "FROM customer WHERE c_custkey = 42",
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q2 analog: unique-key equality lookup. At 100 TB this is served by
+    partition pruning + parquet min/max skipping, not an index."""
+    return Catalog(spark, sf_dir).customer.where(F.col("c_custkey") == 42)
+
+
+@query(
+    "scalar_string_funcs",
+    """
+    SELECT doc_id,
+           upper(substring(text, 1, 16))               AS prefix_u,
+           length(text)                                AS n_chars_actual,
+           lower(trim(source))                         AS source_norm,
+           substring(sha256(text), 1, 16)              AS text_sha_prefix,
+           reverse(lang)                               AS lang_rev
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8-P11 scalar surface: trim/lower/substring/length/sha2 — all
+    whole-stage-codegen expressions, no UDFs."""
+    return (
+        Catalog(spark, sf_dir).documents
+        .where(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.upper(F.substring("text", 1, 16)).alias("prefix_u"),
+            F.length("text").alias("n_chars_actual"),
+            F.lower(F.trim(F.col("source"))).alias("source_norm"),
+            F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("text_sha_prefix"),
+            F.reverse(F.col("lang")).alias("lang_rev"),
+        )
+    )
+
+
+@query(
+    "dedupe_key_expr",
+    """
+    SELECT doc_id,
+           coalesce(nullif(source, 'src0'),
+                    'hash_' || sha256(substring(text, 1, 2000))) AS dedupe_key
+    FROM documents
+    """,
+)
+def dedupe_key_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: ``message_id or "hash_"+sha256(preview)`` coalesce pattern
+    (parsing_agent.py:41-47), with the 2000-char preview cap
+    (ingest_enron.py:119). 'src0' plays the missing-Message-ID role."""
+    return Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        F.coalesce(
+            F.nullif(F.col("source"), F.lit("src0")),
+            F.concat(F.lit("hash_"), F.sha2(F.substring("text", 1, 2000), 256)),
+        ).alias("dedupe_key"),
+    )
+
+
+# --- joins (§2.5: the full surface the reference lacks) ----------------------
+
+
+@query(
+    "join_broadcast_star",
+    """
+    SELECT r_name,
+           c_mktsegment,
+           CAST(count(*) AS BIGINT)        AS n_orders,
+           round(sum(o_totalprice), 2)     AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, c_mktsegment
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of every dim: zero shuffles until the
+    final group-by. The plan must show BroadcastHashJoin ×3 (test_plans)."""
+    c = Catalog(spark, sf_dir)
+    return (
+        denormalized_orders(c.region, c.nation, c.customer, c.orders)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "join_fact_fact",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                                  AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)         AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (lineitem ⋈ orders): sort-merge/shuffle-hash
+    territory — both sides shuffle on l_orderkey/o_orderkey. At 100 TB both
+    tables would be bucketed on the order key making this shuffle-free."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.lineitem.join(c.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join — existence test without duplication (the 'already
+    ingested?' half of the reference's upsert, SURVEY.md §2.5)."""
+    c = Catalog(spark, sf_dir)
+    big_orders = c.orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    return (
+        c.customer.join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers_without_orders
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+    GROUP BY c_nationkey
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the ``$setOnInsert`` insert-half of A1 (rows whose key
+    is absent from the target), SURVEY.md §2.5."""
+    c = Catalog(spark, sf_dir)
+    return (
+        c.customer.join(c.orders.where(F.col("o_totalprice") > 450000)
+                        .select("o_custkey"),
+                        F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+@query(
+    "join_outer_histogram",
+    """
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def join_outer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving order-less customers (count=0 bucket), then
+    a histogram — two aggs, the second tiny."""
+    c = Catalog(spark, sf_dir)
+    per_cust = (
+        c.customer.join(c.orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --- aggregations (§2.4 + absent machinery now present) ----------------------
+
+
+@query(
+    "agg_lineitem_pricing",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           CAST(count(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan-heavy partial-agg
+    benchmark (map-side combine collapses 600k rows to 32×|groups|)."""
+    li = Catalog(spark, sf_dir).lineitem
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct_users",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)               AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2)                   AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct) — expands to a two-phase agg under the hood (distinct
+    keys shuffle first); A4's counter semantics generalized."""
+    return (
+        Catalog(spark, sf_dir).events
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS lvl
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 4 grouping combinations in one pass."""
+    return (
+        Catalog(spark, sf_dir).orders
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("int").alias("lvl"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint single-dim sets — not a rollup)."""
+    Catalog(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               count(*)                    AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# --- windows / sorts / limits (§2.6) -----------------------------------------
+
+
+@query(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+        FROM orders
+        WHERE o_custkey < 50
+    )
+    WHERE rnk <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (deterministic tiebreak on key)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        Catalog(spark, sf_dir).orders
+        .where(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 20
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate with an explicit ROWS frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        Catalog(spark, sf_dir).orders
+        .where(F.col("o_custkey") < 20)
+        .select(
+            "o_custkey", "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+    )
+
+
+@query(
+    "sort_limit_topn",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject (per-partition heap +
+    driver merge), never a full sort — the right shape at any scale."""
+    return (
+        Catalog(spark, sf_dir).orders
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- set operations (§2.7) ---------------------------------------------------
+
+_SET_A = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'"
+_SET_B = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+
+
+def _setop_frames(spark: SparkSession, sf_dir: str):
+    cust = Catalog(spark, sf_dir).customer
+    a = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a, b
+
+
+@query("setop_union", f"{_SET_A} UNION {_SET_B}")
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_frames(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@query("setop_intersect", f"{_SET_A} INTERSECT {_SET_B}")
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_frames(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("setop_except", f"{_SET_A} EXCEPT {_SET_B}")
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_frames(spark, sf_dir)
+    return a.exceptAll(b).distinct()
+
+
+# --- array / map semantics (§2.7 array-level, A2) ----------------------------
+
+
+@query(
+    "array_set_semantics",
+    """
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def array_set_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2's ``$addToSet`` semantics: collect_set + array_sort (canonical
+    order) + string join (engines hash arrays differently; strings don't)."""
+    return (
+        Catalog(spark, sf_dir).customer
+        .groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment")))
+            .alias("segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction from the props column
+    (the reference's dynamic-BSON analog, done relationally)."""
+    k = F.get_json_object("props", "$.k")
+    return (
+        Catalog(spark, sf_dir).events
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+            F.max(k.cast("long")).alias("max_k"),
+        )
+    )
+
+
+@query(
+    "hierarchy_paths",
+    """
+    SELECT c_custkey,
+           r_name || '/' || n_name || '/' || c_name AS path,
+           r_name, n_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def hierarchy_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 companion: materialized region/nation/customer paths (the fixed
+    3-level maildir walk base/<user>/<folder>/<file> re-expressed)."""
+    c = Catalog(spark, sf_dir)
+    return hierarchy_paths(c.region, c.nation, c.customer)

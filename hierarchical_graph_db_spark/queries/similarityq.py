@@ -1,0 +1,93 @@
+"""Similarity-search queries over ``embeddings`` (SURVEY.md §2.11).
+
+Brute-force cosine is the exact baseline (oracle-matched against DuckDB's
+list functions); the LSH variant is the approximate scale path (rows-only
+check — its own correctness is recall-tested against the brute-force result
+in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.io import Catalog
+from hierarchical_graph_db_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    near_duplicate_pairs,
+)
+from hierarchical_graph_db_spark.queries import query
+
+# Cosine in the oracle mirrors functions/vectors.py exactly: cast-to-double
+# products, zero-guarded denominator, round(. , 5) BEFORE ranking so the rank
+# order is platform-reproducible.
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = f"sqrt({_SQL_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_SQL_DOT.format(a=b, b=b)})"
+    return f"round({dot} / ({na} * {nb}), 5)"
+
+
+@query(
+    "ann_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, {_sql_cosine('qv', 'cv')} AS score
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS BIGINT) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 query vectors against the whole corpus.
+    Query side broadcasts; corpus side only scans — the shape that still
+    works when the corpus is 100 TB."""
+    emb = Catalog(spark, sf_dir).embeddings
+    res = brute_force_topk(emb.where(F.col("vec_id") < 8), emb, k=5)
+    return res.select("query_id", "neighbor_id", "score",
+                      F.col("rank").cast("long").alias("rnk"))
+
+
+@query(
+    "embedding_near_duplicates",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS score
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.45
+    """,
+)
+def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Threshold 0.45 is calibrated to the
+    synthetic corpus (random 64-dim vectors top out at ~0.51 cosine) so the
+    operator provably emits pairs; production corpora use 0.9+. Brute-force
+    is the correctness baseline; the production path buckets by LSH signature
+    first (operators/similarity.lsh_topk) so the join is linear, not
+    quadratic."""
+    return near_duplicate_pairs(Catalog(spark, sf_dir).embeddings, threshold=0.45)
+
+
+@query("ann_lsh_topk", None)  # approximate: recall-tested vs brute force in pytest
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (8 hyperplanes): the 100 TB path —
+    corpus pre-bucketed by signature, per-bucket equi-join replaces the
+    cross-join. Deterministic (hyperplanes derived from crc32 seeds)."""
+    emb = Catalog(spark, sf_dir).embeddings
+    return lsh_topk(emb.where(F.col("vec_id") < 8), emb, k=5, n_planes=8, dim=64)

@@ -1,0 +1,119 @@
+"""Text-analysis queries over ``documents`` (north-star ops, SURVEY.md §2.11).
+
+Token counting, quality scoring, heuristic language ID, fingerprinting — the
+analysis stage the reference declared (NER/validation agents, README.md:86-87)
+but never built, re-expressed as pure Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.functions.hashing import fingerprint
+from hierarchical_graph_db_spark.functions.text import (
+    EN_STOPWORDS,
+    language_id,
+    quality_metrics,
+    tokens,
+)
+from hierarchical_graph_db_spark.io import Catalog
+from hierarchical_graph_db_spark.queries import query
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_STOPLIST = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+_SQL_HITS = (
+    f"len(list_filter({_SQL_TOKENS}, t -> lower(t) IN {_SQL_STOPLIST}))"
+)
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(sum(len({_SQL_TOKENS})) AS BIGINT)  AS total_tokens,
+           round(avg(len({_SQL_TOKENS})), 4)        AS avg_tokens,
+           CAST(max(len({_SQL_TOKENS})) AS BIGINT)  AS max_tokens
+    FROM documents
+    WHERE length(trim(text)) > 0
+    GROUP BY lang
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting, aggregated per declared language."""
+    docs = Catalog(spark, sf_dir).documents.where(F.length(F.trim("text")) > 0)
+    n_tok = F.size(tokens(F.col("text")))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.max(n_tok).cast("long").alias("max_tokens"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)                         AS n_chars,
+           CAST(len({_SQL_TOKENS}) AS BIGINT)                   AS n_tokens,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / length(text), 6)                             AS alpha_ratio,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / length(text), 6)                             AS punct_ratio,
+           round({_SQL_HITS} / len({_SQL_TOKENS}), 6)           AS stopword_ratio,
+           round(length(regexp_replace(text, '\\s+', '', 'g'))
+                 / len({_SQL_TOKENS}), 6)                       AS mean_token_len
+    FROM documents
+    WHERE length(trim(text)) > 0
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length / punctuation / stopword ratios
+    (the quality-scoring stage of an LLM data pipeline)."""
+    docs = Catalog(spark, sf_dir).documents.where(F.length(F.trim("text")) > 0)
+    m = quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(m["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(m["mean_token_len"], 6).alias("mean_token_len"),
+    )
+
+
+@query(
+    "language_id_heuristic",
+    f"""
+    SELECT doc_id,
+           CASE
+             WHEN len({_SQL_TOKENS}) = 0 THEN 'und'
+             WHEN {_SQL_HITS} / len({_SQL_TOKENS}) >= 0.05 THEN 'en'
+             ELSE 'other'
+           END AS lang_pred
+    FROM documents
+    """,
+)
+def language_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language ID (n-gram-heuristic family). The scorer is
+    swappable (fastText in a pandas UDF at production); the operator contract
+    text → lang code is what's exercised here."""
+    return Catalog(spark, sf_dir).documents.select(
+        "doc_id", language_id(tokens(F.col("text"))).alias("lang_pred")
+    )
+
+
+@query(
+    "doc_fingerprints",
+    "SELECT doc_id, sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+    "FROM documents",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-document fingerprint over normalized text (the
+    content-hash family P8 applied to documents)."""
+    return Catalog(spark, sf_dir).documents.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )

@@ -1,0 +1,76 @@
+"""Event-time windowing queries (batch forms of SURVEY.md §2.8 north-star).
+
+The reference's Celery stream has no event-time semantics; tumbling windows
+and sessionization are the additions. These batch forms double as the
+semantic oracles for streaming/windows.py (same results, micro-batched).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.io import Catalog
+from hierarchical_graph_db_spark.operators.sessionize import (
+    session_stats,
+    tumbling_rollup,
+)
+from hierarchical_graph_db_spark.queries import query
+
+
+@query(
+    "hourly_event_rollup",
+    """
+    SELECT date_trunc('hour', ts)                  AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT)                AS n_events,
+           round(sum(value), 2)                    AS total_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form; the streaming twin
+    uses window('ts','1 hour') + watermark and must produce these rows)."""
+    return tumbling_rollup(Catalog(spark, sf_dir).events, unit="hour")
+
+
+@query(
+    "session_stats",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN CAST(floor(epoch_ms(ts) / 1000) AS BIGINT)
+                         - lag(CAST(floor(epoch_ms(ts) / 1000) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT *,
+               CAST(user_id AS VARCHAR) || '-' ||
+               CAST(sum(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(CAST(floor(epoch_ms(ts) / 1000) AS BIGINT))
+                - min(CAST(floor(epoch_ms(ts) / 1000) AS BIGINT)) AS BIGINT)
+               AS span_seconds,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) via gaps-and-islands windows — the batch
+    oracle for the streaming session_window path."""
+    return session_stats(Catalog(spark, sf_dir).events, gap_minutes=30)

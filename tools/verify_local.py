@@ -1,0 +1,123 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every query in ``__spark_entry__.queries()`` at a scale factor and
+compares against ``oracle_sql()`` via DuckDB: row count, sorted column names,
+and an order-insensitive value hash (rows canonicalized to strings, sorted,
+sha256). Mirrors the driver contract well enough that a local green is a
+strong predictor of CORRECTNESS_r{N}.json green.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def canon_value(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style canonicalization: trim float noise
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def frame_digest(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(canon_value(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    from hierarchical_graph_db_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            continue
+        took = time.time() - t0
+        if name not in oracles:
+            print(f"ok?   {name}: rows-only ({len(s_rows)} rows, {took:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = rel.columns
+            d_rows = rel.fetchall()
+        except Exception:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if not problems:
+            hs = frame_digest(s_cols, s_rows)
+            hd = frame_digest(d_cols, d_rows)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                # print a few differing rows to debug
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                set_s = {"\x1f".join(canon_value(r[i]) for i in order_s) for r in s_rows}
+                set_d = {"\x1f".join(canon_value(r[i]) for i in order_d) for r in d_rows}
+                for x in list(set_s - set_d)[:3]:
+                    print(f"        spark-only: {x.replace(chr(31), ' | ')}")
+                for x in list(set_d - set_s)[:3]:
+                    print(f"        duck-only:  {x.replace(chr(31), ' | ')}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"PASS  {name} ({len(s_rows)} rows, {took:.1f}s)")
+    print(f"\n{len(failures)} failures of {len([n for n in qs if not ONLY or n in ONLY])}")
+    if failures:
+        print("failed:", " ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
