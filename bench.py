@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The driver records this as BENCH_r{N}.json
+and grades against BASELINE.md (target: within 2× at the same scale factor).
+
+Each query is timed end-to-end (plan + execute + collect). A short warmup
+query first so JVM/codegen startup isn't billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the scan-agg/join/window core plus one representative of each
+# north-star family (dedup merge, fuzzy dedup, ANN, text, graph, sessions).
+HEADLINE = [
+    "flagship_hierarchy_rollup",
+    "agg_lineitem_pricing",
+    "join_fact_fact",
+    "join_broadcast_star",
+    "window_topk_per_group",
+    "dedup_merge_events",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "text_quality_scores",
+    "interaction_edge_weights",
+    "hourly_event_rollup",
+    "session_stats",
+]
+
+
+def main() -> None:
+    from hierarchical_graph_db_spark.session import get_spark
+    from hierarchical_graph_db_spark.queries import load
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load()
+
+    # Warmup: touch every input table + spin up codegen once.
+    registry["point_lookup"].run(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].run(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

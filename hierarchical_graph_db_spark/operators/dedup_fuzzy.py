@@ -47,26 +47,30 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Word n-gram shingle set per doc → (id, shingle), distinct.
 
-    Built relationally (position self-join on the token index) so the same
-    construction is expressible in the SQL oracle.
+    Built with array expressions (transform over a position sequence) — one
+    narrow projection + one explode, no joins, no shuffle until the caller
+    aggregates. The SQL oracles build the identical shingle strings via a
+    position self-join; results match because both are the same n-gram set.
     """
-    toks = docs.select(
+    # Materialize the token array once per row; referencing the raw
+    # tokenization expression inside the transform lambda would re-run the
+    # regex split per element access (O(tokens²) regex work per doc).
+    toked = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokens(normalized_text(F.col(text_col)))).alias("pos", "tok"),
+        tokens(normalized_text(F.col(text_col))).alias("toks"),
     )
-    t0, t1, t2 = toks.alias("t0"), toks.alias("t1"), toks.alias("t2")
-    assert n == 3, "only trigram shingles wired; generalize via sequence() if needed"
-    return (
-        t0.join(t1, (F.col("t0.id") == F.col("t1.id"))
-                & (F.col("t1.pos") == F.col("t0.pos") + 1))
-        .join(t2, (F.col("t0.id") == F.col("t2.id"))
-              & (F.col("t2.pos") == F.col("t0.pos") + 2))
-        .select(
-            F.col("t0.id").alias("id"),
-            F.concat_ws(" ", "t0.tok", "t1.tok", "t2.tok").alias("shingle"),
+    toks = F.col("toks")
+    shingle_arr = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
         )
-        .distinct()
     )
+    return toked.select("id", F.explode(shingle_arr).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -115,29 +119,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_wide(docs: DataFrame, n_hashes: int, n: int,
+                  id_col: str, text_col: str) -> DataFrame:
+    """Wide MinHash signatures: one row per doc, columns m0..m{n_hashes-1}.
+
+    Hash family: chunking a sha256 digest — hash *i* of a shingle is the
+    8-hex-char window ``substr(sha256((i//8)||'#'||shingle), (i%8)*8+1, 8)``,
+    so 16 hash functions cost 2 sha256 calls (not 16). The per-doc min is a
+    plain column agg → map-side partial aggregation collapses the shingle
+    rows before the shuffle (only |docs| rows move, not |shingles|×seeds —
+    the difference between 5k and 4M shuffled rows here, and between 100 GB
+    and 80 TB at full scale).
+    """
+    assert n_hashes % 8 == 0
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    srcs = [
+        F.sha2(F.concat(F.lit(f"{s}#"), F.col("shingle")), 256)
+        for s in range(n_hashes // 8)
+    ]
+    hashed = sh.select(
+        "id",
+        *[
+            F.substring(srcs[i // 8], (i % 8) * 8 + 1, 8).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)]
+    )
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Long-form MinHash signatures: (id, seed, minhash) — minhash is the
-    lexicographic min of ``substr(sha256(seed||'#'||shingle), 1, 12)``.
-
-    One explode (shingle × seeds) + one groupBy — the seeds dimension is a
-    constant-size array literal so the blowup factor is bounded (n_hashes×).
-    """
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed")
-    return (
-        sh.select("id", "shingle", seeds)
-        .select(
-            "id",
-            "seed",
-            F.substring(
-                F.sha2(F.concat(F.col("seed").cast("string"), F.lit("#"),
-                                F.col("shingle")), 256),
-                1, 12,
-            ).alias("h"),
-        )
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    """Long-form MinHash signatures (id, seed, minhash) — unpivot of the wide
+    form (kept for inspection/tests; the LSH path uses the wide form)."""
+    wide = _minhash_wide(docs, n_hashes, n, id_col, text_col)
+    pairs = F.explode(
+        F.array(*[
+            F.struct(F.lit(i).alias("seed"), F.col(f"m{i}").alias("minhash"))
+            for i in range(n_hashes)
+        ])
+    ).alias("p")
+    return wide.select("id", pairs).select(
+        "id", F.col("p.seed").alias("seed"), F.col("p.minhash").alias("minhash")
     )
 
 
@@ -156,21 +180,23 @@ def minhash_lsh_candidates(
     100 TB-safe shape (no all-pairs join anywhere).
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes=n_hashes, n=n,
-                             id_col=id_col, text_col=text_col)
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                    lambda s: s["minhash"],
-                ),
-            ).alias("band_key")
-        )
-    )
+    wide = _minhash_wide(docs, n_hashes, n, id_col, text_col)
+    banded = wide.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"m{b * rows_per_band + r}")
+                          for r in range(rows_per_band)],
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -1,0 +1,81 @@
+"""Streaming ingestion with exactly-once dedup effects.
+
+The reference's delivery contract (SURVEY.md §2.8): Celery redelivers
+at-least-once; the unique index on ``dedupe_key`` makes re-delivery a no-op,
+so *effects* are exactly-once (``parsing_agent.py:70,76-83``). Spark twin:
+checkpointed micro-batches + an idempotent ``foreachBatch`` merge — replays
+of a batch reconverge to the same store state.
+
+The store here is a parquet directory rewritten per batch via
+``merge_into`` (plain-Spark MERGE emulation). At 100 TB the rewrite narrows
+to the partitions containing touched keys (key-bucketed layout); the
+full-rewrite below is the local-fixture simplification of the same plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hierarchical_graph_db_spark.operators.dedup_merge import dedup_merge, merge_into
+from hierarchical_graph_db_spark.schemas import FIXTURES
+
+
+def stream_events(spark: SparkSession, landing_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source micro-batches over an events-shaped landing dir — the
+    Celery-queue replacement (one micro-batch ≈ one reference 'job')."""
+    reader = (
+        spark.readStream.schema(FIXTURES["events"])
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(landing_dir)
+
+
+class DedupParquetSink:
+    """``foreachBatch`` body: idempotent dedup-merge into a parquet store.
+
+    Keyed on ``key``; first-writer-wins payload by ``order_by``; ``members``
+    accumulates the set of source locations. Re-running a batch is a no-op
+    because merge_into only adds *new* keys and set-unions members.
+    """
+
+    def __init__(self, spark: SparkSession, store_path: str, key: str,
+                 order_by: list[str], member_cols: list[str]):
+        self.spark = spark
+        self.store_path = store_path
+        self.key = key
+        self.order_by = order_by
+        self.member_cols = member_cols
+        self._initialized = False
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if not self._initialized:
+            target = None
+        else:
+            target = self.spark.read.parquet(self.store_path)
+        if target is None:
+            merged = dedup_merge(batch, self.key, self.order_by, self.member_cols)
+        else:
+            merged = merge_into(target, batch, self.key, self.order_by,
+                                self.member_cols)
+        # Materialize before overwrite (reading and overwriting the same
+        # path in one plan truncates the input first).
+        rows = merged.collect() if target is not None else None
+        if rows is not None:
+            merged = self.spark.createDataFrame(rows, merged.schema)
+        merged.write.mode("overwrite").parquet(self.store_path)
+        self._initialized = True
+
+
+def run_available_now(stream_df: DataFrame, sink, checkpoint_dir: str) -> None:
+    """Drain everything currently in the landing dir through the sink
+    (Trigger.AvailableNow), then stop — the batch-parity test harness."""
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,86 @@
+"""Unit tests for fuzzy-dedup operators: shingles, Jaccard, MinHash/LSH, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_fingerprints,
+)
+
+DOCS = [
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+    Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+    Row(doc_id=3, text="completely different words appear here now ok"),
+    Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    Row(doc_id=5, text="ab cd"),                                          # < 3 tokens
+]
+
+
+def test_shingles_match_python_ngrams(spark):
+    df = spark.createDataFrame(DOCS)
+    got = {
+        (r["id"], r["shingle"]) for r in shingles(df, n=3).collect()
+    }
+    want = set()
+    for r in DOCS:
+        toks = r.text.lower().split()
+        for i in range(len(toks) - 2):
+            want.add((r.doc_id, " ".join(toks[i:i + 3])))
+    assert got == want
+    assert not any(i == 5 for i, _ in got)  # short doc → no shingles
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(DOCS)
+    groups = exact_duplicates(df).collect()
+    dup_groups = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_id"] == 1 and dup_groups[0]["n_docs"] == 2
+
+
+def test_ngram_jaccard_scores(spark):
+    df = spark.createDataFrame(DOCS)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    # exact dup pair scores 1.0
+    assert pairs[(1, 4)] == 1.0
+    # near-dup: shingle sets of docs 1,2 are 7 each, 6 shared → 6/8
+    assert abs(pairs[(1, 2)] - 6 / 8) < 1e-9
+    # doc 3 shares nothing with doc 1
+    assert (1, 3) not in pairs or pairs[(1, 3)] == 0.0
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame(DOCS)
+    sigs = minhash_signatures(df, n_hashes=16).collect()
+    by_id = {}
+    for r in sigs:
+        by_id.setdefault(r["id"], {})[r["seed"]] = r["minhash"]
+    assert by_id[1] == by_id[4]
+    assert len(by_id[1]) == 16
+    assert by_id[1] != by_id[3]
+
+
+def test_lsh_candidates_find_near_dups(spark):
+    df = spark.createDataFrame(DOCS)
+    cands = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_candidates(df, n_hashes=16, bands=8).collect()}
+    assert (1, 4) in cands            # exact dup always collides in every band
+    assert (1, 2) in cands            # 75% Jaccard collides w.h.p. at r=2
+    assert (1, 3) not in cands and (3, 4) not in cands
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(DOCS)
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    assert fps[1] == fps[4]
+    # near-dup hamming distance < distance to unrelated doc (bit-string form)
+    def ham(a: str, b: str) -> int:
+        return sum(x != y for x, y in zip(a, b))
+    assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])

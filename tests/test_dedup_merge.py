@@ -1,0 +1,111 @@
+"""Property tests for the dedup-merge operator (SURVEY.md §5c).
+
+Reference semantics under test (app/agents/parsing_agent.py:67-86):
+first-writer-wins payload, set-merged membership, idempotent re-ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from hierarchical_graph_db_spark.operators.dedup_merge import (
+    dedup_merge,
+    ingest_counters,
+    merge_into,
+)
+
+ROWS = [
+    # key k1 appears 3×: first writer by (user, folder, filename) is (a, inbox, 1)
+    Row(key="k1", subject="first", user="a", folder="inbox", filename="1"),
+    Row(key="k1", subject="later", user="b", folder="sent", filename="2"),
+    Row(key="k1", subject="later2", user="a", folder="spam", filename="3"),
+    Row(key="k2", subject="only", user="c", folder="inbox", filename="4"),
+    # exact duplicate membership rows collapse in the set
+    Row(key="k3", subject="dup", user="d", folder="inbox", filename="5"),
+    Row(key="k3", subject="dup", user="d", folder="inbox", filename="5"),
+]
+
+
+def _merged(spark):
+    df = spark.createDataFrame(ROWS)
+    return dedup_merge(
+        df,
+        key="key",
+        order_by=["user", "folder", "filename"],
+        member_cols=["user", "folder", "filename"],
+        payload_cols=["subject"],
+    )
+
+
+def test_first_writer_wins(spark):
+    out = {r["dedupe_key"]: r for r in _merged(spark).collect()}
+    assert out["k1"]["subject"] == "first"
+    assert out["k2"]["subject"] == "only"
+
+
+def test_members_are_a_set(spark):
+    out = {r["dedupe_key"]: r for r in _merged(spark).collect()}
+    k1_members = {(m["user"], m["folder"], m["filename"]) for m in out["k1"]["members"]}
+    assert k1_members == {("a", "inbox", "1"), ("b", "sent", "2"), ("a", "spam", "3")}
+    # identical membership rows dedupe (the $addToSet contract)
+    assert len(out["k3"]["members"]) == 1
+    assert out["k3"]["n_duplicates"] == 2
+
+
+def test_order_insensitivity(spark):
+    """Shuffling input row order never changes the merged result."""
+    base = {r["dedupe_key"]: (r["subject"], frozenset(map(tuple, r["members"])))
+            for r in _merged(spark).collect()}
+    df_rev = spark.createDataFrame(list(reversed(ROWS)))
+    merged_rev = dedup_merge(df_rev, key="key",
+                             order_by=["user", "folder", "filename"],
+                             member_cols=["user", "folder", "filename"],
+                             payload_cols=["subject"])
+    rev = {r["dedupe_key"]: (r["subject"], frozenset(map(tuple, r["members"])))
+           for r in merged_rev.collect()}
+    assert base == rev
+
+
+def test_merge_into_idempotent(spark):
+    """Re-ingesting the same batch is a no-op (exactly-once effects)."""
+    df = spark.createDataFrame(ROWS)
+    target = dedup_merge(df, key="key", order_by=["user", "folder", "filename"],
+                         member_cols=["user", "folder", "filename"],
+                         payload_cols=["subject"])
+    again = merge_into(target, df, key="key",
+                       order_by=["user", "folder", "filename"],
+                       member_cols=["user", "folder", "filename"],
+                       payload_cols=["subject"])
+    a = {(r["dedupe_key"], r["subject"], frozenset(map(tuple, r["members"])))
+         for r in target.collect()}
+    b = {(r["dedupe_key"], r["subject"], frozenset(map(tuple, r["members"])))
+         for r in again.collect()}
+    assert a == b
+
+
+def test_merge_into_inserts_new_keys(spark):
+    df = spark.createDataFrame(ROWS)
+    target = dedup_merge(df, key="key", order_by=["user", "folder", "filename"],
+                         member_cols=["user", "folder", "filename"],
+                         payload_cols=["subject"])
+    batch = spark.createDataFrame([
+        Row(key="k9", subject="new", user="z", folder="inbox", filename="9"),
+        Row(key="k1", subject="ignored", user="z", folder="late", filename="8"),
+    ])
+    out = {r["dedupe_key"]: r for r in merge_into(
+        target, batch, key="key", order_by=["user", "folder", "filename"],
+        member_cols=["user", "folder", "filename"], payload_cols=["subject"],
+    ).collect()}
+    assert out["k9"]["subject"] == "new"           # inserted
+    assert out["k1"]["subject"] == "first"          # payload untouched
+    members = {tuple(m) for m in out["k1"]["members"]}
+    assert ("z", "late", "8") in members            # membership unioned
+
+
+def test_ingest_counters(spark):
+    df = spark.createDataFrame(ROWS)
+    merged = dedup_merge(df, key="key", order_by=["user", "folder", "filename"],
+                         member_cols=["user", "folder", "filename"],
+                         payload_cols=["subject"])
+    c = ingest_counters(df, merged)
+    assert c == {"total_seen": 6, "total_upserts": 3, "total_member_merges": 3}

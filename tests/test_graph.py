@@ -1,0 +1,75 @@
+"""Unit tests for the graph layer: edges, degrees, CC, PageRank, threads."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from hierarchical_graph_db_spark.operators.graph import (
+    communication_edges,
+    connected_components,
+    degrees,
+    edge_weights,
+    pagerank,
+    reply_edges,
+    thread_ids,
+)
+
+EDGES = [
+    # component 1: a-b-c chain; component 2: x-y
+    Row(src="b", dst="a"),
+    Row(src="b", dst="c"),
+    Row(src="x", dst="y"),
+]
+
+
+def test_degrees(spark):
+    d = {r["id"]: r for r in degrees(spark.createDataFrame(EDGES)).collect()}
+    assert d["b"]["out_degree"] == 2 and d["b"]["in_degree"] == 0
+    assert d["a"]["in_degree"] == 1 and d["a"]["out_degree"] == 0
+    assert d["b"]["degree"] == 2
+
+
+def test_connected_components(spark):
+    cc = {r["id"]: r["component"]
+          for r in connected_components(spark.createDataFrame(EDGES)).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"   # min label in the chain
+    assert cc["x"] == cc["y"] == "x"
+
+
+def test_pagerank_sums_to_one(spark):
+    ranks = pagerank(spark.createDataFrame(EDGES), n_iter=15).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert math.isclose(total, 1.0, rel_tol=1e-6)
+    by_id = {r["id"]: r["rank"] for r in ranks}
+    # sinks receiving a full out-edge beat isolated-ish sources
+    assert by_id["a"] > by_id["b"]
+
+
+def test_communication_edges_and_weights(spark):
+    schema = ("`from` string, to array<string>, cc array<string>, "
+              "bcc array<string>, date string")
+    emails = spark.createDataFrame([
+        ("a@x", ["b@x", "c@x"], ["d@x"], [], "2001-01-01"),
+        ("a@x", ["b@x"], [], [], "2001-01-02"),
+    ], schema)
+    edges = communication_edges(emails)
+    assert edges.count() == 4
+    w = {(r["src"], r["dst"]): r["weight"]
+         for r in edge_weights(edges).collect()}
+    assert w[("a@x", "b@x")] == 2
+    assert w[("a@x", "d@x")] == 1
+
+
+def test_thread_reconstruction(spark):
+    emails = spark.createDataFrame([
+        Row(message_id="<m1>", headers={}),
+        Row(message_id="<m2>", headers={"in-reply-to": "<m1>"}),
+        Row(message_id="<m3>", headers={"in-reply-to": "<m2>"}),
+        Row(message_id="<m4>", headers={}),
+    ])
+    assert reply_edges(emails).count() == 2
+    t = {r["message_id"]: r["thread_id"] for r in thread_ids(emails).collect()}
+    assert t["<m1>"] == t["<m2>"] == t["<m3>"]
+    assert t["<m4>"] == "<m4>"  # singleton threads alone

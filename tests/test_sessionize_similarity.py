@@ -1,0 +1,80 @@
+"""Unit tests for sessionization and similarity search."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+)
+from hierarchical_graph_db_spark.operators.similarity import (
+    brute_force_topk,
+    near_duplicate_pairs,
+)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+EVENTS = [
+    Row(event_id=1, user_id=1, ts=_ts(0), value=1.0),
+    Row(event_id=2, user_id=1, ts=_ts(10), value=2.0),
+    Row(event_id=3, user_id=1, ts=_ts(50), value=3.0),   # 40min gap → new session
+    Row(event_id=4, user_id=2, ts=_ts(5), value=4.0),
+]
+
+
+def test_sessionize_gap_split(spark):
+    out = {r["event_id"]: r["session_id"]
+           for r in sessionize(spark.createDataFrame(EVENTS), 30).collect()}
+    assert out[1] == out[2] == "1-1"
+    assert out[3] == "1-2"
+    assert out[4] == "2-1"
+
+
+def test_session_stats(spark):
+    stats = {r["session_id"]: r
+             for r in session_stats(spark.createDataFrame(EVENTS), 30).collect()}
+    assert stats["1-1"]["n_events"] == 2
+    assert stats["1-1"]["span_seconds"] == 600
+    assert stats["1-1"]["total_value"] == 3.0
+    assert stats["1-2"]["n_events"] == 1 and stats["1-2"]["span_seconds"] == 0
+
+
+VECS = [
+    Row(emb_id=1, embedding=[1.0, 0.0]),
+    Row(emb_id=2, embedding=[0.9, 0.1]),
+    Row(emb_id=3, embedding=[0.0, 1.0]),
+    Row(emb_id=4, embedding=[-1.0, 0.0]),
+]
+
+
+def test_brute_force_topk(spark):
+    df = spark.createDataFrame(VECS)
+    out = brute_force_topk(df, df, k=2, id_col="emb_id",
+                           vec_col="embedding").collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    # nearest non-self neighbor of 1 is 2 (cos≈0.994)
+    n1 = [nid for rank, nid in sorted(by_q[1])]
+    assert n1[0] == 2
+    assert all(len(v) == 2 for v in by_q.values())
+
+
+def test_near_duplicate_pairs(spark):
+    df = spark.createDataFrame(VECS)
+    pairs = {(r["id_a"], r["id_b"]): r["score"]
+             for r in near_duplicate_pairs(df, threshold=0.99,
+                                           id_col="emb_id",
+                                           vec_col="embedding").collect()}
+    assert (1, 2) in pairs and math.isclose(
+        pairs[(1, 2)], 0.9 / math.sqrt(0.82), abs_tol=1e-5)
+    assert all(a < b for a, b in pairs)          # canonical ordering
+    assert (1, 4) not in pairs                   # opposite vectors
