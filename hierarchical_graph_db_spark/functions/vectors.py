@@ -26,3 +26,31 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity in [-1, 1]; 0 when either vector has zero norm."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def dot_static(a: Column, b: Column, dim: int) -> Column:
+    """Σ aᵢ·bᵢ unrolled for a known dimension — a flat arithmetic expression
+    that whole-stage codegen compiles, unlike ``aggregate``/``zip_with``
+    higher-order functions which interpret per element. ~10× faster in the
+    quadratic kernels (pair joins) where the dot product IS the workload.
+    """
+    terms = [
+        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def cosine_from_parts(dot_col: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a precomputed dot product and per-side norms.
+
+    The pairwise kernels project each side's norm ONCE per input row (a
+    linear pass) so the N² pair stage pays only one dot product per pair —
+    same arithmetic as ``cosine_similarity`` (identical float result, which
+    the DuckDB oracles depend on), a third of the per-pair work.
+    """
+    denom = norm_a * norm_b
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot_col / denom)

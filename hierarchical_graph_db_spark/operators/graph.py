@@ -125,13 +125,18 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
     n = vertices.count()
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
-    )
+    ).localCheckpoint(eager=True)
+    # Pre-join edges with out-degree ONCE (degree is iteration-invariant);
+    # each iteration then joins only (src → rank), not two joins.
+    edges_deg = (
+        edges.join(out_deg.withColumnRenamed("id", "src"), on="src")
+        .select("src", "dst", "out_degree")
+    ).localCheckpoint(eager=True)
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(n_iter):
         contrib = (
-            edges.join(ranks.withColumnRenamed("id", "src"), on="src")
-            .join(out_deg.withColumnRenamed("id", "src"), on="src")
+            edges_deg.join(ranks.withColumnRenamed("id", "src"), on="src")
             .select(
                 F.col("dst").alias("id"),
                 (F.col("rank") / F.col("out_degree")).alias("contrib"),
@@ -139,19 +144,22 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
             .groupBy("id")
             .agg(F.sum("contrib").alias("in_rank"))
         )
+        # Dangling mass as a broadcast 1-row aggregate INSIDE the plan — no
+        # driver collect per iteration (one extra job each round at scale).
         dangling = (
             ranks.join(out_deg, on="id", how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             vertices.join(contrib, on="id", how="left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dangling") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
             )
         ).localCheckpoint(eager=True)
     return ranks

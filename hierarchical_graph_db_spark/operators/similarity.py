@@ -10,18 +10,37 @@ Two paths:
   (SimHash for vectors); candidates = same-bucket pairs only, so the
   cross-join shrinks from |Q|×|C| to per-bucket blocks.
 
-Both stay in Catalyst expressions (``zip_with``/``aggregate`` dot products) —
-no Python in the row loop.
+Kernel design for the quadratic stages: each side projects its L2 norm once
+(linear pass), so a pair costs exactly one dot product; with a known
+dimension the dot is an *unrolled* arithmetic expression that whole-stage
+codegen compiles — higher-order ``aggregate``/``zip_with`` lambdas are
+interpreted per element and measured ~10× slower here. Float semantics are
+identical to ``cosine_similarity`` (dot/(na·nb)), which the DuckDB oracles
+mirror term for term.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
-from hierarchical_graph_db_spark.functions.vectors import cosine_similarity
+from hierarchical_graph_db_spark.functions.vectors import (
+    cosine_from_parts,
+    dot,
+    dot_static,
+    l2_norm,
+)
 
-# Deterministic pseudo-random hyperplanes: signs derived from sha2 of
-# (plane, dim) — reproducible across runs/engines without numpy state.
+
+def _dot(a, b, dim: int | None):
+    return dot_static(a, b, dim) if dim else dot(a, b)
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def brute_force_topk(
@@ -31,15 +50,25 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query row.
 
     Output: (query_id, neighbor_id, score, rank). The score is rounded before
     ranking so the rank order is reproducible across platforms; ties break by
-    neighbor id (deterministic total order).
+    neighbor id (deterministic total order). Pass ``dim`` when the embedding
+    width is known — enables the unrolled codegen dot product.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         F.broadcast(q)  # query side is small by contract; corpus side streams
         .crossJoin(c)
@@ -47,19 +76,17 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), round_digits)
-            .alias("score"),
+            F.round(
+                cosine_from_parts(
+                    _dot(F.col("q_vec"), F.col("c_vec"), dim),
+                    F.col("q_norm"),
+                    F.col("c_norm"),
+                ),
+                round_digits,
+            ).alias("score"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk(scored, k)
 
 
 def hyperplane_signature(vec_col, n_planes: int, dim: int):
@@ -67,19 +94,19 @@ def hyperplane_signature(vec_col, n_planes: int, dim: int):
 
     Hyperplane p's component for dimension d is +1/-1 by parity of
     ``crc32(p:d)`` — deterministic, no stored model. Returns a string column
-    of '0'/'1' bits (bucket key material).
+    of '0'/'1' bits (bucket key material). Each projection is an unrolled
+    signed sum — codegen-compiled, no per-element lambda interpretation.
     """
     bits = []
     for p in range(n_planes):
-        # ±1 pattern for this plane over the dims, as an array literal
-        signs = F.array(*[
-            F.lit(1.0 if (hash_sign(p, d)) else -1.0) for d in range(dim)
-        ])
-        proj = F.aggregate(
-            F.zip_with(vec_col, signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        terms = [
+            F.element_at(vec_col, d + 1).cast("double")
+            * (1.0 if hash_sign(p, d) else -1.0)
+            for d in range(dim)
+        ]
+        proj = terms[0]
+        for t in terms[1:]:
+            proj = proj + t
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
@@ -110,11 +137,13 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
         hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
         hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
     )
     scored = (
@@ -123,15 +152,17 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 5).alias("score"),
+            F.round(
+                cosine_from_parts(
+                    dot_static(F.col("q_vec"), F.col("c_vec"), dim),
+                    F.col("q_norm"),
+                    F.col("c_norm"),
+                ),
+                5,
+            ).alias("score"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _topk(scored, k)
 
 
 def near_duplicate_pairs(
@@ -139,21 +170,37 @@ def near_duplicate_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, score ≥ threshold).
 
     Brute-force form — the correctness oracle. The scale path is ``lsh_topk``
     semantics: bucket first, pair within buckets.
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        l2_norm(F.col(vec_col)).alias("norm_a"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        l2_norm(F.col(vec_col)).alias("norm_b"),
+    )
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 5).alias("score"),
+            F.round(
+                cosine_from_parts(
+                    _dot(F.col("vec_a"), F.col("vec_b"), dim),
+                    F.col("norm_a"),
+                    F.col("norm_b"),
+                ),
+                5,
+            ).alias("score"),
         )
         .where(F.col("score") >= threshold)
     )

@@ -48,10 +48,14 @@ def load() -> dict[str, QuerySpec]:
     """Import all query modules (they self-register) and return the registry."""
     from hierarchical_graph_db_spark.queries import (  # noqa: F401
         dedup,
+        emailq,
         graphq,
+        mediaq,
         relational,
         similarityq,
+        sqlq,
         textq,
+        timeseriesq,
         windowsq,
     )
 

@@ -59,7 +59,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Query side broadcasts; corpus side only scans — the shape that still
     works when the corpus is 100 TB."""
     emb = Catalog(spark, sf_dir).embeddings
-    res = brute_force_topk(emb.where(F.col("vec_id") < 8), emb, k=5)
+    res = brute_force_topk(emb.where(F.col("vec_id") < 8), emb, k=5, dim=64)
     return res.select("query_id", "neighbor_id", "score",
                       F.col("rank").cast("long").alias("rnk"))
 
@@ -81,7 +81,8 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the correctness baseline; the production path buckets by LSH signature
     first (operators/similarity.lsh_topk) so the join is linear, not
     quadratic."""
-    return near_duplicate_pairs(Catalog(spark, sf_dir).embeddings, threshold=0.45)
+    return near_duplicate_pairs(Catalog(spark, sf_dir).embeddings, threshold=0.45,
+                                dim=64)
 
 
 @query("ann_lsh_topk", None)  # approximate: recall-tested vs brute force in pytest
