@@ -54,6 +54,7 @@ def load() -> dict[str, QuerySpec]:
         relational,
         similarityq,
         sqlq,
+        streamingq,
         textq,
         timeseriesq,
         windowsq,

@@ -1,0 +1,82 @@
+"""Streaming queries, hash-checked: watermarked event-time aggregates run to
+completion (Trigger.AvailableNow → memory sink) and compared against DuckDB.
+
+Most engines' streaming paths get only rows-only checks; here the drain is
+deterministic (bounded input, complete mode), so the SQL oracle applies in
+full — the strongest correctness statement available for the streaming layer.
+Watermarks never drop rows in these runs (the data is replayed in one
+micro-batch), so the oracle is the plain batch aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.queries import query
+from hierarchical_graph_db_spark.streaming.ingest import (
+    drain_to_dataframe,
+    fixture_event_stream,
+)
+from hierarchical_graph_db_spark.streaming.windows import (
+    session_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "streaming_tumbling_rollup",
+    """
+    SELECT date_trunc('hour', ts)              AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT)            AS n_events,
+           round(sum(value), 2)                AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling windows with a 2h watermark, drained via AvailableNow;
+    byte-for-byte the batch rollup once the stream is exhausted."""
+    out = drain_to_dataframe(
+        tumbling_counts(fixture_event_stream(spark, sf_dir), minutes=60)
+    )
+    return out.select("window_start", "event_type", "n_events", "total_value")
+
+
+@query(
+    "streaming_session_stats",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                             AS session_start,
+           max(ts) + INTERVAL 30 MINUTE        AS session_end,
+           CAST(count(*) AS BIGINT)            AS n_events,
+           round(sum(value), 2)                AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``session_window`` gap-merge sessions per user (30 min). Spark merges
+    an event into a session iff it lands strictly inside last_ts + gap, so
+    the oracle's island boundary is ``gap >= 30min``; session_end is
+    last-event ts + gap, exactly Spark's window end."""
+    out = drain_to_dataframe(
+        session_counts(fixture_event_stream(spark, sf_dir), gap_minutes=30)
+    )
+    return out.select("user_id", "session_start", "session_end",
+                      "n_events", "total_value")

@@ -14,7 +14,12 @@ full-rewrite below is the local-fixture simplification of the same plan.
 
 from __future__ import annotations
 
+import tempfile
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from hierarchical_graph_db_spark.operators.dedup_merge import dedup_merge, merge_into
 from hierarchical_graph_db_spark.schemas import FIXTURES
@@ -31,6 +36,47 @@ def stream_events(spark: SparkSession, landing_dir: str,
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.load(landing_dir)
+
+
+def fixture_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the driver's ``events`` fixture.
+
+    The file source needs a *directory*, so the scale-factor dir is the base
+    path with a glob filter selecting events.parquet; the fixture's
+    TIMESTAMP(NANOS) column is read as long nanos (see ``io.Catalog``) and
+    converted to an exact micros timestamp.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", LongType())
+            for f in FIXTURES["events"]
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_dataframe(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregate to completion (Trigger.AvailableNow) into a
+    memory sink and return the result as a normal DataFrame — the bridge that
+    lets streaming queries join the hash-checked oracle registry."""
+    name = "stream_out_" + uuid.uuid4().hex[:12]
+    cp = tempfile.mkdtemp(prefix="hgdb_stream_cp_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
 
 
 class DedupParquetSink:
