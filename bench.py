@@ -36,6 +36,9 @@ HEADLINE = [
     "interaction_edge_weights",
     "hourly_event_rollup",
     "session_stats",
+    "asof_join_last_click",
+    "email_pipeline_parse",
+    "streaming_tumbling_rollup",
 ]
 
 
