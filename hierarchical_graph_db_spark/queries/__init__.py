@@ -51,6 +51,7 @@ def load() -> dict[str, QuerySpec]:
         emailq,
         graphq,
         mediaq,
+        nerq,
         relational,
         similarityq,
         sqlq,
