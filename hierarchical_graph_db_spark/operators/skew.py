@@ -1,0 +1,44 @@
+"""Skew-aware operators.
+
+What does NOT need hand-salting in Spark: decomposable aggregates
+(sum/count/min/max) — hash aggregation collapses hot keys map-side before the
+shuffle — and skewed *joins*, which AQE splits at runtime. The residual skew
+hazard at 100 TB is **per-key ordered work**: ``row_number`` top-k funnels
+every row of a hot key through a single reducer's sort.
+
+``salted_topk`` fixes that with the two-stage pattern: stage 1 ranks within
+(key, salt) — each reducer sorts at most |key|/n_salts rows and keeps k —
+stage 2 re-ranks the surviving k·n_salts rows per key. Any global top-k row
+is necessarily top-k within its salt bucket, so the result is *identical* to
+the direct window (the SQL oracle proves it on the fixtures).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    k: int,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Top-k rows per key, skew-resistant. ``order_by`` must be a
+    deterministic total order (include a tiebreaker column)."""
+    salt = (F.spark_partition_id() % n_salts).alias("_salt")
+    w1 = Window.partitionBy(*keys, "_salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .drop("_salt")
+    )

@@ -57,6 +57,7 @@ def load() -> dict[str, QuerySpec]:
         sqlq,
         streamingq,
         textq,
+        tfidfq,
         timeseriesq,
         windowsq,
     )
