@@ -64,11 +64,19 @@ def degrees(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Min-label propagation CC over undirected edges → (id, component).
+    """Min-label propagation + pointer jumping → (id, component).
 
-    Each round: component[v] = min(component[v], min over neighbors). Stops
-    when no label changes. Every step is a shuffle join on the vertex id; the
-    label table is tiny relative to edges, so AQE broadcasts it when it fits.
+    Each round does two distributed steps:
+
+    1. *propagate*: component[v] = min over neighbors' components (and own);
+    2. *pointer-jump* (path compression): component[v] = component[component[v]]
+       — labels chase their own label's label, doubling the hop distance a
+       round covers.
+
+    Plain propagation converges in O(diameter) rounds (a 1M-long chain in a
+    100 TB graph = 1M shuffles); with the jump step convergence is
+    O(log diameter). Component ids are always *vertex* ids, so the jump join
+    always hits. Stops early when no label changes.
     """
     sym = (
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
@@ -89,13 +97,23 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, on="id", how="left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
+            )
+        )
+        jump_target = propagated.select(
+            F.col("id").alias("component"), F.col("component").alias("_jumped")
+        )
+        new_labels = (
+            propagated.join(jump_target, on="component", how="left")
+            .select(
+                "id",
+                F.coalesce("_jumped", F.col("component")).alias("component"),
             )
         ).localCheckpoint(eager=True)
         changed = (

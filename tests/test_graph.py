@@ -38,6 +38,53 @@ def test_connected_components(spark):
     assert cc["x"] == cc["y"] == "x"
 
 
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 64-node chain has diameter 63; pointer jumping must converge well
+    within 12 rounds (log-diameter behavior), where plain propagation would
+    need 63."""
+    chain = [Row(src=f"v{i:03d}", dst=f"v{i+1:03d}") for i in range(63)]
+    cc = {r["id"]: r["component"]
+          for r in connected_components(spark.createDataFrame(chain),
+                                        max_iter=12).collect()}
+    assert set(cc.values()) == {"v000"}
+    assert len(cc) == 64
+
+
+def test_connected_components_matches_union_find(spark):
+    """Differential check against a driver-side union-find on a pseudo-random
+    graph (deterministic seed)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}")
+             for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r["id"]: r["component"]
+           for r in connected_components(df).collect()}
+    # same partition into components (labels are min ids in both)
+    assert got == {v: expected[v] for v in got}
+
+
 def test_pagerank_sums_to_one(spark):
     ranks = pagerank(spark.createDataFrame(EDGES), n_iter=15).collect()
     total = sum(r["rank"] for r in ranks)
