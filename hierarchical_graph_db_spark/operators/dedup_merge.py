@@ -106,7 +106,8 @@ def merge_into(
 def ingest_counters(df: DataFrame, merged: DataFrame) -> dict[str, int]:
     """The reference's printed invariants (``ingest_enron.py:214-216``):
     files seen / unique inserted / mailbox merges. Two cheap counts — at
-    scale, prefer ``df.observe`` metrics on the write to avoid extra jobs."""
+    scale, prefer :func:`observed_merge` which piggybacks the metrics on the
+    write action instead of running extra jobs."""
     seen = df.count()
     uniques = merged.count()
     return {
@@ -114,3 +115,41 @@ def ingest_counters(df: DataFrame, merged: DataFrame) -> dict[str, int]:
         "total_upserts": uniques,
         "total_member_merges": seen - uniques,
     }
+
+
+def observed_merge(
+    df: DataFrame,
+    key: str,
+    order_by: list[str],
+    member_cols: list[str],
+    payload_cols: list[str] | None = None,
+):
+    """Dedup merge with free ingest counters.
+
+    Attaches an ``Observation`` to the merged plan: whatever action consumes
+    the result (a parquet write, a collect) also produces ``total_upserts``
+    and ``total_seen`` (sum of per-key duplicate counts) — zero extra jobs,
+    which is the difference between 2 and 3 full passes at 100 TB.
+
+    Returns ``(merged_df, metrics_fn)``; call ``metrics_fn()`` *after* the
+    action to get the counters dict.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_counters")
+    merged = dedup_merge(df, key, order_by, member_cols, payload_cols)
+    merged = merged.observe(
+        obs,
+        F.count(F.lit(1)).alias("total_upserts"),
+        F.sum("n_duplicates").alias("total_seen"),
+    )
+
+    def metrics() -> dict[str, int]:
+        got = obs.get
+        return {
+            "total_seen": int(got["total_seen"]),
+            "total_upserts": int(got["total_upserts"]),
+            "total_member_merges": int(got["total_seen"]) - int(got["total_upserts"]),
+        }
+
+    return merged, metrics

@@ -12,6 +12,7 @@ from hierarchical_graph_db_spark.operators.dedup_merge import (
     dedup_merge,
     ingest_counters,
     merge_into,
+    observed_merge,
 )
 
 ROWS = [
@@ -100,6 +101,18 @@ def test_merge_into_inserts_new_keys(spark):
     assert out["k1"]["subject"] == "first"          # payload untouched
     members = {tuple(m) for m in out["k1"]["members"]}
     assert ("z", "late", "8") in members            # membership unioned
+
+
+def test_observed_merge_piggybacks_counters(spark, tmp_path):
+    """Counters ride the write action — no extra jobs — and equal the
+    two-pass ingest_counters values."""
+    df = spark.createDataFrame(ROWS)
+    merged, metrics = observed_merge(
+        df, key="key", order_by=["user", "folder", "filename"],
+        member_cols=["user", "folder", "filename"], payload_cols=["subject"])
+    merged.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert metrics() == {"total_seen": 6, "total_upserts": 3,
+                         "total_member_merges": 3}
 
 
 def test_ingest_counters(spark):
