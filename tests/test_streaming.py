@@ -84,6 +84,65 @@ def test_sliding_and_session_windows_run(spark, tmp_path):
     assert by_user == {1: 2, 2: 2}
 
 
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Real watermark semantics: with maxFilesPerTrigger=1 the second file is
+    a second micro-batch; its too-late row (behind the watermark set by batch
+    one) must NOT be added to an already-closed window, and append mode must
+    only emit closed windows."""
+    import os
+
+    from pyspark.sql import functions as F
+    from hierarchical_graph_db_spark.streaming.windows import tumbling_counts
+
+    mk = lambda i, h, m, t: Row(
+        event_id=i, ts=dt.datetime(2024, 1, 1, h, m), user_id=1,
+        event_type=t, value=1.0, props="{}")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # Spark merges a late row whose window state still exists; the hard drop
+    # happens once the state is evicted. So: b1 fills the 9:00 window and
+    # pushes the watermark past it; b2 pushes the watermark further (state
+    # for 9:00 is emitted+evicted); b3's 9:45 row is then behind an evicted
+    # window and must vanish.
+    batches = [
+        [mk(1, 9, 30, "click"), mk(2, 10, 30, "click"), mk(3, 11, 59, "click")],
+        [mk(4, 13, 30, "click")],
+        [mk(5, 9, 45, "click"),    # LATE: 9:00 window already evicted
+         mk(6, 14, 30, "click")],
+    ]
+    now = 1_700_000_000
+    for i, rows in enumerate(batches):
+        d = str(landing / f"b{i}")
+        spark.createDataFrame(rows, FIXTURES["events"]).coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        for root, _, files in os.walk(d):   # batch order = file mod time
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 100, now + i * 100))
+
+    stream = (
+        spark.readStream.schema(FIXTURES["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing) + "/*")
+    )
+    agg = tumbling_counts(stream, minutes=60, watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("wm_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("wm_t").collect()
+    hours = [r["window_start"].hour for r in rows]
+    out = {r["window_start"].hour: r["n_events"] for r in rows}
+    # the 9:00 window closed with ONE event; the late 9:45 row (arriving
+    # after eviction) was dropped and did not re-emit the group
+    assert hours.count(9) == 1 and out[9] == 1
+    # the 14:00 window never closed (watermark 13:30 at end) → not emitted
+    assert 14 not in out
+
+
 def test_dedup_sink_exactly_once_effects(spark, tmp_path):
     landing = str(tmp_path / "landing")
     dups = [
