@@ -218,6 +218,34 @@ def thread_ids(emails: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected simple graph.
+
+    Canonicalize to a<b (each undirected edge once), then the two-join
+    wedge-closing pattern: (a,b)+(b,c) wedges closed by (a,c). Ordering
+    a<b<c counts each triangle exactly once. Both joins shuffle on a vertex
+    key; degree skew is the known hazard at scale (hot vertices make hot
+    join keys) — AQE skew splitting applies, and the canonical ordering
+    already halves the work vs naive direction-blind joins.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
 def sequential_interaction_edges(events: DataFrame) -> DataFrame:
     """Driver-testdata analog of G3: pair each event's user with the next
     user inside the same event_type stream (lag/lead windowing). Gives a

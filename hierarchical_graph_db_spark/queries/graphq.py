@@ -20,6 +20,7 @@ from hierarchical_graph_db_spark.operators.graph import (
     edge_weights,
     pagerank,
     sequential_interaction_edges,
+    triangle_count,
 )
 from hierarchical_graph_db_spark.queries import query
 
@@ -126,3 +127,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, n_iter=10)
     return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+@query(
+    "graph_triangle_count",
+    f"""
+    WITH edges AS ({_SQL_EDGES}),
+    e AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+                      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting via the wedge-closing two-join pattern on the
+    canonicalized (a<b) edge set — each triangle counted once (a<b<c)."""
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return triangle_count(edges)
