@@ -3,7 +3,7 @@
 Brute-force cosine is the exact baseline (oracle-matched against DuckDB's
 list functions); the LSH variant is the approximate scale path (rows-only
 check — its own correctness is recall-tested against the brute-force result
-in tests/test_similarity.py).
+in tests/test_similarity_recall.py).
 """
 
 from __future__ import annotations

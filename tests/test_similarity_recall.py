@@ -1,0 +1,72 @@
+"""ANN quality: LSH recall against the exact brute-force baseline.
+
+Uniform-random vectors are near-orthogonal, where approximate NN is
+meaningless; recall is measured on *clustered* data (the realistic shape for
+embedding near-dup work): 8 well-separated centers, members = center + small
+noise, all deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from hierarchical_graph_db_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+DIM = 16
+K = 5
+
+
+def _clustered_vectors(n_clusters=8, per_cluster=12, noise=0.15):
+    rng = random.Random(1234)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    centers = [unit([rng.gauss(0, 1) for _ in range(DIM)])
+               for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            rows.append((vid, unit([x + rng.gauss(0, noise) for x in c])))
+            vid += 1
+    return rows
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id % 12 = 0")  # one query per cluster
+
+    exact = brute_force_topk(queries, df, k=K, dim=DIM)
+    approx = lsh_topk(queries, df, k=K, n_planes=6, dim=DIM)
+
+    def by_query(res):
+        out = {}
+        for r in res.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, ap = by_query(exact), by_query(approx)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    mean_recall = sum(recalls) / len(recalls)
+    # clustered neighbors share hyperplane sides with their center w.h.p.;
+    # 6 planes / 64 buckets over 8 tight clusters keeps recall high
+    assert mean_recall >= 0.7, f"mean recall {mean_recall:.2f}, per-q {recalls}"
+
+
+def test_lsh_scores_match_exact_for_found_pairs(spark):
+    """Approximation only prunes candidates — any pair LSH does score must
+    carry the exact cosine (same kernel, same rounding)."""
+    rows = _clustered_vectors(n_clusters=3, per_cluster=6)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 3")
+    exact = {(r["query_id"], r["neighbor_id"]): r["score"]
+             for r in brute_force_topk(q, df, k=50, dim=DIM).collect()}
+    for r in lsh_topk(q, df, k=K, n_planes=4, dim=DIM).collect():
+        assert exact[(r["query_id"], r["neighbor_id"])] == r["score"]
