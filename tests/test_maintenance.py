@@ -1,0 +1,51 @@
+"""Compaction tests: small-file swarm → few files, data intact, clustering
+enables file-level pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.io import Catalog
+from hierarchical_graph_db_spark.operators.maintenance import (
+    compact_parquet,
+    parquet_file_count,
+    table_stats,
+)
+
+
+def test_compaction_reduces_files_keeps_rows(spark, sf_dir, tmp_path):
+    events = Catalog(spark, sf_dir).events
+    frag = str(tmp_path / "fragmented")
+    events.repartition(32).write.mode("overwrite").parquet(frag)
+    assert parquet_file_count(frag) == 32
+
+    out = str(tmp_path / "compacted")
+    compact_parquet(spark, frag, out, target_mb=128)
+    assert parquet_file_count(out) <= 2
+    assert spark.read.parquet(out).count() == events.count()
+    stats = table_stats(spark.read.parquet(out))
+    assert stats["n_files"] <= 2 and stats["n_rows"] == events.count()
+
+
+def test_clustered_compaction_tightens_ranges(spark, sf_dir, tmp_path):
+    """Range-clustered rewrite: each output file covers a disjoint ts range,
+    so a time predicate prunes whole files."""
+    events = Catalog(spark, sf_dir).events
+    frag = str(tmp_path / "frag2")
+    # shuffle rows so ts is scattered across files
+    events.repartition(16, "user_id").write.mode("overwrite").parquet(frag)
+
+    out = str(tmp_path / "clustered")
+    # force multiple output files regardless of tiny fixture size
+    df = spark.read.parquet(frag).repartitionByRange(4, F.col("ts")) \
+        .sortWithinPartitions("ts")
+    df.write.mode("overwrite").parquet(out)
+
+    files = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"),
+        F.col("ts"),
+    ).groupBy("f").agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()
+    assert len(files) == 4
+    spans = sorted([(r["lo"], r["hi"]) for r in files])
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # disjoint ranges → min/max pruning works
