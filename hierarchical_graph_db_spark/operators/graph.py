@@ -218,6 +218,42 @@ def thread_ids(emails: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
+def shortest_paths(edges: DataFrame, landmark: str, max_hops: int = 10,
+                   directed: bool = False) -> DataFrame:
+    """Unweighted shortest-path distance from ``landmark`` → (id, distance).
+
+    Level-synchronous BFS as iterative joins: frontier ⋈ edges → next
+    frontier minus visited. Each round is one shuffle join on the vertex id;
+    rounds = graph diameter (bounded by ``max_hops``). Unreachable vertices
+    are absent from the result (join-semantics, same as the recursive-CTE
+    oracle).
+    """
+    e = edges.select("src", "dst")
+    if not directed:
+        e = e.union(edges.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    e = e.where(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+
+    visited = e.sparkSession.createDataFrame(
+        [(landmark, 0)], "id string, distance int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, on="id", how="left_anti")
+            .withColumn("distance", F.lit(hop))
+        ).localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count over an undirected simple graph.
 

@@ -50,6 +50,7 @@ def load() -> dict[str, QuerySpec]:
         dedup,
         emailq,
         graphq,
+        groupedq,
         mediaq,
         nerq,
         relational,

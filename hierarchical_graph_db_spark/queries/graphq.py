@@ -20,6 +20,7 @@ from hierarchical_graph_db_spark.operators.graph import (
     edge_weights,
     pagerank,
     sequential_interaction_edges,
+    shortest_paths,
     triangle_count,
 )
 from hierarchical_graph_db_spark.queries import query
@@ -152,3 +153,34 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").cast("string").alias("dst"),
     )
     return triangle_count(edges)
+
+
+@query(
+    "graph_shortest_paths",
+    f"""
+    WITH RECURSIVE eu AS (
+        SELECT src, dst FROM ({_SQL_EDGES})
+        UNION
+        SELECT dst AS src, src AS dst FROM ({_SQL_EDGES})
+    ),
+    bfs(id, distance) AS (
+        SELECT '1', 0
+        UNION
+        SELECT eu.dst, bfs.distance + 1
+        FROM bfs JOIN eu ON bfs.id = eu.src
+        WHERE bfs.distance < 10
+    )
+    SELECT id, CAST(min(distance) AS INT) AS distance
+    FROM bfs GROUP BY id
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted BFS distances from landmark user '1' over the undirected
+    interaction graph — iterative frontier joins in Spark, recursive CTE in
+    the DuckDB oracle (both capped at 10 hops)."""
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return shortest_paths(edges, landmark="1", max_hops=10)
