@@ -55,6 +55,7 @@ def load() -> dict[str, QuerySpec]:
         nerq,
         relational,
         similarityq,
+        sketchq,
         sqlq,
         streamingq,
         textq,

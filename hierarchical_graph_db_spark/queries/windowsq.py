@@ -74,3 +74,32 @@ def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min gap) via gaps-and-islands windows — the batch
     oracle for the streaming session_window path."""
     return session_stats(Catalog(spark, sf_dir).events, gap_minutes=30)
+
+
+@query(
+    "window_range_frame_trailing_sum",
+    """
+    SELECT event_id,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_1h_value
+    FROM events
+    """,
+)
+def window_range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each event's trailing-1-hour value sum per user —
+    the frame is value-based (seconds), not row-count-based, so sparse and
+    dense activity periods get the same time horizon."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
+    )
