@@ -53,6 +53,7 @@ def load() -> dict[str, QuerySpec]:
         groupedq,
         mediaq,
         nerq,
+        pivotq,
         relational,
         similarityq,
         sketchq,

@@ -1,0 +1,82 @@
+"""Pivot / unpivot (wide↔long reshaping).
+
+Pivot columns are declared explicitly (the event_type domain) — at scale an
+implicit pivot means a full pre-pass to discover the domain; declaring it
+keeps the plan a single conditional aggregation. Oracles use portable
+conditional aggregation / UNION ALL, the ANSI-stable forms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.io import Catalog
+from hierarchical_graph_db_spark.queries import query
+
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "pivot_user_event_matrix",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS view,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long → wide: per-user event-type count matrix via ``pivot`` with a
+    declared column domain (one aggregation pass, no domain-discovery scan)."""
+    ev = Catalog(spark, sf_dir).events
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+          for t in EVENT_TYPES],
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           round(l_quantity, 2) AS val
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', round(l_extendedprice, 2)
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 2)
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long: three measure columns unpivoted to (measure, val) rows
+    via ``unpivot`` (Spark's stack) — the melt step feature pipelines use
+    before per-measure aggregation."""
+    li = Catalog(spark, sf_dir).lineitem.where(F.col("l_linenumber") == 1)
+    up = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    rename = {"l_quantity": "quantity", "l_extendedprice": "extendedprice",
+              "l_discount": "discount"}
+    mapping = F.create_map(*[F.lit(x) for kv in rename.items() for x in kv])
+    return up.select(
+        "l_orderkey",
+        "l_linenumber",
+        mapping[F.col("measure")].alias("measure"),
+        F.round("val", 2).alias("val"),
+    )
