@@ -39,6 +39,9 @@ HEADLINE = [
     "asof_join_last_click",
     "email_pipeline_parse",
     "streaming_tumbling_rollup",
+    "grouped_udf_user_trend",
+    "text_tfidf_topk",
+    "pivot_user_event_matrix",
 ]
 
 

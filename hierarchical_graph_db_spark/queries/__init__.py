@@ -54,6 +54,7 @@ def load() -> dict[str, QuerySpec]:
         mediaq,
         nerq,
         pivotq,
+        profileq,
         relational,
         similarityq,
         sketchq,
