@@ -103,3 +103,48 @@ def window_range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFra
         "event_id",
         F.round(F.sum("value").over(w), 2).alias("trailing_1h_value"),
     )
+
+
+@query(
+    "sliding_window_rollup",
+    """
+    WITH expanded AS (
+        SELECT t.ws AS window_start, event_type, value
+        FROM events,
+             unnest([
+                 time_bucket(INTERVAL '15 minutes', ts),
+                 time_bucket(INTERVAL '15 minutes', ts) - INTERVAL 15 MINUTE,
+                 time_bucket(INTERVAL '15 minutes', ts) - INTERVAL 30 MINUTE,
+                 time_bucket(INTERVAL '15 minutes', ts) - INTERVAL 45 MINUTE
+             ]) AS t(ws)
+    )
+    SELECT window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2)     AS total_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+)
+def sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (60 min length / 15 min slide) windows in BATCH mode via
+    ``F.window`` — each event expands to 4 overlapping windows at the
+    source, then one aggregation. The oracle unnests the same 4 computed
+    window starts per event. (Streaming twin: streaming/windows.py
+    sliding_counts.)"""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.window("ts", "60 minutes", "15 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
