@@ -29,4 +29,5 @@ def test_entry_contract(spark):
     assert df.count() > 0
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
-    assert len(qs) >= 40
+    assert len(qs) >= 67
+    assert len(oracles) >= 60
