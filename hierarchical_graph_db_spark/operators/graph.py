@@ -282,6 +282,26 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def export_graph_json(edges: DataFrame, out_dir: str,
+                      weight_col: str | None = "weight") -> None:
+    """G6: materialize the graph as Cytoscape/D3-consumable JSON datasets —
+    ``<out_dir>/nodes`` (`{"data": {"id"}}`) and ``<out_dir>/edges``
+    (`{"data": {"source","target",...}}`), written distributed (one JSON
+    object per line per part file, the layout front-ends bulk-load)."""
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .select(F.struct(F.col("id")).alias("data"))
+    )
+    edata = [F.col("src").alias("source"), F.col("dst").alias("target")]
+    if weight_col and weight_col in edges.columns:
+        edata.append(F.col(weight_col))
+    edge_rows = edges.select(F.struct(*edata).alias("data"))
+    nodes.write.mode("overwrite").json(f"{out_dir}/nodes")
+    edge_rows.write.mode("overwrite").json(f"{out_dir}/edges")
+
+
 def sequential_interaction_edges(events: DataFrame) -> DataFrame:
     """Driver-testdata analog of G3: pair each event's user with the next
     user inside the same event_type stream (lag/lead windowing). Gives a
