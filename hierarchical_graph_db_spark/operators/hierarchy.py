@@ -34,8 +34,11 @@ def hierarchy_rollup(denorm: DataFrame) -> DataFrame:
     The mailbox-hierarchy rollup (G5) re-expressed on the star schema. ``lvl``
     disambiguates aggregation level (0=leaf, 1=region subtotal, 3=grand).
     """
+    # count(1), not count(o_orderkey): identical semantics (the key is never
+    # null) but lets the scan prune the column — ReadSchema shrinks to the
+    # join key + measure.
     return denorm.rollup("r_name", "n_name").agg(
-        F.count("o_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int").alias("lvl"),
     )
