@@ -190,9 +190,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   n_hashes=16, bands=4)
 
 
-@query("simhash_fingerprints", None)  # oracle'd via pytest; SQL twin is unwieldy
+@query(
+    "simhash_fingerprints",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\s+')) AS tok
+        FROM documents
+    ),
+    th AS (SELECT doc_id, substr(sha256(tok), 1, 16) AS th FROM toks),
+    bits AS (
+        SELECT doc_id, b.bit,
+               CAST(floor((strpos('0123456789abcdef',
+                                  substr(th, (b.bit // 4) + 1, 1)) - 1)
+                          / pow(2, 3 - (b.bit % 4))) AS INT) % 2 AS is_set
+        FROM th, (SELECT unnest(range(0, 64)) AS bit) b
+    ),
+    votes AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN is_set = 1 THEN 1 ELSE -1 END) AS vote
+        FROM bits GROUP BY doc_id, bit
+    )
+    SELECT doc_id AS id,
+           string_agg(CASE WHEN vote >= 0 THEN '1' ELSE '0' END,
+                      '' ORDER BY bit) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
 def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (bit-string form). Deterministic —
-    validated by unit tests against a pure-Python reference implementation;
-    the SQL twin (64-way bit arithmetic) is omitted as non-idiomatic."""
+    """64-bit SimHash per document (bit-string form). The hash family is
+    sha256 hex digits decoded arithmetically, so the full bit pipeline —
+    token hash, bit votes, sign — is reproduced verbatim in the SQL oracle."""
     return simhash_fingerprints(Catalog(spark, sf_dir).documents)
