@@ -85,10 +85,51 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 dim=64)
 
 
-@query("ann_lsh_topk", None)  # approximate: recall-tested vs brute force in pytest
+def _sql_bucket(col: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of ``hyperplane_signature``: the ±1 plane literals come
+    from the same crc32 as the Spark plan, and the projection sums use the
+    same left-to-right term order, so even the float signs agree."""
+    from hierarchical_graph_db_spark.operators.similarity import hash_sign
+
+    planes = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"CAST({col}[{d + 1}] AS DOUBLE) * {1.0 if hash_sign(p, d) else -1.0}"
+            for d in range(dim)
+        )
+        planes.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(planes)
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                 {_sql_bucket('embedding')} AS bucket
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, {_sql_cosine('qv', 'cv')} AS score
+        FROM q JOIN c USING (bucket)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS BIGINT)
+                      AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (8 hyperplanes): the 100 TB path —
     corpus pre-bucketed by signature, per-bucket equi-join replaces the
-    cross-join. Deterministic (hyperplanes derived from crc32 seeds)."""
+    cross-join. Deterministic end to end (crc32-seeded hyperplanes baked
+    into both plans), so even the *approximate* path is hash-checked."""
     emb = Catalog(spark, sf_dir).embeddings
-    return lsh_topk(emb.where(F.col("vec_id") < 8), emb, k=5, n_planes=8, dim=64)
+    out = lsh_topk(emb.where(F.col("vec_id") < 8), emb, k=5, n_planes=8, dim=64)
+    return out.select("query_id", "neighbor_id", "score",
+                      F.col("rank").cast("long").alias("rnk"))
