@@ -117,17 +117,65 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, max_iter=50)
 
 
-@query("graph_pagerank", None)  # iterative fixed-point: rows-only driver check
+def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
+    """DuckDB twin of ``operators.graph.pagerank``: the fixed iteration count
+    unrolls into chained CTEs (recursive CTEs can't aggregate per step), each
+    computing exactly the Spark update — same dangling-mass redistribution,
+    same operator order, so doubles agree to well past the 6dp rounding."""
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        cur = f"r{i}"
+        # MATERIALIZED is load-bearing: each iteration references the
+        # previous CTE twice (dangling mass + contributions); inlining would
+        # re-evaluate the whole chain 2^iterations times.
+        iters.append(f"""
+    {cur} AS MATERIALIZED (
+        SELECT v.id,
+               (1 - {d}) / nn.n
+               + {d} * (SELECT coalesce(sum({prev}.rank), 0)
+                        FROM {prev} LEFT JOIN out_deg od ON {prev}.id = od.id
+                        WHERE od.id IS NULL) / nn.n
+               + {d} * coalesce(c.in_rank, 0) AS rank
+        FROM vertices v
+        CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst AS id, sum(p.rank / e.out_degree) AS in_rank
+            FROM edges_deg e JOIN {prev} p ON e.src = p.id
+            GROUP BY e.dst
+        ) c ON v.id = c.id
+    )""")
+        prev = cur
+    return f"""
+    WITH base_edges AS ({_SQL_EDGES}),
+    -- multi-edges intentional: the Spark operator weights by row multiplicity
+    edges AS (SELECT src, dst FROM base_edges),
+    vertices AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+    out_deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree
+                FROM edges GROUP BY src),
+    edges_deg AS MATERIALIZED (SELECT e.src, e.dst, od.out_degree
+                  FROM edges e JOIN out_deg od ON e.src = od.id),
+    r0 AS MATERIALIZED (SELECT v.id, 1.0 / nn.n AS rank
+                        FROM vertices v CROSS JOIN nn),
+    {','.join(iters)}
+    SELECT id, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+@query("graph_pagerank", _pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (10 iterations, d=0.85) over the interaction graph. Scores
-    sum to 1 (dangling mass redistributed); rounded for stable output."""
+    sum to 1 (dangling mass redistributed). The oracle unrolls the same 10
+    iterations as chained SQL CTEs — even the iterative fixpoint is
+    differential-tested."""
     ev = Catalog(spark, sf_dir).events
     edges = sequential_interaction_edges(ev).select(
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
     )
     ranks = pagerank(edges, n_iter=10)
-    return ranks.select("id", F.round("rank", 8).alias("rank"))
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
 @query(
