@@ -1,11 +1,13 @@
-"""Multimodal-column queries (rows-only driver checks).
+"""Multimodal-column queries.
 
 No fixture media table exists, so binary content is synthesized
 deterministically from ``documents.text`` (utf-8 encode) — the point is the
 *plumbing*: binary columns flowing through Arrow-batched mapInPandas feature
 extraction with quarantine, at the schema/batch shape production uses. The
-decode itself is the documented deterministic stub
-(``operators/multimodal.py``).
+decode is the documented deterministic stub (``operators/multimodal.py``) —
+and because the stub derives everything from sha256 of the bytes, its whole
+contract is reproducible in SQL: even these Python-UDF paths are
+hash-checked against DuckDB, not just smoke-run.
 """
 
 from __future__ import annotations
@@ -32,19 +34,63 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_image_features", None)  # stubbed decode → rows-only
+def _sql_byte(i: int) -> str:
+    """Byte *i* of sha256(text) from its hex digest (0-based), matching
+    Python ``digest()[i]``."""
+    hi = f"(strpos('0123456789abcdef', substr(hx, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr(hx, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+_SQL_DIMS = f"""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text))        AS n_bytes,
+           1 + {_sql_byte(0)} % 64           AS width,
+           1 + {_sql_byte(1)} % 64           AS height,
+           round({_sql_byte(2)} / 255.0, 6)  AS f0
+    FROM (SELECT doc_id, text, sha256(text) AS hx FROM documents)
+"""
+
+
+@query(
+    "multimodal_image_features",
+    f"""
+    SELECT media_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(width  AS INT)     AS width,
+           CAST(height AS INT)     AS height,
+           f0,
+           CAST(NULL AS VARCHAR)   AS decode_error
+    FROM ({_SQL_DIMS})
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary → (dims, feature vector) per item through the mapInPandas
-    decode/extract stage; deterministic stub features."""
+    """Binary → (dims, feature) per item through the mapInPandas
+    decode/extract stage; the sha256-derived stub decode is reproduced in the
+    oracle, so the UDF plumbing is differential-tested end to end."""
     feats = image_features(_media(spark, sf_dir))
     return feats.select(
         "media_id", "n_bytes", "width", "height",
-        F.element_at("features", 1).alias("f0"),
+        # features persist as float32; re-round after widening so the value
+        # is the stub's 6-decimal contract, not float32 noise
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
         "decode_error",
     )
 
 
-@query("multimodal_resize_plan", None)
+@query(
+    "multimodal_resize_plan",
+    f"""
+    SELECT media_id,
+           CAST(width AS INT)  AS width,
+           CAST(height AS INT) AS height,
+           CAST(ceil(width * least(1.0, 32.0 / greatest(width, height)))
+                AS INT) AS resized_width,
+           CAST(ceil(height * least(1.0, 32.0 / greatest(width, height)))
+                AS INT) AS resized_height
+    FROM ({_SQL_DIMS})
+    """,
+)
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize planning over extracted dims (aspect-preserving, never
     upscales) — pure relational stage downstream of decode."""
@@ -52,8 +98,19 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_metadata(feats, max_side=32)
 
 
-@query("multimodal_frame_sample", None)
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           CAST(t.i AS INT)       AS frame_idx,
+           CAST(t.i * 1000 AS BIGINT) AS ts_ms,
+           sha256(sha256(text) || ':' || t.i) AS frame_sha256
+    FROM documents,
+         unnest(range(0, greatest(1, doc_id % 10))) AS t(i)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling row-explosion for video-shaped media (1 row per
-    sampled timestamp, deterministic ids)."""
+    """Frame sampling row-explosion for video-shaped media: one row per
+    sampled timestamp, ids = sha256(content-digest : index) — reproduced
+    verbatim in the oracle."""
     return frame_sample(_media(spark, sf_dir), every_ms=1000)
