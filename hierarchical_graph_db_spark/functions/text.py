@@ -24,6 +24,39 @@ def tokens(text: Column | str) -> Column:
             .otherwise(F.split(trimmed, r"\s+"))
 
 
+#: GPT-style pre-tokenizer shape: word runs, digit runs, or single
+#: non-space symbols. The LLM-token estimate divides alpha runs by ~4 chars
+#: per BPE piece.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Subword-ish token pieces via the pre-tokenizer regex → array<string>.
+
+    Not a real BPE vocabulary (none ships here) — the contract is the
+    *estimator* pipelines use for budget accounting: piece count correlates
+    with LLM token count far better than whitespace words do.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def llm_token_estimate(text: Column | str) -> Column:
+    """Estimated LLM tokens: one per digit/symbol piece, ceil(len/4) per
+    alpha run (the ~4-chars-per-token rule of thumb)."""
+    pieces = bpe_ish_tokens(text)
+    per_piece = F.transform(
+        pieces,
+        lambda p: F.when(
+            p.rlike("^[A-Za-z]+$"), F.ceil(F.length(p) / 4).cast("long")
+        ).otherwise(F.lit(1).cast("long")),
+    )
+    return F.coalesce(
+        F.aggregate(per_piece, F.lit(0).cast("long"), lambda acc, x: acc + x),
+        F.lit(0).cast("long"),
+    )
+
+
 def stopword_hits(toks: Column) -> Column:
     """Count of tokens that are (lowercased) English stopwords."""
     stoplist = F.array(*[F.lit(w) for w in EN_STOPWORDS])

@@ -1,0 +1,125 @@
+"""IVF (inverted-file) approximate nearest neighbor — the index-based scale
+path beside hyperplane LSH (SURVEY.md §2.11).
+
+Architecture (classic IVF-Flat):
+
+1. **train** — KMeans (Spark MLlib, fixed seed) learns ``n_lists`` coarse
+   centroids over the corpus;
+2. **index** — every corpus vector is assigned to its nearest centroid (the
+   inverted list); at 100 TB the corpus is *written partitioned/bucketed by
+   list id* so a probe reads only its lists' files;
+3. **search** — each query ranks centroids by distance, probes the
+   ``nprobe`` nearest lists, and scores only those lists' vectors:
+   |corpus|·nprobe/n_lists candidates instead of |corpus|.
+
+Probe selection runs as Catalyst expressions over centroid literals (the
+trained centers are small enough to bake into the plan — the same trick the
+LSH hyperplanes use); candidate scoring reuses the unrolled cosine kernel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.functions.vectors import (
+    cosine_from_parts,
+    dot_static,
+    l2_norm,
+)
+
+
+def train_centroids(corpus: DataFrame, n_lists: int = 10,
+                    vec_col: str = "embedding", seed: int = 42) -> list[list[float]]:
+    """KMeans coarse quantizer; returns centers as plain lists (plan
+    literals)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _sq_dist(vec, center: list[float]):
+    """Unrolled ||v - c||² (codegen-friendly, like dot_static)."""
+    terms = [
+        (F.element_at(vec, i + 1).cast("double") - float(center[i])) ** 2
+        for i in range(len(center))
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def assign_lists(df: DataFrame, centers: list[list[float]],
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Index step: nearest-centroid id per vector (argmin over unrolled
+    distances). Output: (id, list_id, vec, norm) — what gets written
+    bucketed by list_id at scale."""
+    dists = F.array(*[
+        F.struct(_sq_dist(F.col(vec_col), c).alias("d"),
+                 F.lit(i).alias("i"))
+        for i, c in enumerate(centers)
+    ])
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("norm"),
+        F.array_sort(dists)[0]["i"].alias("list_id"),
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centers: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search step: probe the ``nprobe`` nearest lists per query, exact
+    cosine inside them, top-k per query."""
+    from pyspark.sql.window import Window
+
+    dim = len(centers[0])
+    indexed = assign_lists(corpus, centers, id_col, vec_col)
+
+    dists = F.array(*[
+        F.struct(_sq_dist(F.col(vec_col), c).alias("d"),
+                 F.lit(i).alias("i"))
+        for i, c in enumerate(centers)
+    ])
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(
+            F.slice(F.transform(F.array_sort(dists), lambda s: s["i"]), 1, nprobe)
+        ).alias("list_id"),
+    )
+    scored = (
+        probes.join(indexed, on="list_id")
+        .where(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(
+                cosine_from_parts(
+                    dot_static(F.col("q_vec"), F.col("vec"), dim),
+                    F.col("q_norm"),
+                    F.col("norm"),
+                ),
+                5,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

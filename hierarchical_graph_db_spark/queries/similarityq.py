@@ -133,3 +133,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = lsh_topk(emb.where(F.col("vec_id") < 8), emb, k=5, n_planes=8, dim=64)
     return out.select("query_id", "neighbor_id", "score",
                       F.col("rank").cast("long").alias("rnk"))
+
+
+@query("ann_ivf_topk", None)  # KMeans training is engine-side → rows-only;
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-k (10 lists, 2 probes): KMeans coarse quantizer, probe
+    the nearest lists only — |corpus|·nprobe/n_lists candidates per query.
+    Recall vs brute force asserted in tests/test_similarity_recall.py."""
+    from hierarchical_graph_db_spark.operators.ivf import ivf_topk, train_centroids
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centers = train_centroids(emb, n_lists=10)
+    return ivf_topk(emb.where(F.col("vec_id") < 8), emb, centers, k=5, nprobe=2)

@@ -117,3 +117,39 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Catalog(spark, sf_dir).documents.select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
     )
+
+
+_SQL_PIECES = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')"
+
+
+@query(
+    "token_count_bpeish",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKENS}) AS BIGINT)  AS whitespace_tokens,
+           CAST(len({_SQL_PIECES}) AS BIGINT)  AS bpe_pieces,
+           CAST(list_sum(list_transform({_SQL_PIECES},
+                p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+$')
+                          THEN CAST(ceil(length(p) / 4.0) AS BIGINT)
+                          ELSE 1 END)) AS BIGINT) AS est_llm_tokens
+    FROM documents
+    WHERE length(trim(text)) > 0
+    """,
+)
+def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (SURVEY §2.11): whitespace words and the
+    BPE-ish piece estimator (GPT-style pre-tokenizer regex + ~4-chars-per-
+    token for alpha runs) — the budget-accounting numbers an LLM data
+    pipeline tracks per document."""
+    from hierarchical_graph_db_spark.functions.text import (
+        bpe_ish_tokens,
+        llm_token_estimate,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.where(F.length(F.trim("text")) > 0)
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("whitespace_tokens"),
+        F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("bpe_pieces"),
+        llm_token_estimate(F.col("text")).alias("est_llm_tokens"),
+    )

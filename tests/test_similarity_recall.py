@@ -60,6 +60,30 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert mean_recall >= 0.7, f"mean recall {mean_recall:.2f}, per-q {recalls}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF-Flat with n_lists=8, nprobe=2 on the 8 true clusters: a query's
+    own cluster is always probed, so recall should be near-perfect."""
+    from hierarchical_graph_db_spark.operators.ivf import ivf_topk, train_centroids
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.where("vec_id % 12 = 0")
+    centers = train_centroids(df, n_lists=8, seed=7)
+    exact = brute_force_topk(queries, df, k=K, dim=DIM)
+    approx = ivf_topk(queries, df, centers, k=K, nprobe=2)
+
+    def by_query(res):
+        out = {}
+        for r in res.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, ap = by_query(exact), by_query(approx)
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"mean recall {mean_recall:.2f}, per-q {recalls}"
+
+
 def test_lsh_scores_match_exact_for_found_pairs(spark):
     """Approximation only prunes candidates — any pair LSH does score must
     carry the exact cosine (same kernel, same rounding)."""
