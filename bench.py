@@ -62,6 +62,18 @@ def main() -> None:
         registry[name].run(spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Ingest throughput: the reference's actual workload (RFC822 parse +
+    # dedup merge). Synthesized emails from documents (same path as the
+    # email_pipeline_parse query) → full parse UDF → merge → count.
+    from hierarchical_graph_db_spark.queries.emailq import _synthetic_emails
+    from hierarchical_graph_db_spark.sources.maildir import merge_parsed, parse_emails
+
+    emails = _synthetic_emails(spark, SF_DIR)
+    n_emails = emails.count()
+    t0 = time.perf_counter()
+    merge_parsed(parse_emails(emails)).count()
+    ingest_sec = time.perf_counter() - t0
+
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     out = {
@@ -70,6 +82,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "ingest_emails_per_sec": round(n_emails / ingest_sec, 1),
     }
     print(json.dumps(out))
 
