@@ -224,3 +224,76 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha256 hex digits decoded arithmetically, so the full bit pipeline —
     token hash, bit votes, sign — is reproduced verbatim in the SQL oracle."""
     return simhash_fingerprints(Catalog(spark, sf_dir).documents)
+
+
+@query(
+    "fuzzy_dedup_resolution",
+    f"""
+    WITH RECURSIVE toks AS (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            GROUP BY 1, 2
+        ) c
+        JOIN sizes sa ON sa.id = c.id_a
+        JOIN sizes sb ON sb.id = c.id_b
+        WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+    ),
+    comp AS (SELECT node AS id, min(r) AS keep_id FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(comp.keep_id, d.doc_id) AS keep_id,
+           coalesce(comp.keep_id, d.doc_id) <> d.doc_id AS is_duplicate
+    FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+    """,
+)
+def fuzzy_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the fuzzy-dedup pipeline: near-dup pairs (exact trigram
+    Jaccard ≥ 0.5) → connected components → per-document keep/drop decision
+    (keeper = min doc_id per duplicate cluster). This is the table a
+    training-data pipeline actually consumes — which rows to drop."""
+    from hierarchical_graph_db_spark.operators.graph import connected_components
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    # CC labels compare as strings — zero-pad so lexicographic min == numeric
+    # min (else "245" < "61" corrupts the keeper choice)
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")
+    cc = connected_components(
+        pairs.select(pad(F.col("id_a")).alias("src"),
+                     pad(F.col("id_b")).alias("dst"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(cc.select(F.col("id").cast("long").alias("doc_id"),
+                        F.col("component").cast("long").alias("keep_id")),
+              on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("keep_id", F.col("doc_id")).alias("keep_id"),
+            (F.coalesce("keep_id", F.col("doc_id")) != F.col("doc_id"))
+            .alias("is_duplicate"),
+        )
+    )
