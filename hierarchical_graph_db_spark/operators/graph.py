@@ -282,6 +282,49 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def label_propagation_communities(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """Community detection via synchronized label propagation → (id, community).
+
+    Each round every vertex adopts its neighbors' most frequent label
+    (ties → min label; isolated behavior deterministic). Fixed iteration
+    count, deterministic tie-break — reproducible output, unlike async LPA.
+    Each round: one join + two aggregations, all keyed on vertex id.
+    CC finds *connected* structure; LPA finds *dense* structure inside it —
+    two cliques bridged by one edge stay two communities.
+    """
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .withColumn("community", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_iter):
+        counts = (
+            sym.join(labels.withColumnRenamed("id", "b"), on="b")
+            .groupBy(F.col("a").alias("id"), F.col("community"))
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+        # most frequent neighbor label, ties broken by min label: max on
+        # (freq, reversed-label) via min_by over (-freq, label)
+        best = counts.groupBy("id").agg(
+            F.min_by(
+                F.col("community"),
+                F.struct((-F.col("freq")).alias("nf"), F.col("community")),
+            ).alias("community")
+        )
+        labels = (
+            labels.select("id")
+            .join(best, on="id", how="left")
+            .select("id", F.coalesce("community", F.col("id")).alias("community"))
+        ).localCheckpoint(eager=True)
+    return labels
+
+
 def export_graph_json(edges: DataFrame, out_dir: str,
                       weight_col: str | None = "weight") -> None:
     """G6: materialize the graph as Cytoscape/D3-consumable JSON datasets —

@@ -232,3 +232,21 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").cast("string").alias("dst"),
     )
     return shortest_paths(edges, landmark="1", max_hops=10)
+
+
+@query("graph_communities_lpa", None)  # iterative mode-finding: rows-only;
+def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronized label-propagation communities (5 rounds, deterministic
+    min-tie-break) over the interaction graph — dense-structure detection
+    beside CC's connectivity. Determinism + clique-separation behavior
+    pinned in tests/test_graph.py."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return label_propagation_communities(edges)

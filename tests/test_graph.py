@@ -11,6 +11,7 @@ from hierarchical_graph_db_spark.operators.graph import (
     connected_components,
     degrees,
     edge_weights,
+    label_propagation_communities,
     pagerank,
     reply_edges,
     thread_ids,
@@ -92,6 +93,30 @@ def test_pagerank_sums_to_one(spark):
     by_id = {r["id"]: r["rank"] for r in ranks}
     # sinks receiving a full out-edge beat isolated-ish sources
     assert by_id["a"] > by_id["b"]
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques bridged by a single edge: CC sees one component, LPA
+    keeps two communities — and output is deterministic across runs."""
+    def clique(prefix):
+        nodes = [f"{prefix}{i}" for i in range(4)]
+        return [Row(src=a, dst=b) for i, a in enumerate(nodes)
+                for b in nodes[i + 1:]]
+
+    edges = clique("a") + clique("b") + [Row(src="a0", dst="b0")]
+    df = spark.createDataFrame(edges)
+    run1 = {r["id"]: r["community"]
+            for r in label_propagation_communities(df).collect()}
+    run2 = {r["id"]: r["community"]
+            for r in label_propagation_communities(df).collect()}
+    assert run1 == run2  # deterministic
+    a_comms = {run1[f"a{i}"] for i in range(4)}
+    b_comms = {run1[f"b{i}"] for i in range(4)}
+    assert len(a_comms) == 1 and len(b_comms) == 1
+    assert a_comms != b_comms  # bridge does not merge the cliques
+    # sanity: CC on the same graph gives ONE component
+    cc = {r["component"] for r in connected_components(df).collect()}
+    assert len(cc) == 1
 
 
 def test_communication_edges_and_weights(spark):
