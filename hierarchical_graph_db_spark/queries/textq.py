@@ -153,3 +153,55 @@ def token_count_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe_ish_tokens(F.col("text"))).cast("long").alias("bpe_pieces"),
         llm_token_estimate(F.col("text")).alias("est_llm_tokens"),
     )
+
+
+# C4-style keep rules over the quality features; thresholds are part of the
+# operator contract (oracle embeds the same ones).
+_QF_RULES_SQL = (
+    "length(trim(text)) > 0"
+    " AND len({toks}) BETWEEN 8 AND 100000"
+    " AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) >= 0.6"
+    " AND {hits} / len({toks}) >= 0.01"
+).format(toks=_SQL_TOKENS, hits=_SQL_HITS)
+
+
+@query(
+    "quality_filter_decisions",
+    f"""
+    SELECT doc_id,
+           {_QF_RULES_SQL} AS keep,
+           CASE
+             WHEN length(trim(text)) = 0 THEN 'empty'
+             WHEN len({_SQL_TOKENS}) < 8 THEN 'too_short'
+             WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / length(text) < 0.6 THEN 'low_alpha'
+             WHEN {_SQL_HITS} / len({_SQL_TOKENS}) < 0.01 THEN 'low_stopword'
+             ELSE 'ok'
+           END AS reason
+    FROM documents
+    """,
+)
+def quality_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-FILTER stage (C4-style keep rules over the scored
+    features): every document gets (keep, reason) — heuristic gates on
+    length, alpha ratio, and stopword density. Scoring without a decision
+    step is half an operator; this is the half pipelines act on."""
+    docs = Catalog(spark, sf_dir).documents
+    m = quality_metrics(F.col("text"))
+    n_toks = m["n_tokens"]
+    alpha = m["alpha_ratio"]
+    stopr = m["stopword_ratio"]
+    blank = F.length(F.trim("text")) == 0
+    reason = (
+        F.when(blank, "empty")
+        .when(n_toks < 8, "too_short")
+        .when(alpha < 0.6, "low_alpha")
+        .when(stopr < 0.01, "low_stopword")
+        .otherwise("ok")
+    )
+    return docs.select(
+        "doc_id",
+        (~blank & (n_toks >= 8) & (n_toks <= 100000)
+         & (alpha >= 0.6) & (stopr >= 0.01)).alias("keep"),
+        reason.alias("reason"),
+    )
