@@ -93,6 +93,10 @@ def ngram_jaccard_pairs(
         sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), on="shingle").select(
             "id", "shingle"
         )
+    # The shingle table feeds three plan subtrees (sizes + both self-join
+    # sides); without materialization Spark recomputes the tokenize/shingle
+    # projection three times — at corpus scale that triples the scan.
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
