@@ -165,10 +165,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
     ),
     seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    -- chunked hash family (operators/dedup_fuzzy._minhash_wide): hash i of a
+    -- shingle is the 8-hex-char window (i%8)*8+1..+8 of sha256((i//8)#shingle)
     sig AS (
         SELECT id, seed,
-               min(substring(sha256(CAST(seed AS VARCHAR) || '#' || shingle), 1, 12))
-                   AS minhash
+               min(substring(sha256(CAST(seed // 8 AS VARCHAR) || '#' || shingle),
+                             (seed % 8) * 8 + 1, 8)) AS minhash
         FROM sh CROSS JOIN seeds
         GROUP BY id, seed
     ),
@@ -184,8 +186,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16 seeds) + LSH(4 bands × 4 rows) candidate pairs — the
-    linear-cost fuzzy-dedup scale path (no all-pairs join anywhere)."""
+    """MinHash(16 hashes) + LSH(4 bands × 4 rows) candidate pairs — the
+    linear-cost fuzzy-dedup scale path (no all-pairs join anywhere). The
+    oracle reproduces the chunked hash family exactly, so band keys — not
+    just the final pair set — agree across engines."""
     return minhash_lsh_candidates(Catalog(spark, sf_dir).documents,
                                   n_hashes=16, bands=4)
 
