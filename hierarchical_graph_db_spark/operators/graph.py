@@ -282,6 +282,37 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def weighted_distances(edges: DataFrame, landmark: str, n_rounds: int = 6,
+                       weight_col: str = "cost") -> DataFrame:
+    """Bellman-Ford relaxation from ``landmark`` → (id, distance), exact for
+    all shortest paths of ≤ ``n_rounds`` hops (non-negative costs).
+
+    Each round relaxes every edge once: dist'[v] = min(dist[v],
+    min over (u,v) of dist[u] + cost). One join + one agg per round, keyed on
+    the vertex id — the distributed-friendly SSSP (Dijkstra's priority queue
+    is inherently sequential; relaxation rounds are how SSSP scales out).
+    Unreachable vertices are absent (same as the unrolled SQL oracle).
+    """
+    e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("cost"))
+    e = e.localCheckpoint(eager=True)
+    dist = e.sparkSession.createDataFrame(
+        [(landmark, 0.0)], "id string, distance double"
+    ).localCheckpoint(eager=True)
+
+    for _ in range(n_rounds):
+        relaxed = (
+            dist.join(e, dist.id == e.src)
+            .select(F.col("dst").alias("id"),
+                    (F.col("distance") + F.col("cost")).alias("distance"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("distance").alias("distance"))
+        ).localCheckpoint(eager=True)
+    return dist
+
+
 def label_propagation_communities(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     """Community detection via synchronized label propagation → (id, community).
 

@@ -250,3 +250,50 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").cast("string").alias("dst"),
     )
     return label_propagation_communities(edges)
+
+
+def _weighted_sssp_oracle(n_rounds: int = 6) -> str:
+    """Unrolled Bellman-Ford rounds (MATERIALIZED — each round reads the
+    previous twice: carry-over + relaxation)."""
+    rounds = []
+    prev = "d0"
+    for i in range(1, n_rounds + 1):
+        cur = f"d{i}"
+        rounds.append(f"""
+    {cur} AS MATERIALIZED (
+        SELECT id, min(distance) AS distance FROM (
+            SELECT id, distance FROM {prev}
+            UNION ALL
+            SELECT e.dst AS id, p.distance + e.cost AS distance
+            FROM {prev} p JOIN we e ON e.src = p.id
+        ) GROUP BY id
+    )""")
+        prev = cur
+    return f"""
+    WITH base_edges AS ({_SQL_EDGES}),
+    we AS MATERIALIZED (
+        SELECT src, dst, 1.0 / count(*) AS cost
+        FROM base_edges GROUP BY src, dst
+    ),
+    d0 AS MATERIALIZED (SELECT '1' AS id, 0.0 AS distance),
+    {','.join(rounds)}
+    SELECT id, round(distance, 6) AS distance FROM {prev}
+    """
+
+
+@query("graph_weighted_distances", _weighted_sssp_oracle())
+def graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP from user '1': edge cost = 1/interaction-count (frequent
+    pairs are 'closer'), 6 Bellman-Ford relaxation rounds — hash-checked
+    against the same rounds unrolled as SQL CTEs."""
+    from hierarchical_graph_db_spark.operators.graph import weighted_distances
+
+    ev = Catalog(spark, sf_dir).events
+    weighted = edge_weights(
+        sequential_interaction_edges(ev).select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+    ).select("src", "dst", (F.lit(1.0) / F.col("weight")).alias("cost"))
+    out = weighted_distances(weighted, landmark="1", n_rounds=6)
+    return out.select("id", F.round("distance", 6).alias("distance"))

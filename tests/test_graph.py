@@ -95,6 +95,18 @@ def test_pagerank_sums_to_one(spark):
     assert by_id["a"] > by_id["b"]
 
 
+def test_weighted_distances_prefers_cheap_path(spark):
+    """a→b→c (cost 1+1) beats the direct a→c (cost 5); unreachable absent."""
+    from hierarchical_graph_db_spark.operators.graph import weighted_distances
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 5.0), ("x", "y", 1.0)],
+        "src string, dst string, cost double")
+    d = {r["id"]: r["distance"]
+         for r in weighted_distances(edges, landmark="a").collect()}
+    assert d == {"a": 0.0, "b": 1.0, "c": 2.0}  # x, y unreachable → absent
+
+
 def test_label_propagation_two_cliques(spark):
     """Two 4-cliques bridged by a single edge: CC sees one component, LPA
     keeps two communities — and output is deterministic across runs."""
