@@ -42,6 +42,11 @@ HEADLINE = [
     "grouped_udf_user_trend",
     "text_tfidf_topk",
     "pivot_user_event_matrix",
+    # scale-shape guards (VERDICT r1): the banded-LSH near-dup path and the
+    # hot-shingle-guarded Jaccard — regressions to all-pairs/unguarded shapes
+    # show up as wall-time here, not just in review.
+    "embedding_near_duplicates_lsh",
+    "dedup_ngram_jaccard",
 ]
 
 
@@ -73,6 +78,31 @@ def main() -> None:
     t0 = time.perf_counter()
     merge_parsed(parse_emails(emails)).count()
     ingest_sec = time.perf_counter() - t0
+
+    # Streaming-sink guard: two dedup-merge batches into a bucketed store.
+    # O(|batch|+touched buckets) per batch by design — a regression to the
+    # old collect()-the-store rewrite shows up as a step change here.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hierarchical_graph_db_spark.io import Catalog
+    from hierarchical_graph_db_spark.streaming.ingest import DedupParquetSink
+
+    sink_dir = tempfile.mkdtemp(prefix="bench_sink_")
+    try:
+        ev = Catalog(spark, SF_DIR).events.withColumn(
+            "dk", F.concat_ws(":", "user_id", "event_type"))
+        sink = DedupParquetSink(spark, os.path.join(sink_dir, "store"),
+                                key="dk", order_by=["event_id"],
+                                member_cols=["event_id"])
+        t0 = time.perf_counter()
+        sink(ev.where("event_id % 2 = 0"), batch_id=0)
+        sink(ev.where("event_id % 2 = 1"), batch_id=1)
+        timings["dedup_sink_two_batches"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None

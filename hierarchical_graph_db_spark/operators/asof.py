@@ -38,14 +38,20 @@ def asof_join(
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*on, ts_col)]
-    carried = [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]
+    carried = [f"{ts_col}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
 
+    # All carried right columns travel as ONE struct, so a single
+    # last(ignorenulls=True) picks them atomically from the same right row —
+    # per-column fills could otherwise mix rows when a payload column of the
+    # newest prior right row is NULL.
     r = right.select(
         *on,
         F.col(ts_col),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+        F.struct(
+            F.col(ts_col).alias(f"{ts_col}{suffix}"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        ).alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left.columns if c not in (*on, ts_col)],
     )
@@ -53,15 +59,15 @@ def asof_join(
         *on,
         F.col(ts_col),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
-          for c in right_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+        F.lit(None).cast(dict(r.dtypes)["_r"]).alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns if c not in (*on, ts_col)],
     )
-    # At equal ts the right row sorts first (side 0 < 1) → '<=' semantics.
+    # At equal ts the right row sorts first (side 0 < 1) → '<=' semantics;
+    # equal-ts right rows tie-break on the struct value itself, making the
+    # winner deterministic (greatest payload) regardless of input order.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = r.unionByName(l)
@@ -69,12 +75,14 @@ def asof_join(
         *on,
         ts_col,
         "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
         *[c for c in unioned.columns if c.startswith("_l_")],
     )
     out_left = [F.col(f"_l_{c}").alias(c) for c in left.columns
                 if c not in (*on, ts_col)]
-    return filled.where(F.col("_side") == 1).select(*on, ts_col, *out_left, *carried)
+    return filled.where(F.col("_side") == 1).select(
+        *on, ts_col, *out_left, *[F.col(f"_r.{c}").alias(c) for c in carried]
+    )
 
 
 def range_join(

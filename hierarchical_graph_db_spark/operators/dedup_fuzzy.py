@@ -77,7 +77,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     n: int = 3,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = "auto",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -85,9 +85,15 @@ def ngram_jaccard_pairs(
 
     |A∩B| from the inverted-index self-join; |A|,|B| from per-doc counts;
     J = common / (|A|+|B|-common). ``max_shingle_freq`` prunes stop-shingles
-    (skew + noise control at scale).
+    (skew + noise control at scale — ONE hot stopword trigram otherwise makes
+    a quadratic bucket in the self-join). The guard defaults ON: ``"auto"``
+    derives the cutoff as max(1000, 1% of corpus) — a no-op on small corpora
+    (so exact-Jaccard oracles still hold) while capping any bucket's pair
+    blowup at (0.01·|docs|)² at scale. ``None`` disables (oracle mode).
     """
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    if max_shingle_freq == "auto":
+        max_shingle_freq = max(1000, docs.count() // 100)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), on="shingle").select(
@@ -111,15 +117,15 @@ def ngram_jaccard_pairs(
         .join(sizes.withColumnRenamed("id", "id_b")
               .withColumnRenamed("n_shingles", "size_b"), on="id_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                6,
-            ),
+            "_j",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # Filter on the UNROUNDED ratio (the SQL oracles do the same); only
+        # the output column is rounded — else a pair just under the threshold
+        # that rounds up would flip the differential check.
+        .where(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
     )
 
 

@@ -79,8 +79,12 @@ def merge_into(
     Plain-Spark equivalent of the reference's race-safe upsert
     (``parsing_agent.py:76-83``): inserts = batch keys absent from target
     (left-anti — exactly the ``$setOnInsert`` half); existing keys keep their
-    payload and union-in the batch's members (``$addToSet`` half, via
-    ``array_union`` + ``array_distinct``).
+    payload, union-in the batch's members (``$addToSet`` half, via
+    ``array_distinct`` over the concatenation), and accumulate the batch's
+    ``n_duplicates`` so ingest counters stay truthful under incremental
+    ingest. (Members stay set-semantic under redelivery; the duplicate
+    counter counts every *delivered* row — true same-batch replays are the
+    sink's write-ahead guard's job, not this operator's.)
 
     Both joins are equi-joins on the dedupe key; at scale, bucketing target
     and batch on the key makes them shuffle-free. Result is the new target.
@@ -90,7 +94,9 @@ def merge_into(
 
     updates = (
         target.alias("t")
-        .join(batch_merged.select("dedupe_key", F.col("members").alias("_new_members")),
+        .join(batch_merged.select("dedupe_key",
+                                  F.col("members").alias("_new_members"),
+                                  F.col("n_duplicates").alias("_new_dups")),
               on="dedupe_key", how="left")
         .withColumn(
             "members",
@@ -98,7 +104,11 @@ def merge_into(
                 F.array_distinct(F.concat(F.col("t.members"), F.col("_new_members")))
             ),
         )
-        .drop("_new_members")
+        .withColumn(
+            "n_duplicates",
+            F.col("t.n_duplicates") + F.coalesce(F.col("_new_dups"), F.lit(0)),
+        )
+        .drop("_new_members", "_new_dups")
     )
     return updates.unionByName(inserts.select(*updates.columns))
 

@@ -18,6 +18,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     Classic gaps-and-islands: lag → boundary flag → running sum. Two window
     passes over the same (user_id | ts) partitioning — one shuffle total.
+    Boundary semantics pinned to Spark's ``session_window`` (verified
+    empirically, batch AND streaming): an event at EXACTLY last_ts + gap is
+    MERGED into the session (windows touching at an endpoint coalesce), so a
+    new session requires a strict ``>`` gap. This keeps the batch form a true
+    semantic oracle for the streaming path
+    (tests/test_sessionize_similarity.py pins the boundary).
     """
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)

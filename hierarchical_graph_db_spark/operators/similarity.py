@@ -89,26 +89,30 @@ def brute_force_topk(
     return _topk(scored, k)
 
 
-def hyperplane_signature(vec_col, n_planes: int, dim: int):
+def hyperplane_signature(vec_col: str, n_planes: int, dim: int,
+                         plane_offset: int = 0):
     """LSH bit-signature: sign of ⟨v, hᵖ⟩ for n deterministic hyperplanes.
 
     Hyperplane p's component for dimension d is +1/-1 by parity of
     ``crc32(p:d)`` — deterministic, no stored model. Returns a string column
     of '0'/'1' bits (bucket key material). Each projection is an unrolled
-    signed sum — codegen-compiled, no per-element lambda interpretation.
+    signed sum — codegen-compiled, no per-element lambda interpretation —
+    generated as ONE SQL string parsed by a single ``F.expr`` call: building
+    the same tree out of Python ``Column`` ops costs a py4j round-trip per
+    term (~10 s of pure driver time at 16 planes × 64 dims).
+    ``vec_col`` is a column NAME (the expression embeds it); ``plane_offset``
+    shifts plane indices so banded callers draw independent families from
+    the same hash stream.
     """
     bits = []
-    for p in range(n_planes):
-        terms = [
-            F.element_at(vec_col, d + 1).cast("double")
-            * (1.0 if hash_sign(p, d) else -1.0)
+    for p in range(plane_offset, plane_offset + n_planes):
+        # left-assoc " + " chain == the oracle's term order (float parity)
+        terms = " + ".join(
+            f"CAST({vec_col}[{d}] AS DOUBLE) * {1.0 if hash_sign(p, d) else -1.0}"
             for d in range(dim)
-        ]
-        proj = terms[0]
-        for t in terms[1:]:
-            proj = proj + t
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        )
+        bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
+    return F.expr("concat(" + ", ".join(bits) + ")")
 
 
 def hash_sign(plane: int, dim: int) -> bool:
@@ -138,13 +142,13 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
-        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+        hyperplane_signature(vec_col, n_planes, dim).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
-        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("bucket"),
+        hyperplane_signature(vec_col, n_planes, dim).alias("bucket"),
     )
     scored = (
         q.join(c, on="bucket")
@@ -171,31 +175,105 @@ def near_duplicate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    exact: bool = False,
+    n_bands: int = 8,
+    band_planes: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, score ≥ threshold).
 
-    Brute-force form — the correctness oracle. The scale path is ``lsh_topk``
-    semantics: bucket first, pair within buckets.
+    DEFAULT (``exact=False``) is the scale path: banded hyperplane LSH —
+    each vector gets ``n_bands`` bucket keys of ``band_planes`` sign bits;
+    candidates are pairs equal in ≥1 band (an equi-self-join, linear in
+    corpus size), exact-rescored with the same cosine the brute force uses.
+    No cross join anywhere — pair work is bucket-local, the shape that
+    survives 100 TB. Recall tunes via (n_bands, band_planes): P(candidate) =
+    1-(1-(1-θ/π)^band_planes)^n_bands. Requires ``dim``.
+
+    ``exact=True`` is the all-pairs O(n²) brute force — the correctness
+    oracle, for small corpora / differential tests only.
     """
-    a = vectors.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        l2_norm(F.col(vec_col)).alias("norm_a"),
+    if exact:
+        a = vectors.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("vec_a"),
+            l2_norm(F.col(vec_col)).alias("norm_a"),
+        )
+        b = vectors.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vec_b"),
+            l2_norm(F.col(vec_col)).alias("norm_b"),
+        )
+        return (
+            a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    cosine_from_parts(
+                        _dot(F.col("vec_a"), F.col("vec_b"), dim),
+                        F.col("norm_a"),
+                        F.col("norm_b"),
+                    ),
+                    5,
+                ).alias("score"),
+            )
+            .where(F.col("score") >= threshold)
+        )
+
+    if dim is None:
+        raise ValueError("bucketed near_duplicate_pairs requires dim "
+                         "(unrolled codegen projections); pass exact=True "
+                         "for the dim-agnostic brute force")
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        l2_norm(F.col(vec_col)).alias("norm"),
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        l2_norm(F.col(vec_col)).alias("norm_b"),
+    # One signature of n_bands·band_planes bits per vector; band b's bucket
+    # key is a substring slice — the projection tree is built/compiled ONCE
+    # instead of once per band.
+    sig = hyperplane_signature("vec", n_bands * band_planes, dim)
+    banded = v.withColumn("_sig", sig).select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("_sig", b * band_planes + 1,
+                                band_planes).alias("key"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Materialize: the banded table feeds BOTH self-join sides, and its
+    # 1024-term signature tree would otherwise be duplicated into each —
+    # Catalyst re-optimizes the whole tree per subtree (seconds of driver
+    # time) and the signatures would compute twice. Same pattern as the
+    # shingle index in dedup_fuzzy.
+    banded = banded.localCheckpoint(eager=True)
+    pa, pb = banded.alias("a"), banded.alias("b")
+    cand = (
+        pa.join(pb, (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(v.select(F.col("id").alias("id_a"),
+                           F.col("vec").alias("vec_a"),
+                           F.col("norm").alias("norm_a")), on="id_a")
+        .join(v.select(F.col("id").alias("id_b"),
+                       F.col("vec").alias("vec_b"),
+                       F.col("norm").alias("norm_b")), on="id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
                 cosine_from_parts(
-                    _dot(F.col("vec_a"), F.col("vec_b"), dim),
+                    dot_static(F.col("vec_a"), F.col("vec_b"), dim),
                     F.col("norm_a"),
                     F.col("norm_b"),
                 ),

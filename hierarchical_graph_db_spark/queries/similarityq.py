@@ -75,30 +75,74 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs. Threshold 0.45 is calibrated to the
-    synthetic corpus (random 64-dim vectors top out at ~0.51 cosine) so the
-    operator provably emits pairs; production corpora use 0.9+. Brute-force
-    is the correctness baseline; the production path buckets by LSH signature
-    first (operators/similarity.lsh_topk) so the join is linear, not
-    quadratic."""
+    """Embedding-cosine near-dup pairs, EXACT all-pairs form — the
+    correctness oracle for the banded-LSH default (kept oracle-checked
+    because at this threshold the synthetic corpus sits far from the LSH
+    sweet spot; see ``embedding_near_duplicates_lsh`` for the scale path).
+    Threshold 0.45 is calibrated to the synthetic corpus (random 64-dim
+    vectors top out at ~0.51 cosine) so the operator provably emits pairs;
+    production corpora use 0.9+."""
     return near_duplicate_pairs(Catalog(spark, sf_dir).embeddings, threshold=0.45,
-                                dim=64)
+                                dim=64, exact=True)
 
 
-def _sql_bucket(col: str, n_planes: int = 8, dim: int = 64) -> str:
+def _sql_bucket(col: str, n_planes: int = 8, dim: int = 64,
+                plane_offset: int = 0) -> str:
     """DuckDB twin of ``hyperplane_signature``: the ±1 plane literals come
     from the same crc32 as the Spark plan, and the projection sums use the
     same left-to-right term order, so even the float signs agree."""
     from hierarchical_graph_db_spark.operators.similarity import hash_sign
 
     planes = []
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         terms = " + ".join(
             f"CAST({col}[{d + 1}] AS DOUBLE) * {1.0 if hash_sign(p, d) else -1.0}"
             for d in range(dim)
         )
         planes.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
     return " || ".join(planes)
+
+
+def _banded_sql(n_bands: int = 8, band_planes: int = 2, dim: int = 64) -> str:
+    """Per-band bucket keys as a UNION ALL — the DuckDB twin of the banded
+    signature explode in ``near_duplicate_pairs`` (same crc32 plane stream,
+    band b uses planes [b·band_planes, (b+1)·band_planes))."""
+    return "\n        UNION ALL\n".join(
+        f"        SELECT vec_id AS id, {b} AS band, "
+        f"{_sql_bucket('embedding', band_planes, dim, b * band_planes)} AS key "
+        f"FROM embeddings"
+        for b in range(n_bands)
+    )
+
+
+@query(
+    "embedding_near_duplicates_lsh",
+    f"""
+    WITH banded AS (
+{_banded_sql()}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT id_a, id_b, {_sql_cosine('va.embedding', 'vb.embedding')} AS score
+    FROM cand
+    JOIN embeddings va ON va.vec_id = id_a
+    JOIN embeddings vb ON vb.vec_id = id_b
+    WHERE {_sql_cosine('va.embedding', 'vb.embedding')} >= 0.45
+    """,
+)
+def embedding_near_duplicates_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via banded hyperplane LSH + exact rescore — the
+    DEFAULT/scale path (no cross join: candidate generation is an equi-join
+    on (band, bucket-key), linear in corpus size; quadratic work is
+    bucket-local). Deterministic end to end (crc32-seeded planes baked into
+    both plans), so even the approximate path is hash-checked — the oracle
+    replays the identical banding, not just the result. Recall vs the exact
+    form is pinned in tests/test_similarity_recall.py."""
+    return near_duplicate_pairs(Catalog(spark, sf_dir).embeddings, threshold=0.45,
+                                dim=64, n_bands=8, band_planes=2)
 
 
 @query(

@@ -50,7 +50,7 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, value,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         >= INTERVAL 30 MINUTE
+                         > INTERVAL 30 MINUTE
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events
@@ -72,8 +72,9 @@ def streaming_tumbling_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``session_window`` gap-merge sessions per user (30 min). Spark merges
-    an event into a session iff it lands strictly inside last_ts + gap, so
-    the oracle's island boundary is ``gap >= 30min``; session_end is
+    an event into a session iff it lands at-or-inside last_ts + gap
+    (windows touching at an endpoint coalesce — verified empirically), so
+    the oracle's island boundary is a strict ``gap > 30min``; session_end is
     last-event ts + gap, exactly Spark's window end."""
     out = drain_to_dataframe(
         session_counts(fixture_event_stream(spark, sf_dir), gap_minutes=30)

@@ -83,8 +83,17 @@ def scan_maildir(spark: SparkSession, base: str) -> DataFrame:
 
 
 def _smart_decode(data: bytes) -> str:
-    """Charset fallback chain (reference ``app/common/utils.py:6-14``):
-    chardet guess → utf-8 → latin-1, always errors='ignore'."""
+    """Charset fallback chain (reference ``app/common/utils.py:6-14``:
+    chardet guess → utf-8 → latin-1, errors='ignore').
+
+    Without chardet (this container), the guess stage is approximated by a
+    STRICT utf-8 probe: valid utf-8 (incl. pure ASCII) decodes as utf-8 —
+    chardet agrees on those — and anything else decodes as latin-1, which
+    never fails and preserves every byte (chardet's usual verdict for 8-bit
+    mail). Divergence remains only for non-latin-1 8-bit charsets (koi8-r,
+    shift-jis, …), where chardet would pick the real codec; documented in
+    FIXTURES.md, pinned in tests/test_maildir_ingest.py.
+    """
     if not data:
         return ""
     if chardet is not None:
@@ -95,10 +104,9 @@ def _smart_decode(data: bytes) -> str:
             except (LookupError, UnicodeDecodeError):
                 pass
     try:
-        return data.decode("utf-8", errors="ignore")
-    except UnicodeDecodeError:  # pragma: no cover - errors=ignore never raises
-        pass
-    return data.decode("latin-1", errors="ignore")
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return data.decode("latin-1", errors="ignore")
 
 
 def _parse_addresses(value) -> list[str]:

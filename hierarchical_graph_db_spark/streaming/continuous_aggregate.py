@@ -3,23 +3,23 @@ store maintained incrementally from a stream.
 
 TimescaleDB's continuous aggregates / materialized rollups, Spark-native:
 each micro-batch computes its *partial* (window, key) aggregates — counts
-and sums, the decomposable kind — and merges them into a parquet rollup
-store by key addition. Querying the store costs O(|buckets|), never a
-rescan of raw events; the merge touches only buckets present in the batch.
+and sums, the decomposable kind — and merges them into a bucketed parquet
+rollup store by key addition. Querying the store costs O(|buckets|), never
+a rescan of raw events; the merge reads and rewrites ONLY the partition
+directories whose ``window_start`` appears in the batch.
 
 Exactly-once: the merge is NOT naturally idempotent (counts would double on
-replay), so the sink records the last merged ``batch_id`` inside the store
-directory and skips replays — the standard transactional-sink pattern for
-foreachBatch.
+replay), so the store's write-ahead protocol skips committed batch ids and
+finishes interrupted ones from durable scratch — see
+:mod:`hierarchical_graph_db_spark.streaming.store`.
 """
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.streaming.store import BucketedParquetStore
 
 
 def partial_rollup(batch: DataFrame, minutes: int = 60) -> DataFrame:
@@ -37,51 +37,50 @@ def partial_rollup(batch: DataFrame, minutes: int = 60) -> DataFrame:
 
 
 class ContinuousRollupSink:
-    """foreachBatch body merging batch partials into the rollup store."""
+    """foreachBatch body merging batch partials into the rollup store.
+
+    The store is partitioned by ``bucket_id`` (epoch seconds of the window
+    start), so a batch touching two hours reads and rewrites exactly two
+    partition directories regardless of how much history the store holds.
+    """
 
     def __init__(self, spark: SparkSession, store_path: str, minutes: int = 60):
-        self.spark = spark
-        self.store_path = store_path
+        self.store = BucketedParquetStore(spark, store_path)
         self.minutes = minutes
 
-    @property
-    def _marker(self) -> str:
-        return os.path.join(self.store_path + "_meta", "last_batch.json")
-
-    def _last_batch(self) -> int:
-        try:
-            with open(self._marker, encoding="utf-8") as f:
-                return json.load(f)["batch_id"]
-        except (OSError, ValueError):
-            return -1
-
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id <= self._last_batch():
+        if self.store.already_done(batch_id):
             return  # replayed batch: already merged, skip (exactly-once)
-        partial = partial_rollup(batch, self.minutes)
-        if os.path.isdir(self.store_path):
-            current = self.spark.read.parquet(self.store_path)
-            merged = (
-                current.unionByName(partial)
-                .groupBy("window_start", "event_type")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("sum_value").alias("sum_value"),
-                )
+        batch.persist()
+        try:
+            partial = partial_rollup(batch, self.minutes).withColumn(
+                "bucket_id", F.unix_timestamp("window_start")
             )
-            rows = merged.collect()  # materialize before overwriting input
-            merged = self.spark.createDataFrame(rows, merged.schema)
-        else:
-            merged = partial
-        merged.write.mode("overwrite").parquet(self.store_path)
-        os.makedirs(os.path.dirname(self._marker), exist_ok=True)
-        with open(self._marker, "w", encoding="utf-8") as f:
-            json.dump({"batch_id": batch_id}, f)
+            # O(#touched windows) driver rows — bucket ids only.
+            touched = [r[0] for r in partial.select("bucket_id").distinct().collect()]
+            if not touched:
+                self.store.mark_committed(batch_id)
+                return
+            if self.store.exists():
+                current = self.store.read(buckets=touched)
+                merged = (
+                    current.unionByName(partial)
+                    .groupBy("window_start", "event_type", "bucket_id")
+                    .agg(
+                        F.sum("n_events").alias("n_events"),
+                        F.sum("sum_value").alias("sum_value"),
+                    )
+                )
+            else:
+                merged = partial
+            self.store.commit(batch_id, merged)
+        finally:
+            batch.unpersist()
 
 
 def read_rollup(spark: SparkSession, store_path: str) -> DataFrame:
     """The query side: rounded, ready-to-serve bucket aggregates."""
-    return spark.read.parquet(store_path).select(
+    return BucketedParquetStore(spark, store_path).read().select(
         "window_start",
         "event_type",
         F.col("n_events").cast("long").alias("n_events"),

@@ -6,10 +6,11 @@ so *effects* are exactly-once (``parsing_agent.py:70,76-83``). Spark twin:
 checkpointed micro-batches + an idempotent ``foreachBatch`` merge — replays
 of a batch reconverge to the same store state.
 
-The store here is a parquet directory rewritten per batch via
-``merge_into`` (plain-Spark MERGE emulation). At 100 TB the rewrite narrows
-to the partitions containing touched keys (key-bucketed layout); the
-full-rewrite below is the local-fixture simplification of the same plan.
+The store is a key-bucketed :class:`~hierarchical_graph_db_spark.streaming.
+store.BucketedParquetStore`: each batch reads only the hash buckets its keys
+land in, merges, and atomically replaces just those partition directories —
+per-batch cost O(|batch|), never O(|store|), and nothing is ever pulled
+through the driver.
 """
 
 from __future__ import annotations
@@ -23,6 +24,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from hierarchical_graph_db_spark.operators.dedup_merge import dedup_merge, merge_into
 from hierarchical_graph_db_spark.schemas import FIXTURES
+from hierarchical_graph_db_spark.streaming.store import BucketedParquetStore
 
 
 def stream_events(spark: SparkSession, landing_dir: str,
@@ -80,39 +82,53 @@ def drain_to_dataframe(stream_df: DataFrame, output_mode: str = "complete") -> D
 
 
 class DedupParquetSink:
-    """``foreachBatch`` body: idempotent dedup-merge into a parquet store.
+    """``foreachBatch`` body: idempotent dedup-merge into a bucketed store.
 
     Keyed on ``key``; first-writer-wins payload by ``order_by``; ``members``
-    accumulates the set of source locations. Re-running a batch is a no-op
-    because merge_into only adds *new* keys and set-unions members.
+    accumulates the set of source locations. Whether a store already exists
+    is derived from the store *path* (never instance state), so a restarted
+    query against an existing store merges instead of clobbering. True
+    replays (same ``batch_id``) are skipped by the store's write-ahead
+    guard; redeliveries under a new batch id reconverge because merge_into
+    only adds new keys and set-unions members.
     """
 
     def __init__(self, spark: SparkSession, store_path: str, key: str,
-                 order_by: list[str], member_cols: list[str]):
-        self.spark = spark
-        self.store_path = store_path
+                 order_by: list[str], member_cols: list[str],
+                 n_buckets: int = 64):
+        self.store = BucketedParquetStore(spark, store_path)
         self.key = key
         self.order_by = order_by
         self.member_cols = member_cols
-        self._initialized = False
+        self.n_buckets = n_buckets
+
+    def _bucket_of(self, key_col) -> F.Column:
+        return F.pmod(F.xxhash64(key_col), F.lit(self.n_buckets)).cast("int")
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        if not self._initialized:
-            target = None
-        else:
-            target = self.spark.read.parquet(self.store_path)
-        if target is None:
-            merged = dedup_merge(batch, self.key, self.order_by, self.member_cols)
-        else:
+        if self.store.already_done(batch_id):
+            return
+        if self.store.exists():
+            # O(n_buckets) driver rows — the bucket ids, never store data.
+            touched = [
+                r[0] for r in batch.select(
+                    self._bucket_of(F.col(self.key)).alias("b")).distinct().collect()
+            ]
+            if not touched:
+                self.store.mark_committed(batch_id)
+                return
+            target = self.store.read(buckets=touched).drop("bucket_id")
             merged = merge_into(target, batch, self.key, self.order_by,
                                 self.member_cols)
-        # Materialize before overwrite (reading and overwriting the same
-        # path in one plan truncates the input first).
-        rows = merged.collect() if target is not None else None
-        if rows is not None:
-            merged = self.spark.createDataFrame(rows, merged.schema)
-        merged.write.mode("overwrite").parquet(self.store_path)
-        self._initialized = True
+        else:
+            merged = dedup_merge(batch, self.key, self.order_by, self.member_cols)
+        merged = merged.withColumn("bucket_id", self._bucket_of(F.col("dedupe_key")))
+        self.store.commit(batch_id, merged)
+
+
+def read_dedup_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Query side of :class:`DedupParquetSink` (bucket column dropped)."""
+    return BucketedParquetStore(spark, store_path).read().drop("bucket_id")
 
 
 def run_available_now(stream_df: DataFrame, sink, checkpoint_dir: str) -> None:

@@ -36,6 +36,34 @@ def test_asof_join_semantics(spark):
     assert len(out) == 3
 
 
+def test_asof_join_null_payload_not_mixed(spark):
+    """The carried right columns must all come from the SAME right row: a
+    NULL payload in the newest prior right row stays NULL — it must not be
+    back-filled from an older right row (per-column fill bug)."""
+    left = spark.createDataFrame([(1, _t(30), "p")],
+                                 "user_id int, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _t(10), 100.0), (1, _t(20), None)],
+        "user_id int, ts timestamp, value double")
+    row = asof_join(left, right, on=["user_id"], ts_col="ts",
+                    right_cols=["value"]).collect()[0]
+    assert row["ts_right"] == _t(20)
+    assert row["value_right"] is None  # not 100.0 from the older row
+
+
+def test_asof_join_equal_ts_right_rows_deterministic(spark):
+    """Two right rows at the same instant: the winner is deterministic
+    (greatest payload struct), independent of input order."""
+    left = spark.createDataFrame([(1, _t(30), "p")],
+                                 "user_id int, ts timestamp, tag string")
+    for rows in ([(1, _t(20), 1.0), (1, _t(20), 2.0)],
+                 [(1, _t(20), 2.0), (1, _t(20), 1.0)]):
+        right = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+        out = asof_join(left, right.repartition(4), on=["user_id"], ts_col="ts",
+                        right_cols=["value"]).collect()[0]
+        assert out["value_right"] == 2.0
+
+
 def test_range_join_bounds(spark):
     left, right = _frames(spark)
     pairs = range_join(left, right, on=["user_id"], ts_col="ts",

@@ -56,6 +56,49 @@ def test_ngram_jaccard_scores(spark):
     assert (1, 3) not in pairs or pairs[(1, 3)] == 0.0
 
 
+def test_hot_shingle_guard_prunes_stopword_shingles(spark):
+    """Skew guard: a shingle present in (almost) every doc must be prunable.
+    With the guard, a stopword-heavy corpus yields no candidate pairs from
+    the hot shingle alone; without it the self-join goes quadratic."""
+    hot = [Row(doc_id=i, text=f"the of and unique{i} token{i} word{i}")
+           for i in range(20)]
+    df = spark.createDataFrame(hot)
+    # every doc shares the single shingle "the of and"
+    guarded = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_freq=5)
+    assert guarded.count() == 0
+    unguarded = ngram_jaccard_pairs(df, threshold=0.0, max_shingle_freq=None)
+    assert unguarded.count() == 20 * 19 // 2  # the quadratic bucket
+
+
+def test_auto_guard_noop_on_small_corpus(spark):
+    """The default 'auto' cutoff (max(1000, 1% of docs)) must not change
+    results on small corpora — exact-Jaccard oracle parity holds."""
+    df = spark.createDataFrame(DOCS)
+    auto = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    off = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, threshold=0.0,
+                                        max_shingle_freq=None).collect()}
+    assert auto == off
+
+
+def test_jaccard_threshold_is_unrounded(spark):
+    """A pair whose true Jaccard is just below the threshold must be dropped
+    even when the 6-dp rounding would reach it (oracle filters unrounded)."""
+    # 13-shingle docs sharing 9 → true J = 9/17 = 0.52941176…, which ROUNDS
+    # UP to 0.529412 at 6 dp. Filtering at exactly the rounded value must
+    # drop the pair (true ratio is below it); the old rounded-filter kept it.
+    a = " ".join(f"w{i}" for i in range(15))            # shingles w0..w12 starts → 13
+    b = " ".join(f"w{i}" for i in range(4, 15)) + " x y z w"
+    df = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    all_pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    j = all_pairs[(1, 2)]
+    assert abs(j - 0.529412) < 1e-9          # the rounded-up output value
+    kept = ngram_jaccard_pairs(df, threshold=float(j)).count()
+    assert kept == 0                         # unrounded 9/17 < 0.529412
+
+
 def test_minhash_identical_docs_identical_sigs(spark):
     df = spark.createDataFrame(DOCS)
     sigs = minhash_signatures(df, n_hashes=16).collect()

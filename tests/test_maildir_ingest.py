@@ -120,6 +120,24 @@ def test_dedup_first_writer_wins(spark, maildir):
     assert dup["entities"] == [] and dup["thread_id"] is None
 
 
+def test_smart_decode_charset_chain():
+    """Pins the documented decode chain (FIXTURES.md charset-parity note):
+    strict utf-8 probe, then total latin-1 — every byte preserved, never a
+    silent drop (the old utf-8-ignore path lost 8-bit bytes)."""
+    from hierarchical_graph_db_spark.sources.maildir import _smart_decode
+
+    assert _smart_decode(b"") == ""
+    assert _smart_decode(b"plain ascii") == "plain ascii"
+    assert _smart_decode("café ☃".encode("utf-8")) == "café ☃"
+    # latin-1 bytes are NOT valid utf-8 → latin-1 branch, bytes preserved
+    assert _smart_decode("café".encode("latin-1")) == "café"
+    # non-latin-1 charsets: documented divergence — latin-1 mojibake, but
+    # total (length preserved), so dedupe keys are at least deterministic
+    koi8 = "привет".encode("koi8_r")
+    out = _smart_decode(koi8)
+    assert len(out) == len(koi8) and out == koi8.decode("latin-1")
+
+
 def test_quarantine_never_fails_task(spark, tmp_path):
     """A file the parser chokes on becomes an error row, not a task failure.
 

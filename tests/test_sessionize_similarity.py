@@ -38,6 +38,32 @@ def test_sessionize_gap_split(spark):
     assert out[4] == "2-1"
 
 
+def test_sessionize_boundary_matches_session_window(spark):
+    """An event at EXACTLY last_ts + gap is MERGED (session_window coalesces
+    windows touching at an endpoint — verified against Spark batch and
+    streaming); one tick later starts a new session. The batch gaps-and-
+    islands form must agree, since the two are each other's oracle."""
+    rows = [Row(event_id=1, user_id=1, ts=_ts(0), value=1.0),
+            Row(event_id=2, user_id=1, ts=_ts(30), value=1.0)]  # exactly 30min
+    out = {r["event_id"]: r["session_id"]
+           for r in sessionize(spark.createDataFrame(rows), 30).collect()}
+    assert out[1] == out[2] == "1-1"  # merged, matching session_window
+
+    batch = (
+        spark.createDataFrame(rows)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert batch.count() == 1  # session_window merges the same way
+
+    late = [Row(event_id=1, user_id=1, ts=_ts(0), value=1.0),
+            Row(event_id=2, user_id=1,
+                ts=_ts(30) + dt.timedelta(seconds=1), value=1.0)]
+    out2 = {r["event_id"]: r["session_id"]
+            for r in sessionize(spark.createDataFrame(late), 30).collect()}
+    assert out2[1] == "1-1" and out2[2] == "1-2"
+
+
 def test_session_stats(spark):
     stats = {r["session_id"]: r
              for r in session_stats(spark.createDataFrame(EVENTS), 30).collect()}
@@ -70,11 +96,32 @@ def test_brute_force_topk(spark):
 
 def test_near_duplicate_pairs(spark):
     df = spark.createDataFrame(VECS)
-    pairs = {(r["id_a"], r["id_b"]): r["score"]
-             for r in near_duplicate_pairs(df, threshold=0.99,
-                                           id_col="emb_id",
-                                           vec_col="embedding").collect()}
-    assert (1, 2) in pairs and math.isclose(
-        pairs[(1, 2)], 0.9 / math.sqrt(0.82), abs_tol=1e-5)
-    assert all(a < b for a, b in pairs)          # canonical ordering
-    assert (1, 4) not in pairs                   # opposite vectors
+    # exact oracle path and the default banded-LSH path must agree here:
+    # the (1,2) pair has cos≈0.994 (~6° apart) so every hyperplane family
+    # assigns both the same signs in 2-d.
+    for kwargs in ({"exact": True}, {"dim": 2}):
+        pairs = {(r["id_a"], r["id_b"]): r["score"]
+                 for r in near_duplicate_pairs(df, threshold=0.99,
+                                               id_col="emb_id",
+                                               vec_col="embedding",
+                                               **kwargs).collect()}
+        assert (1, 2) in pairs and math.isclose(
+            pairs[(1, 2)], 0.9 / math.sqrt(0.82), abs_tol=1e-5)
+        assert all(a < b for a, b in pairs)          # canonical ordering
+        assert (1, 4) not in pairs                   # opposite vectors
+
+
+def test_near_duplicate_pairs_bucketed_plan_no_cross_join(spark):
+    """The default path's scale contract: candidate generation is an
+    equi-join — no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    df = spark.createDataFrame(VECS)
+    plan = near_duplicate_pairs(
+        df, threshold=0.5, id_col="emb_id", vec_col="embedding", dim=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # whereas the exact oracle form is the cross join, by declaration
+    exact_plan = near_duplicate_pairs(
+        df, threshold=0.5, id_col="emb_id", vec_col="embedding", exact=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan

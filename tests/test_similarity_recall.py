@@ -84,6 +84,29 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert mean_recall >= 0.9, f"mean recall {mean_recall:.2f}, per-q {recalls}"
 
 
+def test_banded_near_dup_recall_vs_exact(spark):
+    """Default (banded-LSH) near_duplicate_pairs vs the exact=True oracle on
+    clustered vectors: high recall, identical scores for every found pair."""
+    from hierarchical_graph_db_spark.operators.similarity import (
+        near_duplicate_pairs,
+    )
+
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["id_a"], r["id_b"]): r["score"]
+             for r in near_duplicate_pairs(df, threshold=0.9, dim=DIM,
+                                           exact=True).collect()}
+    approx = {(r["id_a"], r["id_b"]): r["score"]
+              for r in near_duplicate_pairs(df, threshold=0.9,
+                                            dim=DIM).collect()}
+    assert exact, "fixture must produce near-dup pairs"
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+    for pair, score in approx.items():
+        assert exact[pair] == score  # rescore is the exact kernel
+    assert set(approx) <= set(exact)  # no false positives (exact rescore)
+
+
 def test_lsh_scores_match_exact_for_found_pairs(spark):
     """Approximation only prunes candidates — any pair LSH does score must
     carry the exact cosine (same kernel, same rounding)."""

@@ -11,6 +11,7 @@ from hierarchical_graph_db_spark.operators.sessionize import tumbling_rollup
 from hierarchical_graph_db_spark.schemas import FIXTURES
 from hierarchical_graph_db_spark.streaming.ingest import (
     DedupParquetSink,
+    read_dedup_store,
     run_available_now,
     stream_events,
 )
@@ -162,14 +163,94 @@ def test_dedup_sink_exactly_once_effects(spark, tmp_path):
     run_available_now(stream, sink, str(tmp_path / "cp4"))
     first = {(r["dedupe_key"], r["payload"],
               frozenset(m["src"] for m in r["members"]))
-             for r in spark.read.parquet(store).collect()}
+             for r in read_dedup_store(spark, store).collect()}
     assert first == {("k1", "first", frozenset({"a", "b"})),
                      ("k2", "solo", frozenset({"c"}))}
 
-    # replay the same batch (simulated redelivery) → store unchanged
+    # redelivery under a NEW batch id (at-least-once) → store unchanged
     batch = spark.read.parquet(landing)
     sink(batch, batch_id=99)
     again = {(r["dedupe_key"], r["payload"],
               frozenset(m["src"] for m in r["members"]))
-             for r in spark.read.parquet(store).collect()}
+             for r in read_dedup_store(spark, store).collect()}
     assert again == first
+
+    # true replay (already-committed batch id) is skipped outright
+    sink(batch, batch_id=0)
+    assert {(r["dedupe_key"], r["payload"],
+             frozenset(m["src"] for m in r["members"]))
+            for r in read_dedup_store(spark, store).collect()} == first
+
+
+def test_dedup_sink_restart_merges_existing_store(spark, tmp_path):
+    """A FRESH sink instance pointed at an existing store must merge into
+    it, not clobber it — initialization is derived from the store path,
+    never from instance state."""
+    store = str(tmp_path / "store")
+    first = DedupParquetSink(spark, store, key="key",
+                             order_by=["src"], member_cols=["src"])
+    first(spark.createDataFrame([Row(key="k1", payload="orig", src="a")]),
+          batch_id=0)
+
+    restarted = DedupParquetSink(spark, store, key="key",
+                                 order_by=["src"], member_cols=["src"])
+    restarted(spark.createDataFrame([
+        Row(key="k1", payload="late-dup", src="b"),
+        Row(key="k3", payload="fresh", src="c"),
+    ]), batch_id=1)
+
+    out = {r["dedupe_key"]: (r["payload"],
+                             frozenset(m["src"] for m in r["members"]))
+           for r in read_dedup_store(spark, store).collect()}
+    assert out == {"k1": ("orig", frozenset({"a", "b"})),
+                   "k3": ("fresh", frozenset({"c"}))}
+
+
+def test_dedup_sink_never_collects_store(spark, tmp_path):
+    """The scale contract: no driver-side materialization of store state.
+    Source inspection — the sink and its store must contain no collect()
+    over store data (the only collects are distinct bucket-id lists)."""
+    import inspect
+
+    from hierarchical_graph_db_spark.streaming import store as store_mod
+
+    sink_src = inspect.getsource(DedupParquetSink)
+    assert sink_src.count(".collect()") == 1           # bucket-id list only
+    assert "createDataFrame" not in sink_src
+    store_src = inspect.getsource(store_mod)
+    assert ".collect()" not in store_src
+    assert "createDataFrame" not in store_src
+
+
+def test_dedup_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """Bucket-scoped rewrite: a batch whose keys land in one bucket must not
+    rewrite the other buckets' files."""
+    import os
+
+    store = str(tmp_path / "store")
+    sink = DedupParquetSink(spark, store, key="key",
+                            order_by=["src"], member_cols=["src"],
+                            n_buckets=8)
+    seed = [Row(key=f"k{i}", payload=f"p{i}", src="a") for i in range(32)]
+    sink(spark.createDataFrame(seed), batch_id=0)
+
+    data = os.path.join(store, "data")
+    before = {}
+    for d in os.listdir(data):
+        if d.startswith("bucket_id="):
+            files = sorted(f for f in os.listdir(os.path.join(data, d))
+                           if f.endswith(".parquet"))
+            before[d] = [(f, os.path.getmtime(os.path.join(data, d, f)))
+                         for f in files]
+    assert len(before) > 1  # seed spread over several buckets
+
+    sink(spark.createDataFrame([Row(key="k0", payload="dup", src="b")]),
+         batch_id=1)
+    touched = 0
+    for d, snap in before.items():
+        now = sorted(f for f in os.listdir(os.path.join(data, d))
+                     if f.endswith(".parquet"))
+        cur = [(f, os.path.getmtime(os.path.join(data, d, f))) for f in now]
+        if cur != snap:
+            touched += 1
+    assert touched == 1  # exactly the bucket containing k0
