@@ -47,6 +47,10 @@ HEADLINE = [
     # show up as wall-time here, not just in review.
     "embedding_near_duplicates_lsh",
     "dedup_ngram_jaccard",
+    # training-data pipeline representatives: broadcast-probe decontamination
+    # and the per-domain packing window.
+    "decontaminate_ngram_overlap",
+    "pack_sequences_greedy",
 ]
 
 

@@ -44,13 +44,17 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
-    """Word n-gram shingle set per doc → (id, shingle), distinct.
+             text_col: str = "text", distinct: bool = True) -> DataFrame:
+    """Word n-gram shingle set per doc → (id, shingle), distinct by default.
 
     Built with array expressions (transform over a position sequence) — one
     narrow projection + one explode, no joins, no shuffle until the caller
     aggregates. The SQL oracles build the identical shingle strings via a
     position self-join; results match because both are the same n-gram set.
+
+    ``distinct=False`` keeps every occurrence (a multiset) — the form the
+    within-document repetition metrics need, where duplicate n-grams ARE the
+    signal rather than noise.
     """
     # Materialize the token array once per row; referencing the raw
     # tokenization expression inside the transform lambda would re-run the
@@ -70,7 +74,8 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
             ),
         )
     )
-    return toked.select("id", F.explode(shingle_arr).alias("shingle")).distinct()
+    exploded = toked.select("id", F.explode(shingle_arr).alias("shingle"))
+    return exploded.distinct() if distinct else exploded
 
 
 def ngram_jaccard_pairs(

@@ -1,0 +1,342 @@
+"""Training-data pipeline queries (north-star LLM-pipeline ops, SURVEY.md §2.11).
+
+The six post-curation stages — decontamination, sequence packing, stratified
+sampling, domain mixture planning, PII redaction, repetition metrics — each
+demonstrated over ``documents`` with a hash-checked DuckDB oracle. Oracles are
+generated from the SAME Python constants the operators use (PII patterns,
+sampling thresholds, mixture weights), so the contract can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.io import Catalog
+from hierarchical_graph_db_spark.operators.training import (
+    PII_PATTERNS,
+    decontaminate,
+    domain_mixture,
+    pack_sequences,
+    redact_pii,
+    repetition_metrics,
+    stratified_sample,
+)
+from hierarchical_graph_db_spark.queries import query
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+#: Tokenized-position CTE shared by every shingle oracle (same as dedup.py).
+_TOKS_CTE = f"""
+    toks AS (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    )
+"""
+
+#: BPE-ish LLM token estimate (same contract as textq.token_count_bpeish).
+_SQL_PIECES = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')"
+_SQL_EST = (
+    f"CAST(list_sum(list_transform({_SQL_PIECES}, "
+    "p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+$') "
+    "THEN CAST(ceil(length(p) / 4.0) AS BIGINT) ELSE 1 END)) AS BIGINT)"
+)
+
+# ---------------------------------------------------------------------------
+# Decontamination: 5-gram overlap against the held-out benchmark slice.
+# ---------------------------------------------------------------------------
+
+#: Every doc_id ≡ 0 (mod 29) plays the benchmark/eval set; the rest train.
+DECON_BENCH_MOD = 29
+DECON_NGRAM = 5
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH {_TOKS_CTE},
+    sh AS (
+        SELECT DISTINCT t0.id,
+               t0.tok || ' ' || t1.tok || ' ' || t2.tok || ' ' ||
+               t3.tok || ' ' || t4.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+        JOIN toks t3 ON t3.id = t0.id AND t3.pos = t0.pos + 3
+        JOIN toks t4 ON t4.id = t0.id AND t4.pos = t0.pos + 4
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE id % {DECON_BENCH_MOD} = 0),
+    hits AS (
+        SELECT sh.id, CAST(count(*) AS BIGINT) AS n_hit_shingles
+        FROM sh JOIN bench USING (shingle)
+        WHERE sh.id % {DECON_BENCH_MOD} <> 0
+        GROUP BY sh.id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+           h.n_hit_shingles IS NOT NULL AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+    WHERE d.doc_id % {DECON_BENCH_MOD} <> 0
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a training doc is contaminated iff it shares
+    any word 5-gram with the benchmark slice (doc_id ≡ 0 mod 29 stands in for
+    the eval set). The benchmark shingle set broadcasts; the train side never
+    shuffles before the per-doc hit count."""
+    docs = Catalog(spark, sf_dir).documents
+    bench = docs.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    train = docs.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return decontaminate(train, bench, n=DECON_NGRAM)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk into fixed context windows.
+# ---------------------------------------------------------------------------
+
+PACK_CTX_TOKENS = 256
+
+
+@query(
+    "pack_sequences_greedy",
+    f"""
+    WITH est AS (
+        SELECT doc_id, source, {_SQL_EST} AS est_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, est_tokens,
+               coalesce(sum(est_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+        FROM est WHERE est_tokens > 0
+    )
+    SELECT doc_id, source, CAST(est_tokens AS BIGINT) AS est_tokens,
+           CAST(floor(cum_before / {PACK_CTX_TOKENS}.0) AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_CTX_TOKENS} AS BIGINT) AS pack_offset,
+           floor((cum_before + est_tokens - 1) / {PACK_CTX_TOKENS}.0)
+             > floor(cum_before / {PACK_CTX_TOKENS}.0) AS spans_boundary
+    FROM c
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, pretraining layout: per source domain, docs are
+    concatenated in doc_id order and the token stream is chunked into
+    256-token context windows; each doc reports the pack it starts in, its
+    offset, and whether it spans a pack boundary. One running-total window
+    per domain — no global coordination."""
+    return pack_sequences(
+        Catalog(spark, sf_dir).documents, ctx_tokens=PACK_CTX_TOKENS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: deterministic hash-based keep decisions.
+# ---------------------------------------------------------------------------
+
+#: Per-language sampling rates (the "downsample the easy languages" table).
+SAMPLE_RATES = {"en": 0.9, "de": 0.6, "es": 0.6, "fr": 0.6, "zh": 0.3}
+SAMPLE_DEFAULT_RATE = 0.2
+SAMPLE_SALT = "samp"
+
+
+def _sql_u16(hex_expr: str) -> str:
+    """DuckDB twin of operators.training.uniform16: first 4 hex nibbles of a
+    sha256 hex string as an integer (no hex→int builtin in DuckDB)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hex_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * 65536)}"
+        for lang, rate in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {int(SAMPLE_DEFAULT_RATE * 65536)} END"
+
+
+@query(
+    "stratified_sample_hash",
+    f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               sha256('{SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST({_sql_u16("hx")} AS BIGINT) AS u16,
+           {_sql_u16("hx")} < {_sql_rate_case()} AS keep
+    FROM h
+    """,
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep iff the doc's salted sha256
+    uniform (16-bit) clears its language's integer threshold. Bit-exact across
+    engines and re-runs — the reproducible-corpus contract (raising a rate
+    only adds docs, never swaps them)."""
+    return stratified_sample(
+        Catalog(spark, sf_dir).documents,
+        rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE,
+        salt=SAMPLE_SALT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture planning: token census → repeat factors.
+# ---------------------------------------------------------------------------
+
+#: Target mixture weights per source domain (deterministic 1..4 pattern —
+#: stands in for the hand-tuned DoReMi/Pile-style mixture table).
+MIXTURE_WEIGHTS = {f"src{i}": float((i % 4) + 1) for i in range(20)}
+
+
+def _sql_target_case() -> str:
+    total = sum(MIXTURE_WEIGHTS.values())
+    whens = " ".join(
+        f"WHEN '{dom}' THEN {round(wgt / total, 6)}"
+        for dom, wgt in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"CASE source {whens} ELSE NULL END"
+
+
+@query(
+    "domain_mixture_plan",
+    f"""
+    WITH est AS (SELECT source, {_SQL_EST} AS est FROM documents),
+    d AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(est) AS BIGINT) AS domain_tokens
+        FROM est GROUP BY source
+    )
+    SELECT source, n_docs, domain_tokens,
+           round(domain_tokens / CAST(sum(domain_tokens) OVER () AS DOUBLE), 6)
+               AS natural_share,
+           {_sql_target_case()} AS target_share,
+           round({_sql_target_case()} * CAST(sum(domain_tokens) OVER () AS DOUBLE)
+                 / domain_tokens, 4) AS repeat_factor
+    FROM d
+    """,
+)
+def domain_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planning table: per-source token census, natural vs
+    target share, and the repeat factor a sampler applies to hit the target
+    mixture. The window total runs over one row per domain — free at any
+    corpus scale."""
+    return domain_mixture(
+        Catalog(spark, sf_dir).documents, weights=MIXTURE_WEIGHTS
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: ordered regex scrub with per-type counts.
+# ---------------------------------------------------------------------------
+
+#: Synthetic contact-block suffix (the fixture corpus has no PII by
+#: construction — zero digits — so each doc gets a deterministic doc_id-derived
+#: e-mail / IPv4 / SSN / phone appended; redaction then has real work whose
+#: output is hash-checked byte-for-byte).
+_SQL_CONTACT_SUFFIX = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ip 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.1 ssn '"
+    " || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'"
+    " || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'"
+    " || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
+    " || ' tel 415-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
+)
+
+
+def _pii_oracle() -> str:
+    """Build the redaction oracle from the SAME PII_PATTERNS the operator
+    applies, in the same order, counting on the progressively-redacted text."""
+    sql = f"WITH r0 AS (SELECT doc_id, text || {_SQL_CONTACT_SUFFIX} AS t0 FROM documents)"
+    carry: list[str] = []
+    for step, (name, pat, repl) in enumerate(PII_PATTERNS):
+        prev, cur = f"t{step}", f"t{step + 1}"
+        carry_cols = ", ".join(carry) + ", " if carry else ""
+        sql += f""",
+    r{step + 1} AS (
+        SELECT doc_id, {carry_cols}
+               CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT) AS n_{name},
+               regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur}
+        FROM r{step}
+    )"""
+        carry.append(f"n_{name}")
+    final = f"t{len(PII_PATTERNS)}"
+    return sql + f"""
+    SELECT doc_id, sha256({final}) AS redacted_fp, {", ".join(carry)}
+    FROM r{len(PII_PATTERNS)}
+    """
+
+
+@query("pii_redaction", _pii_oracle())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents (with a deterministic synthetic contact block
+    appended, since the fixture text is digit-free): e-mails, SSNs, phones,
+    IPv4s replaced in order by typed tokens; counts reflect what was actually
+    replaced; the redacted text is compared by sha256. Narrow per-row
+    projection — no shuffle, codegen-friendly."""
+    i = F.col("doc_id")
+    suffix = F.concat(
+        F.lit(" contact user"), i.cast("string"),
+        F.lit("@mail.example.com ip 10."), (i % 256).cast("string"),
+        F.lit(".0.1 ssn "), (i % 900 + 100).cast("string"),
+        F.lit("-"), (i % 90 + 10).cast("string"),
+        F.lit("-"), (i % 9000 + 1000).cast("string"),
+        F.lit(" tel 415-555-"), (i % 9000 + 1000).cast("string"),
+    )
+    aug = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    red = redact_pii(aug)
+    return red.select(
+        "doc_id",
+        F.sha2(F.col("redacted"), 256).alias("redacted_fp"),
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics: within-doc duplicate n-grams.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repetition_metrics",
+    f"""
+    WITH {_TOKS_CTE},
+    tg AS (
+        SELECT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    per AS (SELECT id, shingle, count(*) AS cnt FROM tg GROUP BY 1, 2),
+    st AS (
+        SELECT id, CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+               CAST(count(*) AS BIGINT) AS n_distinct_ngrams,
+               CAST(max(cnt) AS BIGINT) AS max_repeat
+        FROM per GROUP BY id
+    )
+    SELECT id AS doc_id, n_ngrams, n_distinct_ngrams,
+           round(1 - n_distinct_ngrams / CAST(n_ngrams AS DOUBLE), 6)
+               AS dup_ngram_ratio,
+           round(max_repeat / CAST(n_ngrams AS DOUBLE), 6) AS top_ngram_share
+    FROM st
+    """,
+)
+def repetition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc (≥3 tokens): total vs distinct
+    word trigrams, the duplicate fraction, and the most-repeated trigram's
+    share — the boilerplate/spam gates a quality pipeline thresholds on.
+    Explode + two-level hash aggregate; partials combine map-side."""
+    return repetition_metrics(Catalog(spark, sf_dir).documents, n=3)
