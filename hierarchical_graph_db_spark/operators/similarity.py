@@ -11,12 +11,18 @@ Two paths:
   cross-join shrinks from |Q|×|C| to per-bucket blocks.
 
 Kernel design for the quadratic stages: each side projects its L2 norm once
-(linear pass), so a pair costs exactly one dot product; with a known
-dimension the dot is an *unrolled* arithmetic expression that whole-stage
-codegen compiles — higher-order ``aggregate``/``zip_with`` lambdas are
-interpreted per element and measured ~10× slower here. Float semantics are
-identical to ``cosine_similarity`` (dot/(na·nb)), which the DuckDB oracles
-mirror term for term.
+(linear pass), so a pair costs exactly one dot product. Two kernels:
+
+* top-k paths (small pair counts) use an *unrolled* arithmetic expression
+  that whole-stage codegen compiles — higher-order ``aggregate``/``zip_with``
+  lambdas are interpreted per element and measured ~10× slower;
+* the near-dup pair stages (millions of pairs) rescore through an
+  Arrow-batched numpy kernel (``_score_pairs_arrow``) — another ~7× over
+  the unrolled expression, with engineered bit-parity (left-fold order,
+  Catalyst-side rounding) so the DuckDB oracles still hash-match.
+
+Float semantics are identical to ``cosine_similarity`` (dot/(na·nb)), which
+the DuckDB oracles mirror term for term.
 """
 
 from __future__ import annotations
@@ -169,6 +175,57 @@ def lsh_topk(
     return _topk(scored, k)
 
 
+def _score_pairs_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Arrow-vectorized exact cosine over a pair frame
+    (id_a, vec_a, norm_a, id_b, vec_b, norm_b) → (id_a, id_b, score ≥ threshold).
+
+    The quadratic pair stage is the one place embedding math earns a Python
+    boundary: a numpy kernel over Arrow batches does the 64-wide multiply-add
+    ~7× faster than the unrolled codegen expression (measured at sf0.1), and
+    it's batched — never row-at-a-time. Float parity with the Catalyst/DuckDB
+    form is engineered, not hoped for:
+
+    * the dot product accumulates LEFT-FOLD over dimensions (a vectorized
+      column loop, sequential across dims) — bit-identical to the unrolled
+      ``t0 + t1 + ...`` chain and to the oracle's ``list_sum`` order;
+    * inputs are cast float32→float64 per element exactly like
+      ``CAST(x AS DOUBLE)``; denominators multiply/divide in IEEE double;
+    * ROUNDING STAYS IN CATALYST: the kernel emits unrounded scores filtered
+      at a conservative ``threshold - 1e-5`` (HALF_UP rounding can lift a
+      score by at most 5e-6), and the exact ``F.round(_, 5) >= threshold``
+      decision happens Spark-side — numpy's round-half-even never touches
+      the result.
+    """
+    import numpy as np
+    import pandas as pd
+
+    guard = threshold - 1e-5
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+                continue
+            a = np.stack(pdf["vec_a"].values).astype(np.float64)
+            b = np.stack(pdf["vec_b"].values).astype(np.float64)
+            acc = a[:, 0] * b[:, 0]
+            for d in range(1, a.shape[1]):
+                acc = acc + a[:, d] * b[:, d]  # left-fold: parity with t0+t1+…
+            denom = pdf["norm_a"].values * pdf["norm_b"].values
+            s = np.where(denom == 0, 0.0, acc / np.where(denom == 0, 1.0, denom))
+            keep = s >= guard
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"].values[keep],
+                "id_b": pdf["id_b"].values[keep],
+                "score": s[keep],
+            })
+
+    scored = pairs.mapInPandas(score, "id_a long, id_b long, score double")
+    return scored.select(
+        "id_a", "id_b", F.round("score", 5).alias("score")
+    ).where(F.col("score") >= threshold)
+
+
 def near_duplicate_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -191,35 +248,29 @@ def near_duplicate_pairs(
 
     ``exact=True`` is the all-pairs O(n²) brute force — the correctness
     oracle, for small corpora / differential tests only.
+
+    Both paths rescore through the Arrow numpy kernel
+    (:func:`_score_pairs_arrow`), whose float semantics are bit-identical to
+    the unrolled Catalyst expression (see its docstring).
     """
     if exact:
+        spark = vectors.sparkSession
         a = vectors.select(
             F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("vec_a"),
             l2_norm(F.col(vec_col)).alias("norm_a"),
         )
+        # The stream side drives pair-stage parallelism; a single-file local
+        # fixture arrives as ONE partition, which would serialize the whole
+        # O(n²) scan into one task. Linear-cost reshuffle, quadratic win.
+        a = a.repartition(spark.sparkContext.defaultParallelism)
         b = vectors.select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vec_b"),
             l2_norm(F.col(vec_col)).alias("norm_b"),
         )
-        return (
-            a.crossJoin(b)
-            .where(F.col("id_a") < F.col("id_b"))
-            .select(
-                "id_a",
-                "id_b",
-                F.round(
-                    cosine_from_parts(
-                        _dot(F.col("vec_a"), F.col("vec_b"), dim),
-                        F.col("norm_a"),
-                        F.col("norm_b"),
-                    ),
-                    5,
-                ).alias("score"),
-            )
-            .where(F.col("score") >= threshold)
-        )
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        return _score_pairs_arrow(pairs, threshold)
 
     if dim is None:
         raise ValueError("bucketed near_duplicate_pairs requires dim "
@@ -261,24 +312,12 @@ def near_duplicate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return (
+    pairs = (
         cand.join(v.select(F.col("id").alias("id_a"),
                            F.col("vec").alias("vec_a"),
                            F.col("norm").alias("norm_a")), on="id_a")
         .join(v.select(F.col("id").alias("id_b"),
                        F.col("vec").alias("vec_b"),
                        F.col("norm").alias("norm_b")), on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                cosine_from_parts(
-                    dot_static(F.col("vec_a"), F.col("vec_b"), dim),
-                    F.col("norm_a"),
-                    F.col("norm_b"),
-                ),
-                5,
-            ).alias("score"),
-        )
-        .where(F.col("score") >= threshold)
     )
+    return _score_pairs_arrow(pairs, threshold)
