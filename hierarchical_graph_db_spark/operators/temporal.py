@@ -1,0 +1,159 @@
+"""Temporal analytics operators: gap-fill resampling, funnels, snapshot diff.
+
+Time-series post-processing the reference's declared analytics layer never
+reached (README.md:86-88); standard warehouse/timeseries-DB surface
+(TimescaleDB ``time_bucket_gapfill`` + ``locf``, funnel queries, CDC diffs),
+re-expressed as Catalyst plans:
+
+* ``resample_gapfill`` — regularize a sparse series onto a fixed grid per
+  key (``sequence`` + explode), left-join observations, forward-fill with
+  ``last(ignorenulls)`` — the LOCF (last-observation-carried-forward) shape.
+* ``funnel`` — ordered-step conversion (step N counts only at/after the
+  user's step N-1 time): chained conditional min-aggregates, one shuffle per
+  step, all on the same join key.
+* ``snapshot_diff`` — CDC between two snapshots of the same table: full
+  outer join on the key, null-safe column compare → added/removed/changed.
+
+Scale notes: every stage is keyed by the entity column — aggregates combine
+map-side and all joins are equi-joins on that key, so the shapes survive a
+1000-executor shuffle. Gap-fill's grid explode generates ≤ (span/step) rows
+per key — bounded by wall-clock span, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_gapfill(events: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     step: str = "1 hour") -> DataFrame:
+    """LOCF resampling: per key, a dense ``step`` grid from its first to last
+    bucket; missing buckets carry the last observed reading forward.
+
+    The per-bucket observation is the LAST reading by event time (requires
+    (key, ts) unique — true of any event stream with a tiebroken timestamp;
+    the fixture guarantees it). Returns (key, bucket, reading, gap_filled).
+    """
+    # grid alignment needs a whole-unit step ("1 hour", "1 day", ...): the
+    # bucket is the date_trunc at that unit, the grid advances by the step.
+    unit = step.split()[1].rstrip("s")
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = (
+        events.groupBy(F.col(key_col), bucket.alias("bucket"))
+        .agg(F.max_by(value_col, F.col(ts_col)).alias("obs_reading"))
+    )
+    grid = (
+        obs.groupBy(key_col)
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval {step}"))
+            ).alias("bucket"),
+        )
+    )
+    joined = grid.join(obs, on=[key_col, "bucket"], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("bucket"),
+        F.round(F.last("obs_reading", ignorenulls=True).over(w), 2)
+        .alias("reading"),
+        F.col("obs_reading").isNull().alias("gap_filled"),
+    )
+
+
+def funnel(events: DataFrame, steps: list[str],
+           key_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered-step funnel: step i's timestamp is the user's first ``steps[i]``
+    event at/after their step i-1 timestamp (classic strictly-ordered
+    conversion semantics — a click before the first view doesn't convert).
+
+    Output: one row per key that completed step 1, with ``<step>_ts`` per
+    step (null once the funnel breaks) and ``steps_completed``. Each step is
+    one filtered conditional min-aggregate plus an equi-join on the key —
+    |steps| shuffles, all on the same key, no windows over the raw stream.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(ts_col).alias(f"{steps[0]}_ts"))
+    )
+    prev_ts = f"{steps[0]}_ts"
+    for step in steps[1:]:
+        nxt = (
+            events.where(F.col(type_col) == step)
+            .join(cur.select(key_col, prev_ts), on=key_col)
+            .where(F.col(ts_col) >= F.col(prev_ts))
+            .groupBy(key_col)
+            .agg(F.min(ts_col).alias(f"{step}_ts"))
+        )
+        cur = cur.join(nxt, on=key_col, how="left")
+        prev_ts = f"{step}_ts"
+    completed = F.lit(1)
+    for step in steps[1:]:
+        completed = completed + F.when(
+            F.col(f"{step}_ts").isNotNull(), 1
+        ).otherwise(0)
+    return cur.select(
+        key_col,
+        *[f"{s}_ts" for s in steps],
+        completed.cast("long").alias("steps_completed"),
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """CDC diff of two snapshots: rows added / removed / changed (unchanged
+    rows are dropped — at scale that's ~all of them, so the output is the
+    delta, not the table).
+
+    Full outer equi-join on the key; change detection is a null-safe
+    column-wise compare (NULL→value and value→NULL count as changes).
+    Output: key cols, change_type, then old_<c>/new_<c> per compare col.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),  # presence marker: key cols may be NULL
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = [F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}")) for k in key_cols]
+    j = o.join(n, on=cond, how="full_outer")
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type") != "unchanged")
+        .select(
+            *[
+                F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change_type",
+            *[F.col(f"old_{c}") for c in compare_cols],
+            *[F.col(f"new_{c}") for c in compare_cols],
+        )
+    )

@@ -1,8 +1,9 @@
-"""Time-series join queries over ``events``: as-of and range joins.
+"""Time-series queries over ``events``: as-of/range joins, gap-fill
+resampling, funnels, snapshot CDC.
 
-DuckDB oracles use its native ASOF JOIN / interval predicates, so these are
-true cross-engine differential tests of the operators in
-``operators/asof.py``.
+DuckDB oracles use its native ASOF JOIN / interval predicates / IGNORE NULLS
+windows, so these are true cross-engine differential tests of the operators
+in ``operators/asof.py`` and ``operators/temporal.py``.
 """
 
 from __future__ import annotations
@@ -12,6 +13,11 @@ from pyspark.sql import functions as F
 
 from hierarchical_graph_db_spark.io import Catalog
 from hierarchical_graph_db_spark.operators.asof import asof_join, range_join
+from hierarchical_graph_db_spark.operators.temporal import (
+    funnel,
+    resample_gapfill,
+    snapshot_diff,
+)
 from hierarchical_graph_db_spark.queries import query
 
 
@@ -79,3 +85,116 @@ def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFr
     return pairs.groupBy("event_id").agg(
         F.count("event_id_r").cast("long").alias("n_views_10m")
     )
+
+
+@query(
+    "resample_gapfill_hourly",
+    """
+    WITH obs AS (
+        SELECT user_id, date_trunc('hour', ts) AS bucket,
+               arg_max(value, ts) AS obs_reading
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(min(bucket), max(bucket),
+                                      INTERVAL 1 HOUR)) AS bucket
+        FROM obs GROUP BY user_id
+    )
+    SELECT g.user_id, g.bucket,
+           round(last_value(o.obs_reading IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS reading,
+           o.obs_reading IS NULL AS gap_filled
+    FROM grid g LEFT JOIN obs o
+      ON o.user_id = g.user_id AND o.bucket = g.bucket
+    """,
+)
+def resample_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF gap-fill (TimescaleDB ``time_bucket_gapfill``+``locf`` shape):
+    per user, a dense hourly grid from first to last activity; missing hours
+    carry the last observed reading forward. Grid rows per key are bounded by
+    wall-clock span, not corpus size."""
+    return resample_gapfill(Catalog(spark, sf_dir).events)
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS view_ts
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS click_ts
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.view_ts
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS purchase_ts
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.click_ts
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CAST(1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS steps_completed
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view→click→purchase: step i counts
+    only at/after the user's step i-1 time. Chained conditional
+    min-aggregates, every shuffle on user_id."""
+    return funnel(Catalog(spark, sf_dir).events,
+                  steps=["view", "click", "purchase"])
+
+
+#: Snapshot-CDC scenario constants (baked into both engines): snapshot A
+#: drops event_id ≡ 0 (mod 10), snapshot B drops ≡ 0 (mod 13) and doubles
+#: value where ≡ 0 (mod 7) — yielding adds, removes, AND changes.
+_CDC_OLD = "SELECT event_id, event_type, value FROM events WHERE event_id % 10 <> 0"
+_CDC_NEW = (
+    "SELECT event_id, event_type, "
+    "CASE WHEN event_id % 7 = 0 THEN round(value * 2, 2) ELSE value END AS value "
+    "FROM events WHERE event_id % 13 <> 0"
+)
+
+
+@query(
+    "snapshot_cdc_diff",
+    f"""
+    WITH o AS ({_CDC_OLD}), n AS ({_CDC_NEW})
+    SELECT coalesce(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.value IS DISTINCT FROM n.value
+                  OR o.event_type IS DISTINCT FROM n.event_type THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           o.event_type AS old_event_type, o.value AS old_value,
+           n.event_type AS new_event_type, n.value AS new_value
+    FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+    WHERE NOT (o.event_id IS NOT NULL AND n.event_id IS NOT NULL
+               AND o.value IS NOT DISTINCT FROM n.value
+               AND o.event_type IS NOT DISTINCT FROM n.event_type)
+    """,
+)
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two event-table snapshots (synthesized deterministically
+    from the fixture): full outer equi-join on the key, null-safe compare →
+    added/removed/changed delta rows only."""
+    ev = Catalog(spark, sf_dir).events
+    old = ev.where(F.col("event_id") % 10 != 0).select(
+        "event_id", "event_type", "value"
+    )
+    new = ev.where(F.col("event_id") % 13 != 0).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.round(F.col("value") * 2, 2))
+        .otherwise(F.col("value")).alias("value"),
+    )
+    return snapshot_diff(old, new, key_cols=["event_id"],
+                         compare_cols=["event_type", "value"])

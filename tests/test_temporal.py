@@ -1,0 +1,101 @@
+"""Unit tests for temporal operators (operators/temporal.py): LOCF gap-fill,
+ordered funnels, snapshot CDC diff. Crafted micro-fixtures pin the semantics;
+oracle parity is covered by the registry queries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from hierarchical_graph_db_spark.operators.temporal import (
+    funnel,
+    resample_gapfill,
+    snapshot_diff,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill
+# ---------------------------------------------------------------------------
+
+
+def test_resample_gapfill_locf(spark):
+    ev = spark.createDataFrame([
+        Row(user_id=1, ts=_ts(1, 10), value=10.0),
+        Row(user_id=1, ts=_ts(1, 50), value=11.0),   # later obs wins hour 1
+        Row(user_id=1, ts=_ts(4, 0), value=40.0),    # hours 2,3 are gaps
+        Row(user_id=2, ts=_ts(7, 0), value=70.0),    # single point, no grid
+    ])
+    got = {(r["user_id"], r["bucket"].hour): r
+           for r in resample_gapfill(ev).collect()}
+    assert set(got) == {(1, 1), (1, 2), (1, 3), (1, 4), (2, 7)}
+    assert got[(1, 1)]["reading"] == 11.0 and not got[(1, 1)]["gap_filled"]
+    assert got[(1, 2)]["reading"] == 11.0 and got[(1, 2)]["gap_filled"]
+    assert got[(1, 3)]["reading"] == 11.0 and got[(1, 3)]["gap_filled"]
+    assert got[(1, 4)]["reading"] == 40.0 and not got[(1, 4)]["gap_filled"]
+    assert got[(2, 7)]["reading"] == 70.0 and not got[(2, 7)]["gap_filled"]
+
+
+# ---------------------------------------------------------------------------
+# Funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_strict_ordering(spark):
+    ev = spark.createDataFrame([
+        # u1 converts fully in order
+        Row(user_id=1, event_type="view", ts=_ts(1)),
+        Row(user_id=1, event_type="click", ts=_ts(2)),
+        Row(user_id=1, event_type="purchase", ts=_ts(3)),
+        # u2: click BEFORE the first view → funnel stops at view
+        Row(user_id=2, event_type="click", ts=_ts(1)),
+        Row(user_id=2, event_type="view", ts=_ts(2)),
+        # u3: purchase before click → steps_completed = 2
+        Row(user_id=3, event_type="view", ts=_ts(1)),
+        Row(user_id=3, event_type="purchase", ts=_ts(2)),
+        Row(user_id=3, event_type="click", ts=_ts(3)),
+        # u4 never viewed → absent from output
+        Row(user_id=4, event_type="purchase", ts=_ts(1)),
+    ])
+    got = {r["user_id"]: r for r in
+           funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["steps_completed"] == 3 and got[1]["purchase_ts"] == _ts(3)
+    assert got[2]["steps_completed"] == 1 and got[2]["click_ts"] is None
+    assert got[3]["steps_completed"] == 2 and got[3]["purchase_ts"] is None
+
+
+def test_funnel_same_timestamp_counts(spark):
+    ev = spark.createDataFrame([
+        Row(user_id=1, event_type="view", ts=_ts(1)),
+        Row(user_id=1, event_type="click", ts=_ts(1)),  # at-or-after: counts
+    ])
+    [r] = funnel(ev, ["view", "click"]).collect()
+    assert r["steps_completed"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_change_types(spark):
+    old = spark.createDataFrame([
+        Row(k=1, v=1.0), Row(k=2, v=2.0), Row(k=3, v=3.0), Row(k=4, v=None),
+    ])
+    new = spark.createDataFrame(
+        [Row(k=2, v=2.0), Row(k=3, v=33.0), Row(k=4, v=4.0), Row(k=5, v=5.0)],
+        schema=old.schema,
+    )
+    got = {r["k"]: r for r in
+           snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert set(got) == {1, 3, 4, 5}  # k=2 unchanged → dropped
+    assert got[1]["change_type"] == "removed" and got[1]["new_v"] is None
+    assert got[3]["change_type"] == "changed" and got[3]["new_v"] == 33.0
+    assert got[4]["change_type"] == "changed"  # NULL → value is a change
+    assert got[5]["change_type"] == "added" and got[5]["old_v"] is None
