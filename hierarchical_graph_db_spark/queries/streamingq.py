@@ -81,3 +81,62 @@ def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("user_id", "session_start", "session_end",
                       "n_events", "total_value")
+
+
+@query(
+    "streaming_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` over the event stream keyed on
+    (user_id, event_type): exactly one survivor per key. Which physical row
+    survives is arrival-dependent, so the query emits the key set — which IS
+    deterministic and equals the batch DISTINCT (the ST2 exactly-once-effects
+    contract, now with bounded keyed state instead of a forever-index)."""
+    from hierarchical_graph_db_spark.streaming.streams import dedup_within_watermark
+
+    out = drain_to_dataframe(
+        dedup_within_watermark(
+            fixture_event_stream(spark, sf_dir), ["user_id", "event_type"]
+        ),
+        output_mode="append",
+    )
+    return out.select("user_id", "event_type")
+
+
+@query(
+    "streaming_interval_join",
+    """
+    SELECT p.user_id, p.ts, round(p.value, 2) AS purchase_value,
+           c.ts AS ts_r, round(c.value, 2) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time band: every (purchase,
+    click-within-10-min-before) pair, both sides watermarked so join state
+    is bounded by watermark + band. Drained under AvailableNow the result is
+    the exact batch interval join — hash-checked."""
+    from hierarchical_graph_db_spark.streaming.streams import interval_join
+
+    ev = fixture_event_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = drain_to_dataframe(
+        interval_join(purchases, clicks, on="user_id",
+                      left_cols=["value"], right_cols=["value"]),
+        output_mode="append",
+    )
+    return out.select(
+        "user_id", "ts",
+        F.round("value", 2).alias("purchase_value"),
+        "ts_r",
+        F.round("value_r", 2).alias("click_value"),
+    )

@@ -254,3 +254,89 @@ def test_dedup_sink_rewrites_only_touched_buckets(spark, tmp_path):
         if cur != snap:
             touched += 1
     assert touched == 1  # exactly the bucket containing k0
+
+
+def test_dedup_within_watermark_across_batches(spark, tmp_path):
+    """Cross-batch streaming dedup: a key's duplicate arriving in a LATER
+    micro-batch while its state is inside the watermark horizon emits
+    nothing new; distinct keys each emit exactly once."""
+    import os
+
+    from hierarchical_graph_db_spark.streaming.streams import dedup_within_watermark
+
+    mk = lambda i, h, u, t: Row(
+        event_id=i, ts=dt.datetime(2024, 1, 1, h), user_id=u,
+        event_type=t, value=1.0, props="{}")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [
+        [mk(1, 9, 1, "click"), mk(2, 9, 2, "view")],
+        [mk(3, 10, 1, "click"),   # duplicate key (1, click) → suppressed
+         mk(4, 10, 3, "click")],  # new key → emitted
+    ]
+    now = 1_700_000_000
+    for i, rows in enumerate(batches):
+        d = str(landing / f"b{i}")
+        spark.createDataFrame(rows, FIXTURES["events"]).coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + i * 100, now + i * 100))
+
+    stream = (
+        spark.readStream.schema(FIXTURES["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing) + "/*")
+    )
+    out = dedup_within_watermark(stream, ["user_id", "event_type"],
+                                 watermark="4 hours")
+    q = (
+        out.writeStream.format("memory").queryName("ddw_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_ddw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r["user_id"], r["event_type"])
+                 for r in spark.table("ddw_t").collect())
+    assert got == [(1, "click"), (2, "view"), (3, "click")]
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream band join equals the batch interval join on the same
+    bounded input."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_graph_db_spark.streaming.streams import interval_join
+
+    mk = lambda i, m, u, t: Row(
+        event_id=i, ts=dt.datetime(2024, 1, 1, 9, m), user_id=u,
+        event_type=t, value=float(i), props="{}")
+    rows = [
+        mk(1, 0, 1, "click"), mk(2, 5, 1, "purchase"),   # click 5m before ✓
+        mk(3, 30, 1, "purchase"),                        # click 30m before ✗
+        mk(4, 10, 2, "purchase"),                        # other user, no click
+        mk(5, 12, 1, "click"),                           # click AFTER p2 ✗
+    ]
+    landing = str(tmp_path / "landing_ij")
+    spark.createDataFrame(rows, FIXTURES["events"]).coalesce(1) \
+        .write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(FIXTURES["events"]).parquet(landing)
+    purchases = stream.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    clicks = stream.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "value")
+    out = interval_join(purchases, clicks, on="user_id",
+                        left_cols=["value"], right_cols=["value"])
+    q = (
+        out.writeStream.format("memory").queryName("ij_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [(int(r["value"]), int(r["value_r"]))
+           for r in spark.table("ij_t").collect()]
+    assert got == [(2, 1)]  # only purchase#2 pairs with click#1
