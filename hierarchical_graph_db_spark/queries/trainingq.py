@@ -310,6 +310,111 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Exact-k per-stratum sampling: hash-rank reservoir.
+# ---------------------------------------------------------------------------
+
+SAMPLE_K_PER_STRATUM = 40
+
+
+@query(
+    "sample_topk_per_stratum",
+    f"""
+    WITH h AS (
+        SELECT doc_id, lang,
+               sha256('{SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, CAST({_sql_u16("hx")} AS BIGINT) AS u16,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY {_sql_u16("hx")}, doc_id) AS rk
+        FROM h
+    )
+    SELECT doc_id, lang, u16, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {SAMPLE_K_PER_STRATUM}
+    """,
+)
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k reservoir per stratum, deterministically: rank docs inside
+    each language by their salted hash (ties by id) and keep the first k —
+    a reproducible 'exactly N per group' sample (rate-based sampling can't
+    promise exact counts). One window per stratum; at scale this is the
+    distributed reservoir: partial top-k per partition, merge of k-lists."""
+    from pyspark.sql import Window
+
+    from hierarchical_graph_db_spark.operators.training import uniform16
+
+    docs = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy("u16", "doc_id")
+    return (
+        docs.select("doc_id", "lang",
+                    uniform16(F.col("doc_id"), SAMPLE_SALT).alias("u16"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= SAMPLE_K_PER_STRATUM)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: token frequency census + cumulative coverage.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "vocab_coverage",
+    f"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex({_NORM}, '\\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    freq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM tok GROUP BY token
+    )
+    SELECT token, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                AS BIGINT) AS rk,
+           round(CAST(sum(n_occurrences) OVER (
+                     ORDER BY n_occurrences DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)
+                 / CAST(sum(n_occurrences) OVER () AS DOUBLE), 6)
+               AS cum_coverage
+    FROM freq
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab planning table: corpus token census ranked by
+    frequency with cumulative coverage share (read off 'how many vocab
+    entries cover 95% of tokens'). The corpus-wide explode+count combines
+    map-side; the ranking window runs over the VOCAB (distinct tokens) —
+    orders of magnitude smaller than the corpus, the standard reduction."""
+    from pyspark.sql import Window
+
+    from hierarchical_graph_db_spark.functions.hashing import normalized_text
+    from hierarchical_graph_db_spark.functions.text import tokens
+
+    docs = Catalog(spark, sf_dir).documents.where(F.length(F.trim("text")) > 0)
+    freq = (
+        docs.select(F.explode(tokens(normalized_text(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    order = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    cum = order.rowsBetween(Window.unboundedPreceding, 0)
+    total = Window.partitionBy()
+    return freq.select(
+        "token",
+        "n_occurrences",
+        F.row_number().over(order).cast("long").alias("rk"),
+        F.round(
+            F.sum("n_occurrences").over(cum).cast("double")
+            / F.sum("n_occurrences").over(total).cast("double"),
+            6,
+        ).alias("cum_coverage"),
+    )
+
+
 @query(
     "repetition_metrics",
     f"""
