@@ -389,3 +389,46 @@ def sequential_interaction_edges(events: DataFrame) -> DataFrame:
         )
         .where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
     )
+
+
+def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
+    """Common-neighbors / Adamic-Adar link prediction for NON-adjacent pairs.
+
+    Undirected neighbor lists from the (possibly directed) edge set; a
+    candidate pair is two vertices sharing ≥ ``min_common`` neighbors that
+    are not themselves connected. Adamic-Adar down-weights hub witnesses by
+    1/ln(degree). Shape: one self-equi-join on the shared-neighbor column
+    (the same inverted-index discipline as the shingle joins — quadratic
+    work is per-witness, bounded by max degree, never all-pairs), then an
+    anti-join against the edge set.
+
+    North-star graph addition — the reference's graph layer is declared but
+    empty (README.md:86-88).
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nbr_count = sym.groupBy(F.col("src").alias("w")) \
+        .agg(F.count(F.lit(1)).alias("w_degree"))
+    # witness w links a and b: (a,w) and (b,w) both undirected edges
+    a = sym.select(F.col("dst").alias("w"), F.col("src").alias("a"))
+    b = sym.select(F.col("dst").alias("w"), F.col("src").alias("b"))
+    pairs = (
+        a.join(b, on="w")
+        .where(F.col("a") < F.col("b"))
+        .join(nbr_count, on="w")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log("w_degree")), 6).alias("adamic_adar"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    return pairs.join(
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        on=["a", "b"],
+        how="left_anti",
+    )

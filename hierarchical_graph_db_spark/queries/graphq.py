@@ -297,3 +297,45 @@ def graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst", (F.lit(1.0) / F.col("weight")).alias("cost"))
     out = weighted_distances(weighted, landmark="1", n_rounds=6)
     return out.select("id", F.round("distance", 6).alias("distance"))
+
+
+@query(
+    "graph_link_prediction",
+    f"""
+    WITH raw AS ({_SQL_EDGES}),
+    sym AS (
+        SELECT src, dst FROM raw
+        UNION
+        SELECT dst AS src, src AS dst FROM raw
+    ),
+    deg AS (SELECT src AS w, count(*) AS w_degree FROM sym GROUP BY 1),
+    pairs AS (
+        SELECT a.src AS a, b.src AS b,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               round(sum(1.0 / ln(d.w_degree)), 6) AS adamic_adar
+        FROM sym a
+        JOIN sym b ON a.dst = b.dst AND a.src < b.src
+        JOIN deg d ON d.w = a.dst
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT p.a, p.b, p.common_neighbors, p.adamic_adar
+    FROM pairs p
+    LEFT JOIN sym e ON e.src = p.a AND e.dst = p.b
+    WHERE e.src IS NULL
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the interaction graph: non-adjacent user pairs
+    ranked by common neighbors and Adamic-Adar (hub witnesses down-weighted
+    by 1/ln degree). Witness-indexed self-join — per-witness quadratic work
+    bounded by max degree, never all-pairs — then an anti-join removes
+    existing edges."""
+    from hierarchical_graph_db_spark.operators.graph import link_prediction
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return link_prediction(edges, min_common=2)

@@ -106,6 +106,41 @@ def window_range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "window_lag_lead_ntile",
+    """
+    SELECT event_id,
+           round(value - lag(value) OVER w_ts, 2)  AS delta_prev,
+           round(lead(value) OVER w_ts - value, 2) AS delta_next,
+           CAST(ntile(4) OVER w_ts AS BIGINT)      AS session_quartile,
+           round(percent_rank() OVER (PARTITION BY user_id
+                                      ORDER BY value, event_id), 6)
+               AS value_pct_rank
+    FROM events
+    WINDOW w_ts AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/distribution window functions in one pass per ordering:
+    lag/lead deltas and ntile over the time order, percent_rank over the
+    value order — the remaining window-function families (§2 full relational
+    surface) beyond frames/top-k/running totals."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w_ts), 2)
+        .alias("delta_prev"),
+        F.round(F.lead("value").over(w_ts) - F.col("value"), 2)
+        .alias("delta_next"),
+        F.ntile(4).over(w_ts).cast("long").alias("session_quartile"),
+        F.round(F.percent_rank().over(w_val), 6).alias("value_pct_rank"),
+    )
+
+
+@query(
     "sliding_window_rollup",
     """
     WITH expanded AS (
