@@ -35,6 +35,17 @@ def main(argv: list[str] | None = None) -> int:
     p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_q.add_argument("--limit", type=int, default=20)
 
+    p_x = sub.add_parser("explain", help="print a registry query's physical plan")
+    p_x.add_argument("name")
+    p_x.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    p_c = sub.add_parser("curate",
+                         help="materialize the corpus-curation pipeline")
+    p_c.add_argument("sf_dir")
+    p_c.add_argument("out")
+    p_c.add_argument("--ctx", type=int, default=256,
+                     help="pack context length in estimated tokens")
+
     sub.add_parser("list-queries", help="list registry queries")
 
     args = p.parse_args(argv)
@@ -99,14 +110,26 @@ def main(argv: list[str] | None = None) -> int:
                 cleanup_staging(staged)
         return 0
 
-    if args.cmd == "query":
+    if args.cmd in ("query", "explain"):
         from hierarchical_graph_db_spark.queries import load
 
         registry = load()
         if args.name not in registry:
             print(f"unknown query {args.name!r}; see list-queries", file=sys.stderr)
             return 2
-        registry[args.name].run(spark, args.sf_dir).show(args.limit, truncate=False)
+        df = registry[args.name].run(spark, args.sf_dir)
+        if args.cmd == "explain":
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "curate":
+        from hierarchical_graph_db_spark.pipelines import curate_corpus
+
+        stats = curate_corpus(spark, args.sf_dir, args.out,
+                              ctx_tokens=args.ctx)
+        print(" ".join(f"{k}={v}" for k, v in stats.items()))
         return 0
 
     return 1

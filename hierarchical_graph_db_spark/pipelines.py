@@ -1,0 +1,103 @@
+"""Materialized pipelines: compose the operator families into durable outputs.
+
+``curate_corpus`` is the end-to-end training-data pipeline the registry
+queries prove piecewise (`corpus_curation_summary` proves the decisions
+compose in one plan; this materializes the survivors): quality filter →
+exact dedup → benchmark decontamination → deterministic stratified sample →
+sequence packing, written as parquet. Every stage is a semi-/anti-join on
+doc_id against a decision frame, so the composition stays one lazy plan —
+nothing materializes until the final writes, and Catalyst collapses shared
+scans.
+
+Scale: each decision stage is the already-audited operator (see PLANS.md /
+SCALING.md); the composition adds only doc_id semi-joins — all equi-joins
+on the primary key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.functions.hashing import fingerprint
+from hierarchical_graph_db_spark.functions.text import quality_metrics
+from hierarchical_graph_db_spark.io import Catalog, write_parquet
+from hierarchical_graph_db_spark.operators.training import (
+    decontaminate,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def quality_keep_mask(docs: DataFrame) -> DataFrame:
+    """(doc_id, keep) under the C4-style rules of `quality_filter_decisions`
+    (same thresholds: ≥8 tokens, alpha ≥0.6, stopword ratio ≥0.01)."""
+    m = quality_metrics(F.col("text"))
+    blank = F.length(F.trim("text")) == 0
+    keep = (~blank & (m["n_tokens"] >= 8) & (m["n_tokens"] <= 100000)
+            & (m["alpha_ratio"] >= 0.6) & (m["stopword_ratio"] >= 0.01))
+    return docs.select("doc_id", keep.alias("keep"))
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    sample_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    bench_mod: int = 29,
+    ctx_tokens: int = 256,
+) -> dict[str, int]:
+    """Run the full curation pipeline and write ``curated/`` + ``packs/``.
+
+    Stages (each drops rows, none reorders): quality filter → exact-dup
+    keepers (first-writer-wins on the normalized-text fingerprint) →
+    decontamination against the doc_id ≡ 0 (mod ``bench_mod``) benchmark
+    slice (benchmark docs themselves are excluded from the corpus, as a real
+    pipeline holds out its eval set) → deterministic salted-hash sampling →
+    pack assignment. Returns the per-stage survivor counts.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    n_total = docs.count()
+
+    quality = quality_keep_mask(docs).where("keep").select("doc_id")
+    step1 = docs.join(quality, on="doc_id", how="left_semi")
+
+    keepers = (
+        step1.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    step2 = step1.join(keepers, on="doc_id", how="left_semi")
+
+    bench = docs.where(F.col("doc_id") % bench_mod == 0)
+    train = step2.where(F.col("doc_id") % bench_mod != 0)
+    clean_ids = (
+        decontaminate(train, bench)
+        .where(~F.col("contaminated")).select("doc_id")
+    )
+    step3 = train.join(clean_ids, on="doc_id", how="left_semi")
+
+    sampled_ids = (
+        stratified_sample(step3, rates=sample_rates or {},
+                          default_rate=default_rate)
+        .where("keep").select("doc_id")
+    )
+    curated = step3.join(sampled_ids, on="doc_id", how="left_semi")
+    # The decision joins above feed both outputs; pin the survivor set once
+    # so packing and the curated write don't recompute the whole cascade.
+    curated = curated.localCheckpoint(eager=True)
+
+    write_parquet(curated, f"{out_dir}/curated", partition_by=["lang"])
+    packs = pack_sequences(curated, ctx_tokens=ctx_tokens)
+    write_parquet(packs, f"{out_dir}/packs")
+
+    n_curated = curated.count()
+    return {
+        "total": n_total,
+        "after_quality": step1.count(),
+        "after_exact_dedup": step2.count(),
+        "after_decontaminate": step3.count() ,
+        "curated": n_curated,
+        "packed": packs.count(),
+    }
