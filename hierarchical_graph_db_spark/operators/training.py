@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hierarchical_graph_db_spark.functions.text import llm_token_estimate
+from hierarchical_graph_db_spark.functions.text import llm_token_estimate, tokens
 from hierarchical_graph_db_spark.operators.dedup_fuzzy import shingles
 
 #: PII patterns applied IN ORDER to progressively-redacted text; each is
@@ -210,6 +210,45 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
         )
         cur = F.regexp_replace(cur, pat, repl)
     return docs.select(F.col(id_col), cur.alias("redacted"), *counts)
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 16, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunking (the RAG/embedding-prep shape).
+
+    Whitespace tokens, windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap``; the final partial window is kept (standard
+    chunker behavior — trailing text must land somewhere). Output:
+    (id, chunk_id, n_chunk_tokens, chunk_text). Pure array expressions —
+    one narrow projection + explode, no shuffle at all; chunk ids are
+    per-document, so downstream embedding is embarrassingly parallel.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = docs.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).where(F.size("toks") > 0)
+    # last start must bring ≥1 NEW token (beyond the previous chunk's
+    # overlap), else the tail chunk would be fully contained in its
+    # predecessor: starts run to size - overlap - 1.
+    last_start = F.greatest(F.size("toks") - overlap - 1, F.lit(0))
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.slice(F.col("toks"), s + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
+    exploded = toked.select("id", F.explode(chunks).alias("c"))
+    return exploded.select(
+        F.col("id").alias(id_col),
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.size("c.ctoks").cast("long").alias("n_chunk_tokens"),
+        F.array_join("c.ctoks", " ").alias("chunk_text"),
+    )
 
 
 def repetition_metrics(docs: DataFrame, n: int = 3, id_col: str = "doc_id",

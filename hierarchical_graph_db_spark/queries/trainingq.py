@@ -311,6 +311,104 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows (RAG/embedding prep).
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@query(
+    "chunk_documents_overlap",
+    f"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   greatest(len(toks) - {CHUNK_OVERLAP} - 1, 0),
+                   {_CHUNK_STRIDE})) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(toks[start + 1 : start + {CHUNK_TOKENS}]) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' ')
+               AS chunk_text
+    FROM s
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, 8-token overlap)
+    — the RAG / embedding-prep shape. Pure array expressions, explode, zero
+    shuffles; the tail rule (a chunk must contribute ≥1 new token) is pinned
+    in pytest and replayed by the oracle's generate_series bound."""
+    from hierarchical_graph_db_spark.operators.training import chunk_documents
+
+    return chunk_documents(Catalog(spark, sf_dir).documents,
+                           chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP)
+
+
+# ---------------------------------------------------------------------------
+# Packing efficiency rollup (consumes the pack assignment).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "packing_efficiency",
+    f"""
+    WITH est AS (
+        SELECT doc_id, source, {_SQL_EST} AS est_tokens FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, est_tokens,
+               coalesce(sum(est_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+        FROM est WHERE est_tokens > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(est_tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(est_tokens) / {PACK_CTX_TOKENS}.0) AS BIGINT) AS n_packs,
+           round(sum(est_tokens)
+                 / (ceil(sum(est_tokens) / {PACK_CTX_TOKENS}.0)
+                    * {PACK_CTX_TOKENS}.0), 6) AS fill_ratio,
+           round(avg(CASE WHEN floor((cum_before + est_tokens - 1)
+                                     / {PACK_CTX_TOKENS}.0)
+                               > floor(cum_before / {PACK_CTX_TOKENS}.0)
+                          THEN 1.0 ELSE 0.0 END), 6) AS boundary_span_rate
+    FROM c GROUP BY source
+    """,
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report per domain: packs needed (concat-and-chunk
+    fills every window except the last), fill ratio of the allocated windows,
+    and the fraction of docs spanning a pack boundary (the fragmentation
+    stat attention-masking cares about)."""
+    from hierarchical_graph_db_spark.operators.training import pack_sequences
+
+    packs = pack_sequences(Catalog(spark, sf_dir).documents,
+                           ctx_tokens=PACK_CTX_TOKENS)
+    ctx = float(PACK_CTX_TOKENS)
+    total = F.sum("est_tokens")
+    n_packs = F.ceil(total / ctx)
+    return packs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        total.cast("long").alias("total_tokens"),
+        n_packs.cast("long").alias("n_packs"),
+        F.round(total / (n_packs * ctx), 6).alias("fill_ratio"),
+        F.round(F.avg(F.when(F.col("spans_boundary"), 1.0).otherwise(0.0)), 6)
+        .alias("boundary_span_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact-k per-stratum sampling: hash-rank reservoir.
 # ---------------------------------------------------------------------------
 

@@ -207,3 +207,39 @@ def test_repetition_metrics_counts(spark):
     assert got[1]["top_ngram_share"] == 0.6
     assert got[2]["dup_ngram_ratio"] == 0.0
     assert got[2]["top_ngram_share"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from hierarchical_graph_db_spark.operators.training import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = _docs(spark, [
+        {"doc_id": 1, "text": " ".join(toks)},   # 10 tokens
+        {"doc_id": 2, "text": "a b"},            # fits one window
+        {"doc_id": 3, "text": "   "},            # blank → absent
+    ])
+    got = {(r["doc_id"], r["chunk_id"]): r for r in
+           chunk_documents(docs, chunk_tokens=4, overlap=2).collect()}
+    # stride 2: starts 0,2,4,6 (last start ≤ 10-2-1=7) → 4 chunks
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2), (1, 3)}
+    assert got[(1, 0)]["chunk_text"] == "t0 t1 t2 t3"
+    assert got[(1, 1)]["chunk_text"] == "t2 t3 t4 t5"
+    assert got[(1, 3)]["chunk_text"] == "t6 t7 t8 t9"
+    assert got[(1, 3)]["n_chunk_tokens"] == 4
+    assert got[(2, 0)]["chunk_text"] == "a b"
+    assert not any(k[0] == 3 for k in got)
+
+
+def test_chunk_documents_no_fully_contained_tail(spark):
+    from hierarchical_graph_db_spark.operators.training import chunk_documents
+
+    # exactly one window's worth of tokens → exactly one chunk (no redundant
+    # tail chunk that is a suffix of chunk 0)
+    docs = _docs(spark, [{"doc_id": 1, "text": " ".join(["w"] * 4)}])
+    rows = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 4
