@@ -92,18 +92,25 @@ def ngram_jaccard_pairs(
     J = common / (|A|+|B|-common). ``max_shingle_freq`` prunes stop-shingles
     (skew + noise control at scale — ONE hot stopword trigram otherwise makes
     a quadratic bucket in the self-join). The guard defaults ON: ``"auto"``
-    derives the cutoff as max(1000, 1% of corpus) — a no-op on small corpora
-    (so exact-Jaccard oracles still hold) while capping any bucket's pair
-    blowup at (0.01·|docs|)² at scale. ``None`` disables (oracle mode).
+    derives the cutoff as max(1000, 1% of the shingled docs) — a no-op on
+    small corpora while capping any bucket's pair blowup at (0.01·|docs|)²
+    at scale. The auto cutoff is computed INSIDE the plan (a broadcast 1-row
+    aggregate, no eager driver-side count job), and the DuckDB oracles
+    replay the same df-cutoff filter, so the hash check holds even on a
+    corpus where the guard binds. ``None`` disables (pure-Jaccard mode).
     """
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    if max_shingle_freq == "auto":
-        max_shingle_freq = max(1000, docs.count() // 100)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.where(F.col("df") <= max_shingle_freq), on="shingle").select(
-            "id", "shingle"
-        )
+        if max_shingle_freq == "auto":
+            # cutoff = greatest(1000, ndocs/100), folded into the plan as a
+            # broadcast scalar — same formula the oracles embed in SQL.
+            nd = sh.agg(F.countDistinct("id").alias("nd"))
+            cutoff = F.greatest(F.lit(1000), F.floor(F.col("nd") / 100))
+            freq = freq.crossJoin(F.broadcast(nd)).where(F.col("df") <= cutoff)
+        else:
+            freq = freq.where(F.col("df") <= F.lit(max_shingle_freq))
+        sh = sh.join(freq, on="shingle").select("id", "shingle")
     # The shingle table feeds three plan subtrees (sizes + both self-join
     # sides); without materialization Spark recomputes the tokenize/shingle
     # projection three times — at corpus scale that triples the scan.

@@ -220,7 +220,11 @@ def _score_pairs_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
                 "score": s[keep],
             })
 
-    scored = pairs.mapInPandas(score, "id_a long, id_b long, score double")
+    id_a_t = pairs.schema["id_a"].dataType.simpleString()
+    id_b_t = pairs.schema["id_b"].dataType.simpleString()
+    scored = pairs.mapInPandas(
+        score, f"id_a {id_a_t}, id_b {id_b_t}, score double"
+    )
     return scored.select(
         "id_a", "id_b", F.round("score", 5).alias("score")
     ).where(F.col("score") >= threshold)

@@ -36,9 +36,18 @@ def resample_gapfill(events: DataFrame, key_col: str = "user_id",
     (key, ts) unique — true of any event stream with a tiebroken timestamp;
     the fixture guarantees it). Returns (key, bucket, reading, gap_filled).
     """
-    # grid alignment needs a whole-unit step ("1 hour", "1 day", ...): the
-    # bucket is the date_trunc at that unit, the grid advances by the step.
-    unit = step.split()[1].rstrip("s")
+    # Grid alignment requires a whole-unit step: buckets are date_trunc'd to
+    # the unit and the grid strides by the step, so any sub-unit step (e.g.
+    # "30 minutes") would produce off-stride buckets that never join — a
+    # silent data drop. Enforce instead of document.
+    parts = step.split()
+    allowed = ("minute", "hour", "day", "week", "month")
+    if len(parts) != 2 or parts[0] != "1" or parts[1].rstrip("s") not in allowed:
+        raise ValueError(
+            f"step must be a whole unit ('1 minute'/'1 hour'/'1 day'/...), "
+            f"got {step!r}"
+        )
+    unit = parts[1].rstrip("s")
     bucket = F.date_trunc(unit, F.col(ts_col))
     obs = (
         events.groupBy(F.col(key_col), bucket.alias("bucket"))

@@ -105,7 +105,9 @@ def pack_sequences(docs: DataFrame, ctx_tokens: int = 256,
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    base = docs.select(F.col(id_col), F.col(domain_col), est).where(
+    keep = [id_col, domain_col] + ([order_col] if order_col not in
+                                   (id_col, domain_col) else [])
+    base = docs.select(*[F.col(c) for c in keep], est).where(
         F.col("est_tokens") > 0
     )
     cum_before = F.coalesce(F.sum("est_tokens").over(w), F.lit(0)).alias("cum_before")

@@ -60,13 +60,20 @@ def curate_corpus(
     docs = Catalog(spark, sf_dir).documents
     n_total = docs.count()
 
-    quality = quality_keep_mask(docs).where("keep").select("doc_id")
+    # Each stage's DECISION frame (just doc_ids) is pinned with an eager
+    # localCheckpoint: every stage computes exactly once, the per-stage
+    # counts read the pinned id frames (no cascade re-execution), and the
+    # semi-joins below consume the same pinned frames. The pinned frames
+    # are id-only — tiny next to the corpus.
+    quality = quality_keep_mask(docs).where("keep").select("doc_id") \
+        .localCheckpoint(eager=True)
     step1 = docs.join(quality, on="doc_id", how="left_semi")
 
     keepers = (
         step1.select("doc_id", fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     step2 = step1.join(keepers, on="doc_id", how="left_semi")
 
@@ -75,6 +82,7 @@ def curate_corpus(
     clean_ids = (
         decontaminate(train, bench)
         .where(~F.col("contaminated")).select("doc_id")
+        .localCheckpoint(eager=True)
     )
     step3 = train.join(clean_ids, on="doc_id", how="left_semi")
 
@@ -82,22 +90,21 @@ def curate_corpus(
         stratified_sample(step3, rates=sample_rates or {},
                           default_rate=default_rate)
         .where("keep").select("doc_id")
+        .localCheckpoint(eager=True)
     )
     curated = step3.join(sampled_ids, on="doc_id", how="left_semi")
-    # The decision joins above feed both outputs; pin the survivor set once
-    # so packing and the curated write don't recompute the whole cascade.
+    # Pin the survivor rows once so packing and the curated write share them.
     curated = curated.localCheckpoint(eager=True)
 
     write_parquet(curated, f"{out_dir}/curated", partition_by=["lang"])
     packs = pack_sequences(curated, ctx_tokens=ctx_tokens)
     write_parquet(packs, f"{out_dir}/packs")
 
-    n_curated = curated.count()
     return {
         "total": n_total,
-        "after_quality": step1.count(),
-        "after_exact_dedup": step2.count(),
-        "after_decontaminate": step3.count() ,
-        "curated": n_curated,
+        "after_quality": quality.count(),
+        "after_exact_dedup": keepers.count(),
+        "after_decontaminate": clean_ids.count(),
+        "curated": curated.count(),
         "packed": packs.count(),
     }

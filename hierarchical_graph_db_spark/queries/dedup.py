@@ -125,10 +125,21 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
         JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
     ),
-    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    -- hot-shingle guard, mirroring ngram_jaccard_pairs' in-plan "auto"
+    -- cutoff (greatest(1000, 1% of shingled docs)) so the hash check holds
+    -- even on a corpus where the guard binds
+    shf AS (
+        SELECT sh.id, sh.shingle
+        FROM sh
+        JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) f
+          USING (shingle)
+        WHERE f.df <= greatest(1000,
+                               floor((SELECT count(DISTINCT id) FROM sh) / 100))
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
     common AS (
         SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -248,11 +259,20 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
         JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
     ),
-    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    shf AS MATERIALIZED (
+        -- hot-shingle guard, mirroring ngram_jaccard_pairs' "auto" cutoff
+        SELECT sh.id, sh.shingle
+        FROM sh
+        JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) f
+          USING (shingle)
+        WHERE f.df <= greatest(1000,
+                               floor((SELECT count(DISTINCT id) FROM sh) / 100))
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
     pairs AS MATERIALIZED (
         SELECT id_a, id_b FROM (
             SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
             GROUP BY 1, 2
         ) c
         JOIN sizes sa ON sa.id = c.id_a

@@ -24,7 +24,12 @@ from hierarchical_graph_db_spark.operators.training import (
 )
 from hierarchical_graph_db_spark.queries import query
 
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# The cross-engine contract constants are imported, not re-declared: the
+# normalization string and BPE-ish piece regex each live in exactly one
+# module (dedup.py / textq.py), so a contract change cannot silently desync
+# these oracles from the operators they verify.
+from hierarchical_graph_db_spark.queries.dedup import _NORM  # noqa: E402
+from hierarchical_graph_db_spark.queries.textq import _SQL_PIECES  # noqa: E402
 
 #: Tokenized-position CTE shared by every shingle oracle (same as dedup.py).
 _TOKS_CTE = f"""
@@ -40,7 +45,6 @@ _TOKS_CTE = f"""
 """
 
 #: BPE-ish LLM token estimate (same contract as textq.token_count_bpeish).
-_SQL_PIECES = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')"
 _SQL_EST = (
     f"CAST(list_sum(list_transform({_SQL_PIECES}, "
     "p -> CASE WHEN regexp_matches(p, '^[A-Za-z]+$') "

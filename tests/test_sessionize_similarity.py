@@ -125,3 +125,28 @@ def test_near_duplicate_pairs_bucketed_plan_no_cross_join(spark):
         df, threshold=0.5, id_col="emb_id", vec_col="embedding", exact=True
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+
+
+def test_near_duplicate_pairs_string_ids(spark):
+    """The Arrow rescore kernel must preserve non-bigint id column types
+    (schema is derived from the pair frame, not hardcoded)."""
+    import math
+
+    from pyspark.sql import Row
+
+    v = [1.0] + [0.0] * 7
+    w = [0.0, 1.0] + [0.0] * 6
+    df = spark.createDataFrame([
+        Row(vec_id="doc-a", embedding=v),
+        Row(vec_id="doc-b", embedding=v),
+        Row(vec_id="doc-c", embedding=w),
+    ])
+    got = {(r["id_a"], r["id_b"]): r["score"]
+           for r in near_duplicate_pairs(df, threshold=0.9, dim=8,
+                                         exact=True).collect()}
+    assert got == {("doc-a", "doc-b"): 1.0}
+    banded = {(r["id_a"], r["id_b"])
+              for r in near_duplicate_pairs(df, threshold=0.9, dim=8,
+                                            n_bands=4,
+                                            band_planes=2).collect()}
+    assert ("doc-a", "doc-b") in banded and ("doc-a", "doc-c") not in banded

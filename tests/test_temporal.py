@@ -99,3 +99,13 @@ def test_snapshot_diff_change_types(spark):
     assert got[3]["change_type"] == "changed" and got[3]["new_v"] == 33.0
     assert got[4]["change_type"] == "changed"  # NULL → value is a change
     assert got[5]["change_type"] == "added" and got[5]["old_v"] is None
+
+
+def test_resample_gapfill_rejects_subunit_step(spark):
+    import pytest
+
+    ev = spark.createDataFrame([Row(user_id=1, ts=_ts(1), value=1.0)])
+    with pytest.raises(ValueError, match="whole unit"):
+        resample_gapfill(ev, step="30 minutes")
+    with pytest.raises(ValueError, match="whole unit"):
+        resample_gapfill(ev, step="hour")

@@ -243,3 +243,15 @@ def test_chunk_documents_no_fully_contained_tail(spark):
     docs = _docs(spark, [{"doc_id": 1, "text": " ".join(["w"] * 4)}])
     rows = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
     assert len(rows) == 1 and rows[0]["n_chunk_tokens"] == 4
+
+
+def test_pack_sequences_custom_order_col(spark):
+    docs = _docs(spark, [
+        {"doc_id": 1, "source": "s", "rank": 2, "text": "abcd abcd"},
+        {"doc_id": 2, "source": "s", "rank": 1, "text": "abcd abcd abcd"},
+    ])
+    got = {r["doc_id"]: r for r in
+           pack_sequences(docs, ctx_tokens=4, order_col="rank").collect()}
+    # rank orders doc 2 first: [0,3) then doc 1 at [3,5) spanning
+    assert got[2]["pack_id"] == 0 and not got[2]["spans_boundary"]
+    assert got[1]["pack_id"] == 0 and got[1]["spans_boundary"]
