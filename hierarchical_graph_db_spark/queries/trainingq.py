@@ -310,6 +310,86 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Train/val/test split: deterministic hash buckets.
+# ---------------------------------------------------------------------------
+
+#: u16 boundaries for an 80/10/10 split (Python-precomputed integers so the
+#: assignment is bit-exact in both engines, like the sampling thresholds).
+SPLIT_SALT = "split"
+SPLIT_TRAIN_LT = int(0.8 * 65536)   # 52428
+SPLIT_VAL_LT = int(0.9 * 65536)     # 58982
+
+
+@query(
+    "train_val_test_split",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               sha256('{SPLIT_SALT}|' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN {_sql_u16("hx")} < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN {_sql_u16("hx")} < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split on the salted document hash: every
+    engine, every rerun, every shard assigns the same doc to the same split
+    (and a doc can never migrate between train and eval when the corpus
+    grows — the property random splits lack)."""
+    from hierarchical_graph_db_spark.operators.training import uniform16
+
+    u = uniform16(F.col("doc_id"), SPLIT_SALT)
+    split = (
+        F.when(u < SPLIT_TRAIN_LT, "train")
+        .when(u < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return Catalog(spark, sf_dir).documents.select(
+        "doc_id", split.alias("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature normalization: per-group z-score + min-max.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "feature_normalize_events",
+    """
+    SELECT event_id,
+           round((value - avg(value) OVER per_user)
+                 / stddev_samp(value) OVER per_user, 6) AS value_zscore,
+           round((value - min(value) OVER per_user)
+                 / (max(value) OVER per_user - min(value) OVER per_user), 6)
+               AS value_minmax
+    FROM events
+    WINDOW per_user AS (PARTITION BY user_id)
+    """,
+)
+def feature_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity feature scaling (the feature-prep staple): z-score and
+    min-max of each event's value within its user's distribution — one
+    unordered window per user, no self-joins."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    value = F.col("value")
+    return Catalog(spark, sf_dir).events.select(
+        "event_id",
+        F.round((value - F.avg("value").over(w))
+                / F.stddev_samp("value").over(w), 6).alias("value_zscore"),
+        F.round((value - F.min("value").over(w))
+                / (F.max("value").over(w) - F.min("value").over(w)), 6)
+        .alias("value_minmax"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Repetition metrics: within-doc duplicate n-grams.
 # ---------------------------------------------------------------------------
 
