@@ -92,20 +92,21 @@ def ngram_jaccard_pairs(
     J = common / (|A|+|B|-common). ``max_shingle_freq`` prunes stop-shingles
     (skew + noise control at scale — ONE hot stopword trigram otherwise makes
     a quadratic bucket in the self-join). The guard defaults ON: ``"auto"``
-    derives the cutoff as max(1000, 1% of the shingled docs) — a no-op on
+    derives the cutoff as max(1000, 1% of the input docs) — a no-op on
     small corpora while capping any bucket's pair blowup at (0.01·|docs|)²
     at scale. The auto cutoff is computed INSIDE the plan (a broadcast 1-row
-    aggregate, no eager driver-side count job), and the DuckDB oracles
-    replay the same df-cutoff filter, so the hash check holds even on a
-    corpus where the guard binds. ``None`` disables (pure-Jaccard mode).
+    count over the input, no eager driver-side job, no extra shuffle over
+    the shingle table), and the DuckDB oracles replay the same df-cutoff
+    filter, so the hash check holds even on a corpus where the guard binds.
+    ``None`` disables (pure-Jaccard mode).
     """
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         if max_shingle_freq == "auto":
-            # cutoff = greatest(1000, ndocs/100), folded into the plan as a
+            # cutoff = greatest(1000, n_docs/100), folded into the plan as a
             # broadcast scalar — same formula the oracles embed in SQL.
-            nd = sh.agg(F.countDistinct("id").alias("nd"))
+            nd = docs.agg(F.count(F.lit(1)).alias("nd"))
             cutoff = F.greatest(F.lit(1000), F.floor(F.col("nd") / 100))
             freq = freq.crossJoin(F.broadcast(nd)).where(F.col("df") <= cutoff)
         else:

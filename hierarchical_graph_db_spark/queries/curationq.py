@@ -46,7 +46,7 @@ _DUP_SQL = f"""
         JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) f
           USING (shingle)
         WHERE f.df <= greatest(1000,
-                               floor((SELECT count(DISTINCT id) FROM sh) / 100))
+                               floor((SELECT count(*) FROM documents) / 100))
     ),
     sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
     pairs AS MATERIALIZED (

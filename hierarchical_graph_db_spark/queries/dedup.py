@@ -126,7 +126,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
     ),
     -- hot-shingle guard, mirroring ngram_jaccard_pairs' in-plan "auto"
-    -- cutoff (greatest(1000, 1% of shingled docs)) so the hash check holds
+    -- cutoff (greatest(1000, 1% of the input docs)) so the hash check holds
     -- even on a corpus where the guard binds
     shf AS (
         SELECT sh.id, sh.shingle
@@ -134,7 +134,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) f
           USING (shingle)
         WHERE f.df <= greatest(1000,
-                               floor((SELECT count(DISTINCT id) FROM sh) / 100))
+                               floor((SELECT count(*) FROM documents) / 100))
     ),
     sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
     common AS (
@@ -266,7 +266,7 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) f
           USING (shingle)
         WHERE f.df <= greatest(1000,
-                               floor((SELECT count(DISTINCT id) FROM sh) / 100))
+                               floor((SELECT count(*) FROM documents) / 100))
     ),
     sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
     pairs AS MATERIALIZED (
