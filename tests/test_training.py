@@ -255,3 +255,71 @@ def test_pack_sequences_custom_order_col(spark):
     # rank orders doc 2 first: [0,3) then doc 1 at [3,5) spanning
     assert got[2]["pack_id"] == 0 and not got[2]["spans_boundary"]
     assert got[1]["pack_id"] == 0 and got[1]["spans_boundary"]
+
+
+# ---------------------------------------------------------------------------
+# Model-checked invariants on randomized corpora (one Spark job per property)
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_invariants_random_corpus(spark):
+    """Chunking invariants vs a pure-Python model on a seeded random corpus:
+    full coverage, consecutive ids, exact window contents."""
+    import random
+
+    from hierarchical_graph_db_spark.operators.training import chunk_documents
+
+    rng = random.Random(7)
+    corpus = {
+        i: [f"w{rng.randrange(50)}" for _ in range(rng.randrange(0, 120))]
+        for i in range(60)
+    }
+    docs = _docs(spark, [
+        {"doc_id": i, "text": " ".join(toks)} for i, toks in corpus.items()
+    ])
+    chunk, overlap, stride = 32, 8, 24
+    rows = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for i, toks in corpus.items():
+        n = len(toks)
+        if n == 0:
+            assert i not in got
+            continue
+        starts = list(range(0, max(n - overlap - 1, 0) + 1, stride))
+        assert sorted(got[i]) == list(range(len(starts)))
+        covered = set()
+        for cid, s in enumerate(starts):
+            r = got[i][cid]
+            window = toks[s:s + chunk]
+            assert r["chunk_text"] == " ".join(window)
+            assert r["n_chunk_tokens"] == len(window)
+            covered.update(range(s, min(s + chunk, n)))
+        assert covered == set(range(n))  # no token left behind
+
+
+def test_packing_invariants_random_corpus(spark):
+    """Packing invariants vs the concat-and-chunk model: offsets are the
+    running total mod ctx, spans_boundary iff the doc crosses a window edge."""
+    import random
+
+    rng = random.Random(11)
+    rows_in = [
+        {"doc_id": i, "source": f"s{i % 3}",
+         "text": " ".join(["abcd"] * rng.randrange(1, 40))}
+        for i in range(90)
+    ]
+    docs = _docs(spark, rows_in)
+    ctx = 64
+    got = {r["doc_id"]: r for r in pack_sequences(docs, ctx_tokens=ctx).collect()}
+    cums = {}
+    for row in sorted(rows_in, key=lambda r: r["doc_id"]):
+        est = row["text"].count("abcd")  # 1 token per word by construction
+        cum = cums.get(row["source"], 0)
+        r = got[row["doc_id"]]
+        assert r["est_tokens"] == est
+        assert r["pack_id"] == cum // ctx
+        assert r["pack_offset"] == cum % ctx
+        assert r["spans_boundary"] == ((cum % ctx) + est > ctx)
+        cums[row["source"]] = cum + est
