@@ -113,7 +113,17 @@ class BucketedParquetStore:
         (which must contain ``bucket_col`` and the full post-merge contents
         of every bucket it mentions)."""
         scratch = self._scratch(batch_id)
-        merged_touched.write.mode("overwrite").parquet(scratch)
+        # Scratch is written ALREADY partitioned by bucket: the publish step
+        # is then a per-bucket directory swap (metadata-only), not a second
+        # Spark write of the same data. Clustering on the bucket column
+        # first means one file per bucket instead of one per (task, bucket)
+        # — without it a 32-task batch over 64 buckets sprays ~2k tiny files.
+        (
+            merged_touched.repartition(F.col(self.bucket_col))
+            .write.mode("overwrite")
+            .partitionBy(self.bucket_col)
+            .parquet(scratch)
+        )
         self._write_marker("pending.json", batch_id)
         self._copy_scratch(batch_id)
 
@@ -122,13 +132,24 @@ class BucketedParquetStore:
         self._write_marker("committed.json", batch_id)
 
     def _copy_scratch(self, batch_id: int) -> None:
-        scratch_df = self.spark.read.parquet(self._scratch(batch_id))
-        (
-            scratch_df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.bucket_col)
-            .parquet(self.data_dir)
-        )
+        """Publish scratch → data as per-bucket directory replacements.
+
+        One rename per touched bucket (object-store equivalent: server-side
+        copy + delete under the manifest) — no data re-read, no second write,
+        nothing through the driver but directory names. Idempotent under
+        replay: a partially-published scratch simply has fewer dirs left to
+        move, and every already-moved dir holds the same post-merge rows.
+        """
+        scratch = self._scratch(batch_id)
+        os.makedirs(self.data_dir, exist_ok=True)
+        prefix = f"{self.bucket_col}="
+        for entry in sorted(os.listdir(scratch)):
+            if not entry.startswith(prefix):
+                continue
+            src = os.path.join(scratch, entry)
+            dst = os.path.join(self.data_dir, entry)
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
         self._write_marker("committed.json", batch_id)
         try:
             os.remove(self._meta("pending.json"))
