@@ -339,3 +339,72 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").cast("string").alias("dst"),
     )
     return link_prediction(edges, min_common=2)
+
+
+def _ppr_oracle(n_iter: int = 10, d: float = 0.85) -> str:
+    """DuckDB twin of ``operators.graph.personalized_pagerank`` with the
+    seed set {vertices whose numeric id ≡ 0 mod 37}: same unrolled
+    chained-CTE construction (and the same MATERIALIZED discipline) as the
+    PageRank oracle, with the per-vertex reset column replacing the uniform
+    1/N terms in both the teleport and the dangling redistribution."""
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        cur = f"r{i}"
+        iters.append(f"""
+    {cur} AS MATERIALIZED (
+        SELECT b.id,
+               (1 - {d}) * b.reset
+               + {d} * (SELECT coalesce(sum({prev}.rank), 0)
+                        FROM {prev} LEFT JOIN out_deg od ON {prev}.id = od.id
+                        WHERE od.id IS NULL) * b.reset
+               + {d} * coalesce(c.in_rank, 0) AS rank
+        FROM base b
+        LEFT JOIN (
+            SELECT e.dst AS id, sum(p.rank / e.out_degree) AS in_rank
+            FROM edges_deg e JOIN {prev} p ON e.src = p.id
+            GROUP BY e.dst
+        ) c ON b.id = c.id
+    )""")
+        prev = cur
+    return f"""
+    WITH base_edges AS ({_SQL_EDGES}),
+    edges AS (SELECT src, dst FROM base_edges),
+    vertices AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    srcs AS (SELECT id FROM vertices WHERE CAST(id AS BIGINT) % 37 = 0),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs),
+    base AS MATERIALIZED (
+        SELECT v.id,
+               CASE WHEN s.id IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS reset
+        FROM vertices v CROSS JOIN ns LEFT JOIN srcs s ON s.id = v.id
+    ),
+    out_deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree
+                FROM edges GROUP BY src),
+    edges_deg AS MATERIALIZED (SELECT e.src, e.dst, od.out_degree
+                  FROM edges e JOIN out_deg od ON e.src = od.id),
+    r0 AS MATERIALIZED (SELECT id, reset AS rank FROM base),
+    {','.join(iters)}
+    SELECT id, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+@query("graph_personalized_pagerank", _ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on users ≡ 0 (mod 37): teleport and
+    dangling mass return to the seed set, ranking every user by proximity
+    to the seeds (recommendation / seed-expansion retrieval). Ten unrolled
+    iterations, hash-checked like the global PageRank."""
+    from hierarchical_graph_db_spark.operators.graph import personalized_pagerank
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    sources = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .where(F.col("id").cast("bigint") % 37 == 0)
+    )
+    ranks = personalized_pagerank(edges, sources, n_iter=10)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
