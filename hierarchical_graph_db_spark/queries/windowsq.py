@@ -141,6 +141,47 @@ def window_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "anomaly_rolling_zscore",
+    """
+    SELECT event_id,
+           round((value - avg(value) OVER trail)
+                 / stddev_samp(value) OVER trail, 4) AS zscore,
+           abs((value - avg(value) OVER trail)
+               / stddev_samp(value) OVER trail) > 3.0 AS is_anomaly
+    FROM events
+    WINDOW trail AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 72 HOUR PRECEDING AND CURRENT ROW)
+    QUALIFY count(*) OVER trail >= 5
+    """,
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch form: each event scored
+    against its user's trailing-72-hour distribution (RANGE frame — time
+    horizon, not row count); |z| > 3 flags the outlier. Rows with fewer
+    than 5 trailing events are suppressed (no stable baseline). One window
+    pass per user."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-72 * 3600, 0)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.select(
+            "event_id",
+            F.round(z, 4).alias("zscore"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .where(F.col("_n") >= 5)
+        .drop("_n")
+    )
+
+
+@query(
     "sliding_window_rollup",
     """
     WITH expanded AS (
