@@ -497,3 +497,40 @@ def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
         on=["a", "b"],
         how="left_anti",
     )
+
+
+def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 8) -> DataFrame:
+    """k-core membership by fixed-round peeling: repeatedly drop vertices
+    with induced degree < k. ``n_rounds`` is part of the operator contract
+    (like the Bellman-Ford relaxation rounds) so the result is deterministic
+    and the oracle can unroll the same rounds; rounds beyond convergence are
+    no-ops. Returns (id, degree) for surviving vertices with their induced
+    degree.
+
+    Each round is one degree aggregate + two semi-joins on the vertex id —
+    the same keyed-join discipline as every iterative op here;
+    ``localCheckpoint`` per round cuts the lineage.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    alive = sym
+    for _ in range(n_rounds):
+        deg = alive.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        keep = deg.where(F.col("degree") >= k).select("id")
+        alive = (
+            alive.join(keep.withColumnRenamed("id", "src"), on="src",
+                       how="left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), on="dst",
+                  how="left_semi")
+        ).localCheckpoint(eager=True)
+    return (
+        alive.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .where(F.col("degree") >= k)
+    )

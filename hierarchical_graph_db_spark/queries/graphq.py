@@ -408,3 +408,51 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = personalized_pagerank(edges, sources, n_iter=10)
     return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+K_CORE_K = 72
+K_CORE_ROUNDS = 8
+
+
+def _kcore_oracle(k: int = K_CORE_K, n_rounds: int = K_CORE_ROUNDS) -> str:
+    """DuckDB twin of ``operators.graph.k_core``: the fixed peeling rounds
+    unroll into chained CTEs, each keeping edges whose BOTH endpoints clear
+    the induced-degree bar of the previous round."""
+    iters = []
+    prev = "a0"
+    for i in range(1, n_rounds + 1):
+        cur = f"a{i}"
+        iters.append(f"""
+    {cur} AS MATERIALIZED (
+        SELECT e.src, e.dst
+        FROM {prev} e
+        JOIN (SELECT src AS id FROM {prev} GROUP BY src
+              HAVING count(*) >= {k}) ks ON ks.id = e.src
+        JOIN (SELECT src AS id FROM {prev} GROUP BY src
+              HAVING count(*) >= {k}) kd ON kd.id = e.dst
+    )""")
+        prev = cur
+    return f"""
+    WITH raw AS ({_SQL_EDGES}),
+    sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+    a0 AS MATERIALIZED (SELECT src, dst FROM sym),
+    {','.join(iters)}
+    SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+    FROM {prev} GROUP BY src HAVING count(*) >= {k}
+    """
+
+
+@query("graph_k_core", _kcore_oracle())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """72-core of the interaction graph by fixed-round peeling (8 rounds —
+    rounds beyond convergence are no-ops, so the count is the determinism
+    contract like the Bellman-Ford rounds). Surviving vertices with their
+    induced degree; the oracle unrolls identical peeling rounds."""
+    from hierarchical_graph_db_spark.operators.graph import k_core
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return k_core(edges, k=K_CORE_K, n_rounds=K_CORE_ROUNDS)

@@ -538,6 +538,56 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted priority sampling: exact-k per stratum, weight-biased.
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 30
+
+
+@query(
+    "weighted_sample_priority",
+    f"""
+    WITH h AS (
+        SELECT doc_id, lang, n_chars,
+               sha256('{SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_chars,
+               round({_sql_u16("hx")} / CAST(n_chars AS DOUBLE), 6) AS priority,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_sql_u16("hx")} / CAST(n_chars AS DOUBLE), doc_id
+               ) AS rk
+        FROM h
+    )
+    SELECT doc_id, lang, n_chars, priority, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {WEIGHTED_SAMPLE_K}
+    """,
+)
+def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-biased exact-k sampling (priority sampling): within each
+    language keep the k docs with the smallest salted-uniform / weight
+    priority, weighting by document length — longer docs are
+    proportionally likelier, yet the draw stays deterministic and
+    reproducible (same salt → same sample). All arithmetic is
+    small-integer division in IEEE doubles, bit-exact across engines."""
+    from pyspark.sql import Window
+
+    from hierarchical_graph_db_spark.operators.training import uniform16
+
+    docs = Catalog(spark, sf_dir).documents
+    pri = uniform16(F.col("doc_id"), SAMPLE_SALT) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy(pri, "doc_id")
+    return (
+        docs.select("doc_id", "lang", "n_chars",
+                    F.round(pri, 6).alias("priority"),
+                    F.row_number().over(w).cast("long").alias("rk"))
+        .where(F.col("rk") <= WEIGHTED_SAMPLE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Vocabulary coverage: token frequency census + cumulative coverage.
 # ---------------------------------------------------------------------------
 
