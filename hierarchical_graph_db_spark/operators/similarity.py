@@ -100,7 +100,7 @@ def hyperplane_signature(vec_col: str, n_planes: int, dim: int,
     """LSH bit-signature: sign of ⟨v, hᵖ⟩ for n deterministic hyperplanes.
 
     Hyperplane p's component for dimension d is +1/-1 by parity of
-    ``crc32(p:d)`` — deterministic, no stored model. Returns a string column
+    ``sha256(p:d)`` — deterministic, no stored model. Returns a string column
     of '0'/'1' bits (bucket key material). Each projection is an unrolled
     signed sum — codegen-compiled, no per-element lambda interpretation —
     generated as ONE SQL string parsed by a single ``F.expr`` call: building
@@ -122,10 +122,17 @@ def hyperplane_signature(vec_col: str, n_planes: int, dim: int,
 
 
 def hash_sign(plane: int, dim: int) -> bool:
-    """Deterministic sign for (plane, dim) — stable across processes."""
-    import zlib
+    """Deterministic sign for (plane, dim) — stable across processes.
 
-    return bool(zlib.crc32(f"{plane}:{dim}".encode()) & 1)
+    sha256, NOT crc32: CRC is linear over GF(2), so the parity bits of
+    same-length inputs differ by a constant XOR — crc-derived sign vectors
+    for different planes come out identical or complementary (measured:
+    8 "planes" collapsed to ~2 effective ones, same-cluster Hamming
+    distances only {0,4,8}). A cryptographic hash gives independent signs.
+    """
+    import hashlib
+
+    return bool(hashlib.sha256(f"{plane}:{dim}".encode()).digest()[0] & 1)
 
 
 def lsh_topk(
@@ -136,6 +143,7 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to equal LSH bucket.
 
@@ -143,6 +151,12 @@ def lsh_topk(
     queries hash to buckets and the join becomes a co-located equi-join on a
     key with ~|corpus|/2^n_planes rows per bucket — no quadratic blowup.
     Recall tunes via n_planes (fewer planes → bigger buckets → higher recall).
+
+    ``multi_probe=True`` additionally probes every Hamming-1 neighbor bucket
+    (the query side explodes to n_planes+1 probe keys; the CORPUS layout is
+    untouched, so the same prebuilt bucketed corpus serves both modes) —
+    recall of a coarser table at the bucket-size of a finer one, the
+    classic multi-probe LSH trade.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -150,6 +164,23 @@ def lsh_topk(
         l2_norm(F.col(vec_col)).alias("q_norm"),
         hyperplane_signature(vec_col, n_planes, dim).alias("bucket"),
     )
+    if multi_probe:
+        # 9 distinct probe keys per query; each corpus vector lives in ONE
+        # bucket, so a (query, neighbor) pair can match at most once — no
+        # dedup needed after the join.
+        probes = [F.col("bucket")]
+        for i in range(1, n_planes + 1):
+            flipped = F.when(
+                F.substring("bucket", i, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            probes.append(
+                F.concat(
+                    F.substring("bucket", 1, i - 1),
+                    flipped,
+                    F.substring("bucket", i + 1, n_planes - i),
+                )
+            )
+        q = q.withColumn("bucket", F.explode(F.array(*probes)))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

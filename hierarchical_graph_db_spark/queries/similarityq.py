@@ -89,7 +89,7 @@ def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_bucket(col: str, n_planes: int = 8, dim: int = 64,
                 plane_offset: int = 0) -> str:
     """DuckDB twin of ``hyperplane_signature``: the ±1 plane literals come
-    from the same crc32 as the Spark plan, and the projection sums use the
+    from the same sha256 as the Spark plan, and the projection sums use the
     same left-to-right term order, so even the float signs agree."""
     from hierarchical_graph_db_spark.operators.similarity import hash_sign
 
@@ -105,7 +105,7 @@ def _sql_bucket(col: str, n_planes: int = 8, dim: int = 64,
 
 def _banded_sql(n_bands: int = 8, band_planes: int = 2, dim: int = 64) -> str:
     """Per-band bucket keys as a UNION ALL — the DuckDB twin of the banded
-    signature explode in ``near_duplicate_pairs`` (same crc32 plane stream,
+    signature explode in ``near_duplicate_pairs`` (same sha256 plane stream,
     band b uses planes [b·band_planes, (b+1)·band_planes))."""
     return "\n        UNION ALL\n".join(
         f"        SELECT vec_id AS id, {b} AS band, "
@@ -137,7 +137,7 @@ def embedding_near_duplicates_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
     """Near-dup pairs via banded hyperplane LSH + exact rescore — the
     DEFAULT/scale path (no cross join: candidate generation is an equi-join
     on (band, bucket-key), linear in corpus size; quadratic work is
-    bucket-local). Deterministic end to end (crc32-seeded planes baked into
+    bucket-local). Deterministic end to end (sha256-seeded planes baked into
     both plans), so even the approximate path is hash-checked — the oracle
     replays the identical banding, not just the result. Recall vs the exact
     form is pinned in tests/test_similarity_recall.py."""
@@ -171,10 +171,64 @@ def embedding_near_duplicates_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (8 hyperplanes): the 100 TB path —
     corpus pre-bucketed by signature, per-bucket equi-join replaces the
-    cross-join. Deterministic end to end (crc32-seeded hyperplanes baked
+    cross-join. Deterministic end to end (sha256-seeded hyperplanes baked
     into both plans), so even the *approximate* path is hash-checked."""
     emb = Catalog(spark, sf_dir).embeddings
     out = lsh_topk(emb.where(F.col("vec_id") < 8), emb, k=5, n_planes=8, dim=64)
+    return out.select("query_id", "neighbor_id", "score",
+                      F.col("rank").cast("long").alias("rnk"))
+
+
+def _probe_exprs(col: str = "bucket", n_planes: int = 8) -> list[str]:
+    """SQL probe keys: the bucket itself + every Hamming-1 bit flip."""
+    probes = [col]
+    for i in range(1, n_planes + 1):
+        flipped = (f"CASE substr({col}, {i}, 1) WHEN '1' THEN '0' "
+                   f"ELSE '1' END")
+        probes.append(
+            f"substr({col}, 1, {i - 1}) || {flipped} "
+            f"|| substr({col}, {i + 1}, {n_planes - i})"
+        )
+    return probes
+
+
+@query(
+    "ann_lsh_multiprobe_topk",
+    f"""
+    WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+                       {_sql_bucket('embedding')} AS bucket
+                FROM embeddings WHERE vec_id < 8),
+    q AS (
+        SELECT query_id, qv, u.probe AS bucket
+        FROM q0, unnest([{', '.join(_probe_exprs())}]) AS u(probe)
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+                 {_sql_bucket('embedding')} AS bucket
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, {_sql_cosine('qv', 'cv')} AS score
+        FROM q JOIN c USING (bucket)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id) AS BIGINT)
+                      AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each query also probes every Hamming-1
+    neighbor bucket (9 probe keys over the SAME prebuilt bucketed corpus),
+    recovering most of the recall a coarser hash would give without
+    enlarging anyone's bucket. Deterministic, so hash-checked — the oracle
+    replays the identical probe-key expansion. Recall ≥ the single-probe
+    variant is pinned in tests/test_similarity_recall.py."""
+    emb = Catalog(spark, sf_dir).embeddings
+    out = lsh_topk(emb.where(F.col("vec_id") < 8), emb, k=5, n_planes=8,
+                   dim=64, multi_probe=True)
     return out.select("query_id", "neighbor_id", "score",
                       F.col("rank").cast("long").alias("rnk"))
 
