@@ -129,8 +129,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item reporting): which customers returned
-    the most revenue in a quarter — returnflag-filtered lineitem into the
-    orders join, customer + nation dims broadcast, deterministic top-20."""
+    the most revenue in a half-year window (widened from the spec's quarter
+    so the synthetic fixture yields enough returned lineitems) —
+    returnflag-filtered lineitem into the orders join, customer + nation
+    dims broadcast, deterministic top-20."""
     cat = Catalog(spark, sf_dir)
     lo = F.lit("1997-01-01").cast("timestamp")
     hi = F.lit("1997-07-01").cast("timestamp")

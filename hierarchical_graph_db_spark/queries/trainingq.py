@@ -363,7 +363,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            round((value - avg(value) OVER per_user)
-                 / stddev_samp(value) OVER per_user, 6) AS value_zscore,
+                 / stddev_samp(value) OVER per_user, 6) + 0 AS value_zscore,
            round((value - min(value) OVER per_user)
                  / (max(value) OVER per_user - min(value) OVER per_user), 6)
                AS value_minmax
@@ -381,8 +381,9 @@ def feature_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     value = F.col("value")
     return Catalog(spark, sf_dir).events.select(
         "event_id",
-        F.round((value - F.avg("value").over(w))
-                / F.stddev_samp("value").over(w), 6).alias("value_zscore"),
+        (F.round((value - F.avg("value").over(w))
+                 / F.stddev_samp("value").over(w), 6)
+         + F.lit(0.0)).alias("value_zscore"),  # -0.0 → 0.0
         F.round((value - F.min("value").over(w))
                 / (F.max("value").over(w) - F.min("value").over(w)), 6)
         .alias("value_minmax"),

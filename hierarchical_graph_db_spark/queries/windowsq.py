@@ -96,8 +96,11 @@ def window_range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFra
     ev = Catalog(spark, sf_dir).events
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-3600, 0)
+        # microsecond precision: ts.cast("long") truncates to whole seconds,
+        # which silently widens the frame for events whose true age is just
+        # past the boundary (diverges from the oracle's INTERVAL frame)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     return ev.select(
         "event_id",
@@ -109,8 +112,8 @@ def window_range_frame_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFra
     "window_lag_lead_ntile",
     """
     SELECT event_id,
-           round(value - lag(value) OVER w_ts, 2)  AS delta_prev,
-           round(lead(value) OVER w_ts - value, 2) AS delta_next,
+           round(value - lag(value) OVER w_ts, 2) + 0  AS delta_prev,
+           round(lead(value) OVER w_ts - value, 2) + 0 AS delta_next,
            CAST(ntile(4) OVER w_ts AS BIGINT)      AS session_quartile,
            round(percent_rank() OVER (PARTITION BY user_id
                                       ORDER BY value, event_id), 6)
@@ -131,10 +134,10 @@ def window_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
     return ev.select(
         "event_id",
-        F.round(F.col("value") - F.lag("value").over(w_ts), 2)
-        .alias("delta_prev"),
-        F.round(F.lead("value").over(w_ts) - F.col("value"), 2)
-        .alias("delta_next"),
+        (F.round(F.col("value") - F.lag("value").over(w_ts), 2)
+         + F.lit(0.0)).alias("delta_prev"),
+        (F.round(F.lead("value").over(w_ts) - F.col("value"), 2)
+         + F.lit(0.0)).alias("delta_next"),
         F.ntile(4).over(w_ts).cast("long").alias("session_quartile"),
         F.round(F.percent_rank().over(w_val), 6).alias("value_pct_rank"),
     )
@@ -145,7 +148,7 @@ def window_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id,
            round((value - avg(value) OVER trail)
-                 / stddev_samp(value) OVER trail, 4) AS zscore,
+                 / stddev_samp(value) OVER trail, 4) + 0 AS zscore,
            abs((value - avg(value) OVER trail)
                / stddev_samp(value) OVER trail) > 3.0 AS is_anomaly
     FROM events
@@ -165,14 +168,14 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-72 * 3600, 0)
+        .orderBy(F.unix_micros("ts"))  # full precision — see trailing-sum note
+        .rangeBetween(-72 * 3600 * 1_000_000, 0)
     )
     z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
     return (
         ev.select(
             "event_id",
-            F.round(z, 4).alias("zscore"),
+            (F.round(z, 4) + F.lit(0.0)).alias("zscore"),  # -0.0 → 0.0
             (F.abs(z) > 3.0).alias("is_anomaly"),
             F.count(F.lit(1)).over(w).alias("_n"),
         )
