@@ -60,3 +60,38 @@ def test_dedup_merge_is_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_merge_events")
     assert plan.count("Exchange") <= 2  # one for the agg + possible AQE read
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+def test_tpch_q6_pushdown_and_pruning(spark, sf_dir):
+    """Q6 is the pushdown showcase: all three predicates must reach the
+    parquet scan and the read schema must stay narrow (no l_orderkey /
+    l_extendedprice-only projection bloat)."""
+    plan = _plan(spark, sf_dir, "tpch_q6_forecast_revenue")
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines
+    for ln in scan_lines:
+        assert "l_orderkey" not in ln, f"unpruned lineitem scan: {ln}"
+
+
+def test_tpch_q19_no_nested_loop(spark, sf_dir):
+    """The disjunctive predicates span both join sides; the optimizer must
+    still extract the partkey equi-join — never a cartesian fallback."""
+    plan = _plan(spark, sf_dir, "tpch_q19_disjunctive_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q4_semi_join(spark, sf_dir):
+    """EXISTS compiles to a semi join, not a correlated probe or inner join
+    + distinct."""
+    plan = _plan(spark, sf_dir, "tpch_q4_priority_exists")
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q21_reuses_lineitem_scan(spark, sf_dir):
+    """Q21 references lineitem three times (late set, supplier counts, late
+    counts); the decorrelated form must not degenerate into a correlated
+    probe — no nested-loop join anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "tpch_q21_waiting_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
