@@ -534,3 +534,51 @@ def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 8) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         .where(F.col("degree") >= k)
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient: 2·T(v) / (deg(v)·(deg(v)−1)).
+
+    Canonicalize to a<b, enumerate triangles once via the wedge-closing
+    two-join (same discipline as :func:`triangle_count`), then credit each
+    triangle to its three corners with one explode — T(v) arrives from a
+    single hash aggregate, never a per-vertex neighborhood intersection.
+    Degrees come from the undirected incidence list. Both shuffles key on a
+    vertex id; degree skew is the hazard at scale and AQE skew splitting is
+    the mitigation (hot vertices are exactly the high-degree ones).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"))
+    )
+    tnode = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tnode, "id", "left")
+        .withColumn("triangles", F.coalesce("triangles", F.lit(0)))
+        .withColumn("clustering", F.round(lcc, 6))
+    )

@@ -140,3 +140,35 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_r",
         F.round("value_r", 2).alias("click_value"),
     )
+
+
+@query(
+    "streaming_static_enrichment",
+    """
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2)   AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriches against the customer
+    dim (a plain batch DataFrame — broadcast, re-resolved per micro-batch)
+    and aggregates by segment. No watermark needed: the static side never
+    adds state, and the complete-mode aggregate over the drained stream
+    equals the batch join — hash-checked. The canonical pattern for
+    dimension lookup inside a 100 TB ingest stream."""
+    from hierarchical_graph_db_spark.io import Catalog as _Cat
+
+    ev = fixture_event_stream(spark, sf_dir)
+    dim = _Cat(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+    agg = (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = drain_to_dataframe(agg)
+    return out.select("c_mktsegment", "event_type", "n_events", "total_value")

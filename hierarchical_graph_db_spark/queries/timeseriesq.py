@@ -198,3 +198,29 @@ def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snapshot_diff(old, new, key_cols=["event_id"],
                          compare_cols=["event_type", "value"])
+
+
+@query(
+    "ewma_user_value",
+    """
+    SELECT event_id,
+           round(list_sum(list_transform(l, (x, i) -> x * pow(0.7, len(l) - i)))
+                 / list_sum(list_transform(l, (x, i) -> pow(0.7, len(l) - i))),
+                 5) AS ewma
+    FROM (
+        SELECT event_id,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS l
+        FROM events
+    )
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (α=0.3, adjust-normalized) of each user's value stream. The
+    recursion is inherently sequential state — not a Catalyst window frame —
+    so it runs per-user in ``applyInPandas`` (operators/grouped.ewma_values);
+    the DuckDB oracle recomputes the closed form Σ(1-α)^j·x / Σ(1-α)^j with
+    a list lambda over the same (ts, event_id)-ordered prefix."""
+    from hierarchical_graph_db_spark.operators.grouped import ewma_values
+
+    return ewma_values(Catalog(spark, sf_dir).events, alpha=0.3)

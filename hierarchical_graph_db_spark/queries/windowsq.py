@@ -227,3 +227,131 @@ def sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "window_rolling_median",
+    """
+    SELECT event_id,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 10 PRECEDING AND CURRENT ROW),
+                 5) AS rolling_median
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing median (11-row frame) per user — the order statistic
+    Spark's windows don't ship natively. The frame materializes as a sorted
+    array (collect_list + array_sort over the ROWS frame, ≤11 elements — a
+    bounded-size state, safe at any corpus scale) and the median reads out
+    with the even/odd interpolation DuckDB's ``median()`` applies. The
+    unique event_id tiebreak makes the frame deterministic in both engines."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid = F.floor((n + 1) / 2).cast("int")
+    half = F.floor(n / 2).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, mid)
+    ).otherwise(
+        (F.element_at(arr, half) + F.element_at(arr, half + 1)) / 2.0
+    )
+    return ev.select("event_id", F.round(med, 5).alias("rolling_median"))
+
+
+@query(
+    "window_rolling_distinct_users",
+    """
+    WITH daily AS (
+        SELECT DISTINCT event_type,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               date_diff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts))
+                   AS day_num,
+               user_id
+        FROM events
+    )
+    SELECT event_type, day,
+           CAST(count(DISTINCT user_id)
+                OVER (PARTITION BY event_type ORDER BY day_num
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS users_7d
+    FROM daily
+    QUALIFY row_number() OVER (PARTITION BY event_type, day ORDER BY user_id) = 1
+    """,
+)
+def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per event type at daily grain — the
+    classic non-decomposable rolling metric (distinct doesn't merge across
+    days). Daily user *sets* aggregate first (one shuffle, |days|×|types|
+    rows), then a RANGE frame unions 7 sets and counts: state is bounded by
+    7×daily-distinct, never the raw event stream. DuckDB cross-checks with
+    its native windowed count(DISTINCT)."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.collect_set("user_id").alias("users"))
+        .withColumn("day_num",
+                    F.datediff("day", F.lit("2024-01-01").cast("timestamp")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type", "day",
+        F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
+        .cast("long").alias("users_7d"),
+    )
+
+
+@query(
+    "events_value_histogram",
+    """
+    WITH bounds AS (
+        SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    )
+    SELECT event_type,
+           CAST(least(floor((value - vmin) * 20.0 / (vmax - vmin)), 19)
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events, bounds
+    GROUP BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of event values per type. The global
+    [min,max] bounds are a 1-row aggregate broadcast back onto the scan
+    (never a driver collect), the bucket index is pure arithmetic folded
+    into the map side, and the histogram itself is one hash aggregate —
+    the two-pass shape that survives any scale. Identical float expression
+    order on both engines keeps boundary values in the same bucket."""
+    ev = Catalog(spark, sf_dir).events
+    bounds = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("vmin")) * 20.0
+                / (F.col("vmax") - F.col("vmin"))),
+        F.lit(19),
+    ).cast("long")
+    return (
+        ev.join(F.broadcast(bounds))
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
