@@ -356,3 +356,111 @@ def near_duplicate_pairs(
                        F.col("norm").alias("norm_b")), on="id_b")
     )
     return _score_pairs_arrow(pairs, threshold)
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-k most-similar corpus vectors with a DIFFERENT label per query —
+    hard-negative mining for contrastive training.
+
+    Same scale posture as :func:`brute_force_topk` (queries broadcast, corpus
+    streams, per-query window top-k); the label-mismatch predicate folds into
+    the scoring pass so negatives never materialize beyond the frame the
+    window prunes. Output: (query_id, neighbor_id, neg_label, score, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_label") != F.col("neg_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.round(
+                cosine_from_parts(
+                    _dot(F.col("q_vec"), F.col("c_vec"), dim),
+                    F.col("q_norm"),
+                    F.col("c_norm"),
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return _topk(scored, k)
+
+
+def label_centroid_quality(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-label centroid cohesion: mean cosine of members to their label
+    centroid.
+
+    Centroids come from one posexplode → (label, pos) average — the
+    component-wise mean computed as a plain hash aggregate (never a
+    collect_list of whole vectors: state per group is ONE double per
+    dimension, so a 100 TB corpus with a million labels is still two narrow
+    shuffles). The tiny centroid table broadcasts back for the cohesion
+    pass. Output: (label, n_vecs, avg_cos).
+    """
+    base = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("vec"),
+    )
+    comps = (
+        base.select("label", F.posexplode("vec").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+    )
+    centroids = (
+        comps.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("_pc", lambda s: s["c"]).alias("centroid"),
+        )
+        .withColumn("c_norm", l2_norm(F.col("centroid")))
+    )
+    member_cos = (
+        base.withColumn("v_norm", l2_norm(F.col("vec")))
+        .join(F.broadcast(centroids), F.col("label") == F.col("c_label"))
+        .select(
+            "label",
+            F.round(
+                cosine_from_parts(
+                    _dot(F.col("vec"), F.col("centroid"), dim),
+                    F.col("v_norm"),
+                    F.col("c_norm"),
+                ),
+                5,
+            ).alias("cos"),
+        )
+    )
+    return member_cos.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cos"), 5).alias("avg_cos"),
+    )

@@ -243,3 +243,70 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     centers = train_centroids(emb, n_lists=10)
     return ivf_topk(emb.where(F.col("vec_id") < 8), emb, centers, k=5, nprobe=2)
+
+
+@query(
+    "ann_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, label AS neg_label, embedding AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id, neg_label,
+               {_sql_cosine('qv', 'cv')} AS score
+        FROM q CROSS JOIN c
+        WHERE q_label <> neg_label
+    )
+    SELECT query_id, neighbor_id, neg_label, score, rank
+    FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, neighbor_id)
+                       AS BIGINT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query vector, the 5 most-similar corpus
+    vectors with a different label — the contrastive-training staple. Same
+    broadcast-queries/streaming-corpus shape as brute-force ANN; the label
+    predicate folds into the scoring pass."""
+    from hierarchical_graph_db_spark.operators.similarity import hard_negatives
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return hard_negatives(
+        emb.where(F.col("vec_id") < 8), emb, k=5, dim=64
+    ).select("query_id", "neighbor_id", "neg_label", "score", "rank")
+
+
+@query(
+    "embedding_label_centroids",
+    f"""
+    WITH comp AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT label, pos, avg(v) AS c FROM comp GROUP BY label, pos),
+    clist AS (SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+              FROM cent GROUP BY label)
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg({_sql_cosine('e.embedding', 'c.centroid')}), 5) AS avg_cos
+    FROM embeddings e
+    JOIN clist c ON e.label = c.c_label
+    GROUP BY e.label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cohesion (mean member→centroid cosine). Centroids
+    are component-wise means via posexplode + hash aggregate — state is one
+    double per (label, dimension), never whole collected vectors — and the
+    10-row centroid table broadcasts back for the cohesion pass."""
+    from hierarchical_graph_db_spark.operators.similarity import (
+        label_centroid_quality,
+    )
+
+    return label_centroid_quality(Catalog(spark, sf_dir).embeddings, dim=64)

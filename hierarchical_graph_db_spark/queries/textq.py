@@ -205,3 +205,50 @@ def quality_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (alpha >= 0.6) & (stopr >= 0.01)).alias("keep"),
         reason.alias("reason"),
     )
+
+
+@query(
+    "doc_unigram_logprob",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest({_SQL_TOKENS})) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT count(*) AS n FROM tok)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(CAST(v.c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 5)
+               AS avg_logprob
+    FROM tok t
+    JOIN vocab v ON t.token = v.token
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-fit scoring via a self-trained unigram LM: each document's
+    mean token log-probability under the corpus unigram distribution — the
+    cheap perplexity proxy real pipelines use to rank text against a
+    reference corpus. Vocab counts are one hash aggregate, the corpus total
+    is a 1-row broadcast, and the token→vocab join shuffles on the token
+    (AQE handles the stopword-skewed keys)."""
+    docs = Catalog(spark, sf_dir).documents \
+        .where(F.length(F.trim("text")) > 0)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("_raw")
+    ).select("doc_id", F.lower("_raw").alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(vocab, "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n").cast("double"))),
+                5,
+            ).alias("avg_logprob"),
+        )
+    )
