@@ -224,3 +224,53 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hierarchical_graph_db_spark.operators.grouped import ewma_values
 
     return ewma_values(Catalog(spark, sf_dir).events, alpha=0.3)
+
+
+@query(
+    "user_retention_cohorts",
+    """
+    WITH firstw AS (
+        SELECT user_id,
+               min(CAST(date_trunc('week', ts) AS TIMESTAMP)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               date_diff('day', f.cohort_week,
+                         CAST(date_trunc('week', e.ts) AS TIMESTAMP)) // 7
+                   AS week_offset
+        FROM events e JOIN firstw f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    as active per weeks-since-cohort. First-seen is one hash aggregate on
+    user_id; the activity join shuffles on the same key (co-partitioned —
+    no extra exchange); the (cohort, offset) matrix is tiny. The week
+    offset is computed as day-difference // 7 of week-truncated stamps —
+    identical integer arithmetic on both engines (no engine-specific
+    week-boundary-crossing counters)."""
+    ev = Catalog(spark, sf_dir).events
+    week = F.date_trunc("week", F.col("ts"))
+    firstw = (
+        ev.select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    activity = (
+        ev.select("user_id", week.alias("w"))
+        .join(firstw, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            F.floor(F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
