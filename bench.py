@@ -51,6 +51,14 @@ HEADLINE = [
     # and the per-domain packing window.
     "decontaminate_ngram_overlap",
     "pack_sequences_greedy",
+    # round-2 representatives: the widest TPC-H join tree, the triangle-join
+    # graph metric, sequential-state applyInPandas, and the unigram-LM
+    # token join (the registry's heaviest text shuffle).
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_supplier",
+    "graph_clustering_coefficient",
+    "ewma_user_value",
+    "doc_unigram_logprob",
 ]
 
 
