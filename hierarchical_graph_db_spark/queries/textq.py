@@ -252,3 +252,53 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "inverted_index_postings",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest({_SQL_TOKENS})) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY token),
+    pairs AS (SELECT DISTINCT token, doc_id FROM tok),
+    idx AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        FROM pairs GROUP BY token
+    )
+    SELECT idx.token, idx.df, tf.tf, idx.postings
+    FROM idx JOIN tf USING (token)
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per token, document frequency, total term
+    frequency, and the sorted posting list — the engine-side analog of the
+    reference's declared text indexes, materialized as a queryable table.
+    Distinct (token, doc) pairs and tf both come off the exploded token
+    stream with hash aggregates; postings serialize as a sorted
+    comma-joined string (the cross-engine array canonicalization). At
+    100 TB the posting list per token is the skew point — hot tokens are
+    exactly what the stop-shingle guards elsewhere prune."""
+    docs = Catalog(spark, sf_dir).documents \
+        .where(F.length(F.trim("text")) > 0)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("_raw")
+    ).select("doc_id", F.lower("_raw").alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    idx = (
+        tok.distinct()
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+    )
+    return idx.join(tf, "token").select("token", "df", "tf", "postings")

@@ -355,3 +355,40 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@query(
+    "events_equidepth_bins",
+    """
+    WITH binned AS (
+        SELECT event_type, value,
+               ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS bin
+        FROM events
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def events_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning per event type — the histogram dual of
+    the equi-width bucket query: ntile assigns equal-population deciles
+    (deterministic tie-break on event_id), then per-bin bounds and counts
+    come from one hash aggregate. The decile boundary table is what a
+    cost-based optimizer or drift monitor consumes."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("bin"))
+        .groupBy("event_type", F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
