@@ -103,3 +103,17 @@ def quality_metrics(text: Column | str) -> dict[str, Column]:
         "mean_token_len": (F.length(F.regexp_replace(c, r"\s+", "")) / nonzero_tokens)
         .cast("double"),
     }
+
+
+def quality_keep(text: Column | str) -> Column:
+    """The C4-style keep rule (ONE definition — `quality_filter_decisions`
+    and the materialized `curate_corpus` pipeline both import it, so a
+    threshold change can never desync the registry proof from the
+    pipeline): non-blank, 8..100000 tokens, alpha ratio >= 0.6, stopword
+    ratio >= 0.01."""
+    c = F.col(text) if isinstance(text, str) else text
+    m = quality_metrics(c)
+    blank = F.length(F.trim(c)) == 0
+    return (~blank & (m["n_tokens"] >= 8) & (m["n_tokens"] <= 100000)
+            & (m["alpha_ratio"] >= 0.6) & (m["stopword_ratio"] >= 0.01))
+

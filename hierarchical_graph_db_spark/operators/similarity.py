@@ -165,7 +165,8 @@ def lsh_topk(
         hyperplane_signature(vec_col, n_planes, dim).alias("bucket"),
     )
     if multi_probe:
-        # 9 distinct probe keys per query; each corpus vector lives in ONE
+        # n_planes+1 distinct probe keys per query (exact + each Hamming-1
+        # flip); each corpus vector lives in ONE
         # bucket, so a (query, neighbor) pair can match at most once — no
         # dedup needed after the join.
         probes = [F.col("bucket")]

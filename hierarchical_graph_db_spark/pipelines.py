@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hierarchical_graph_db_spark.functions.hashing import fingerprint
-from hierarchical_graph_db_spark.functions.text import quality_metrics
+from hierarchical_graph_db_spark.functions.text import quality_keep
 from hierarchical_graph_db_spark.io import Catalog, write_parquet
 from hierarchical_graph_db_spark.operators.training import (
     decontaminate,
@@ -30,13 +30,10 @@ from hierarchical_graph_db_spark.operators.training import (
 
 
 def quality_keep_mask(docs: DataFrame) -> DataFrame:
-    """(doc_id, keep) under the C4-style rules of `quality_filter_decisions`
-    (same thresholds: ≥8 tokens, alpha ≥0.6, stopword ratio ≥0.01)."""
-    m = quality_metrics(F.col("text"))
-    blank = F.length(F.trim("text")) == 0
-    keep = (~blank & (m["n_tokens"] >= 8) & (m["n_tokens"] <= 100000)
-            & (m["alpha_ratio"] >= 0.6) & (m["stopword_ratio"] >= 0.01))
-    return docs.select("doc_id", keep.alias("keep"))
+    """(doc_id, keep) under the shared C4-style rule (`functions.text.
+    quality_keep` — the same Column `quality_filter_decisions` selects, so
+    the registry proof and this pipeline can't desync)."""
+    return docs.select("doc_id", quality_keep(F.col("text")).alias("keep"))
 
 
 def curate_corpus(
@@ -106,5 +103,7 @@ def curate_corpus(
         "after_exact_dedup": keepers.count(),
         "after_decontaminate": clean_ids.count(),
         "curated": curated.count(),
-        "packed": packs.count(),
+        # count the WRITTEN packs — counting the lazy frame would re-run
+        # the whole per-domain packing window a second time
+        "packed": spark.read.parquet(f"{out_dir}/packs").count(),
     }

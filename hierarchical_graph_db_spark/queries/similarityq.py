@@ -221,7 +221,8 @@ def _probe_exprs(col: str = "bucket", n_planes: int = 8) -> list[str]:
 )
 def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH top-k: each query also probes every Hamming-1
-    neighbor bucket (9 probe keys over the SAME prebuilt bucketed corpus),
+    neighbor bucket (n_planes+1 probe keys over the SAME prebuilt
+    bucketed corpus),
     recovering most of the recall a coarser hash would give without
     enlarging anyone's bucket. Deterministic, so hash-checked — the oracle
     replays the identical probe-key expansion. Recall ≥ the single-probe

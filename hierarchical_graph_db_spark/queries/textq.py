@@ -14,6 +14,7 @@ from hierarchical_graph_db_spark.functions.hashing import fingerprint
 from hierarchical_graph_db_spark.functions.text import (
     EN_STOPWORDS,
     language_id,
+    quality_keep,
     quality_metrics,
     tokens,
 )
@@ -201,8 +202,7 @@ def quality_filter_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        (~blank & (n_toks >= 8) & (n_toks <= 100000)
-         & (alpha >= 0.6) & (stopr >= 0.01)).alias("keep"),
+        quality_keep(F.col("text")).alias("keep"),
         reason.alias("reason"),
     )
 

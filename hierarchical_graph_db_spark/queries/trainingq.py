@@ -558,7 +558,8 @@ WEIGHTED_SAMPLE_K = 30
                round({_sql_u16("hx")} / CAST(n_chars AS DOUBLE), 6) AS priority,
                row_number() OVER (
                    PARTITION BY lang
-                   ORDER BY {_sql_u16("hx")} / CAST(n_chars AS DOUBLE), doc_id
+                   ORDER BY {_sql_u16("hx")} / CAST(n_chars AS DOUBLE)
+                       NULLS LAST, doc_id
                ) AS rk
         FROM h
     )
@@ -572,14 +573,18 @@ def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority, weighting by document length — longer docs are
     proportionally likelier, yet the draw stays deterministic and
     reproducible (same salt → same sample). All arithmetic is
-    small-integer division in IEEE doubles, bit-exact across engines."""
+    small-integer division in IEEE doubles, bit-exact across engines.
+    A zero-length doc's priority is NULL (u16/0) — ordered NULLS LAST
+    explicitly in both engines (their defaults differ), i.e. zero-weight
+    docs are drawn only when a stratum has fewer than k positive-weight
+    docs."""
     from pyspark.sql import Window
 
     from hierarchical_graph_db_spark.operators.training import uniform16
 
     docs = Catalog(spark, sf_dir).documents
     pri = uniform16(F.col("doc_id"), SAMPLE_SALT) / F.col("n_chars").cast("double")
-    w = Window.partitionBy("lang").orderBy(pri, "doc_id")
+    w = Window.partitionBy("lang").orderBy(pri.asc_nulls_last(), "doc_id")
     return (
         docs.select("doc_id", "lang", "n_chars",
                     F.round(pri, 6).alias("priority"),

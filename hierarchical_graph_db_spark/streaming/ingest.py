@@ -108,22 +108,33 @@ class DedupParquetSink:
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         if self.store.already_done(batch_id):
             return
-        if self.store.exists():
+        # The batch feeds two jobs (touched-bucket ids, then the merge);
+        # pin it so a file-source micro-batch isn't re-read per job.
+        batch.persist()
+        try:
             # O(n_buckets) driver rows — the bucket ids, never store data.
             touched = [
                 r[0] for r in batch.select(
                     self._bucket_of(F.col(self.key)).alias("b")).distinct().collect()
             ]
             if not touched:
+                # Empty batch: advance the ledger WITHOUT creating a store —
+                # an empty data/ dir would break schema inference for every
+                # later batch of a fresh store.
                 self.store.mark_committed(batch_id)
                 return
-            target = self.store.read(buckets=touched).drop("bucket_id")
-            merged = merge_into(target, batch, self.key, self.order_by,
-                                self.member_cols)
-        else:
-            merged = dedup_merge(batch, self.key, self.order_by, self.member_cols)
-        merged = merged.withColumn("bucket_id", self._bucket_of(F.col("dedupe_key")))
-        self.store.commit(batch_id, merged)
+            if self.store.exists():
+                target = self.store.read(buckets=touched).drop("bucket_id")
+                merged = merge_into(target, batch, self.key, self.order_by,
+                                    self.member_cols)
+            else:
+                merged = dedup_merge(batch, self.key, self.order_by,
+                                     self.member_cols)
+            merged = merged.withColumn(
+                "bucket_id", self._bucket_of(F.col("dedupe_key")))
+            self.store.commit(batch_id, merged)
+        finally:
+            batch.unpersist()
 
 
 def read_dedup_store(spark: SparkSession, store_path: str) -> DataFrame:

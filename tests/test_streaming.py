@@ -340,3 +340,19 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     got = [(int(r["value"]), int(r["value_r"]))
            for r in spark.table("ij_t").collect()]
     assert got == [(2, 1)]  # only purchase#2 pairs with click#1
+
+
+def test_dedup_sink_empty_first_batch_does_not_poison_store(spark, tmp_path):
+    """An all-filtered first micro-batch must not create an empty store dir
+    (which would break schema inference for every later batch); the next
+    non-empty batch initializes the store normally."""
+    store = str(tmp_path / "store_empty_first")
+    sink = DedupParquetSink(spark, store, key="key",
+                            order_by=["src"], member_cols=["src"])
+    empty = spark.createDataFrame([], "key string, payload string, src string")
+    sink(empty, batch_id=0)
+
+    batch = spark.createDataFrame([Row(key="k1", payload="p", src="a")])
+    sink(batch, batch_id=1)
+    rows = read_dedup_store(spark, store).collect()
+    assert [(r["dedupe_key"], r["payload"]) for r in rows] == [("k1", "p")]
