@@ -51,3 +51,72 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     )
+
+
+def _sql_cms_col(r_expr: str, item_expr: str, width: int) -> str:
+    """DuckDB twin of operators.sketches._cell: first 4 sha256 nibbles of
+    'cms-v1|r|item' as an int, mod width."""
+    from hierarchical_graph_db_spark.queries.trainingq import _sql_u16
+
+    hx = (f"sha256('cms-v1|' || CAST({r_expr} AS VARCHAR) || '|' "
+          f"|| {item_expr})")
+    return f"({_sql_u16(hx)} % {width})"
+
+
+_CMS_W, _CMS_D = 64, 4
+
+
+@query(
+    "sketch_cms_token_counts",
+    f"""
+    WITH tok AS (
+        SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+        SELECT r, {_sql_cms_col('r', 'token', _CMS_W)} AS col,
+               count(*) AS c
+        FROM tok CROSS JOIN rs GROUP BY 1, 2
+    ),
+    probe AS (SELECT DISTINCT token FROM tok),
+    pc AS (
+        SELECT p.token, rs.r, {_sql_cms_col('rs.r', 'p.token', _CMS_W)} AS col
+        FROM probe p CROSS JOIN rs
+    ),
+    est AS (
+        SELECT pc.token, min(cells.c) AS est_n
+        FROM pc JOIN cells ON cells.r = pc.r AND cells.col = pc.col
+        GROUP BY pc.token
+    ),
+    truth AS (SELECT token, count(*) AS true_n FROM tok GROUP BY token)
+    SELECT truth.token, CAST(true_n AS BIGINT) AS true_n,
+           CAST(est_n AS BIGINT) AS est_n
+    FROM truth JOIN est ON truth.token = est.token
+    """,
+)
+def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over the corpus token stream
+    (64 columns × 4 rows), probed with every distinct token and laid beside
+    the exact counts. Because the hash family is portable salted-sha256,
+    the DuckDB oracle replays the ENTIRE sketch grid — a sketch whose
+    estimates are hash-checked cell-for-cell, not just error-bounded
+    (``est_n ≥ true_n`` always; the pytest bound covers the inflation)."""
+    from hierarchical_graph_db_spark.functions.text import tokens
+    from hierarchical_graph_db_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = Catalog(spark, sf_dir).documents \
+        .where(F.length(F.trim("text")) > 0)
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("_raw")) \
+        .select(F.lower("_raw").alias("token"))
+    sketch = cms_build(tok, "token", width=_CMS_W, depth=_CMS_D)
+    probes = tok.distinct()
+    est = cms_estimate(sketch, probes, "token", width=_CMS_W, depth=_CMS_D)
+    truth = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    return (
+        truth.join(est, truth.token == est.item)
+        .select("token", "true_n", F.col("est_n").cast("long").alias("est_n"))
+    )

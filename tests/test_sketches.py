@@ -33,3 +33,43 @@ def test_hll_within_error_bound(spark, sf_dir):
     for et, approx in out.items():
         rel_err = abs(approx - exact[et]) / exact[et]
         assert rel_err <= 0.10, f"{et}: approx {approx} vs exact {exact[et]}"
+
+def test_cms_overestimates_within_collision_bound(spark):
+    """CMS invariants on a skewed synthetic stream: est ≥ truth always, and
+    est ≤ truth + N/width × depth-slack (loose deterministic form of the
+    classic ε-bound — collisions in EVERY row must all hit the same item
+    for the min to stay inflated)."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_graph_db_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    rows = [(f"item_{i % 50}",) for i in range(2000)] + [("hot",)] * 500
+    items = spark.createDataFrame(rows, "item string")
+    n = items.count()
+    width, depth = 32, 4
+    sketch = cms_build(items, "item", width=width, depth=depth)
+    # the grid never exceeds depth×width cells and column ids stay in range
+    cells = sketch.collect()
+    assert len(cells) <= depth * width
+    assert all(0 <= r["col"] < width and 0 <= r["r"] < depth for r in cells)
+    assert sum(r["c"] for r in cells) == n * depth
+
+    est = {
+        r["item"]: r["est_n"]
+        for r in cms_estimate(sketch, items.distinct(), "item",
+                              width=width, depth=depth).collect()
+    }
+    truth = {
+        r["item"]: r["n"]
+        for r in items.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(est) == set(truth)
+    for k, t in truth.items():
+        assert est[k] >= t, f"{k}: CMS under-estimated"
+        assert est[k] <= t + n, "estimate exceeds trivial bound"
+    # the heavy hitter is still clearly separable from the tail
+    assert est["hot"] >= 500
+    assert est["hot"] > max(v for k, v in est.items() if k != "hot")

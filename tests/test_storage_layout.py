@@ -63,3 +63,46 @@ def test_bucketed_join_needs_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: joining a day-partitioned fact with a *filtered* dim on the
+    partition key prunes fact partitions at runtime — the scan carries a
+    dynamicpruning subquery instead of reading every day. This is the
+    100 TB join-to-recent-dates path: directory pruning driven by the dim,
+    no manual date predicate on the fact."""
+    events = Catalog(spark, sf_dir).events.withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    out = str(tmp_path / "events_dpp")
+    write_parquet(events, out, partition_by=["day"])
+    days = sorted(r["day"] for r in
+                  spark.read.parquet(out).select("day").distinct().collect())
+
+    dim_path = str(tmp_path / "campaign_dim")
+    spark.createDataFrame(
+        [(d, ("launch" if d == days[0] else "steady")) for d in days],
+        "day string, campaign string",
+    ).write.parquet(dim_path)
+
+    # partition values stay strings so the join key matches the dim exactly
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+                   "false")
+    fact = spark.read.parquet(out)
+    dim = spark.read.parquet(dim_path).where(F.col("campaign") == "launch")
+    # force the shuffle-join path so DPP (not broadcast reuse) is what prunes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+                   "false")
+    try:
+        joined = fact.join(dim, "day")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        expect = events.where(F.col("day") == days[0]).count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+        spark.conf.unset(
+            "spark.sql.sources.partitionColumnTypeInference.enabled")
