@@ -274,3 +274,97 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@query(
+    "ohlc_hourly_bars",
+    """
+    WITH ordered AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_open,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_close
+        FROM events
+    )
+    SELECT event_type, bar,
+           round(min(CASE WHEN rn_open = 1 THEN value END), 2)  AS open,
+           round(max(value), 2)                                 AS high,
+           round(min(value), 2)                                 AS low,
+           round(min(CASE WHEN rn_close = 1 THEN value END), 2) AS close,
+           CAST(count(*) AS BIGINT)                             AS n_events
+    FROM ordered
+    GROUP BY event_type, bar
+    """,
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type — the canonical time-series
+    downsample. First/last values come from row_number flags folded into
+    the same hash aggregate as high/low/count (no second pass, no
+    engine-specific arg_min/arg_max semantics: the (ts, event_id)
+    tie-break is explicit and identical in both engines)."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    bar = F.date_trunc("hour", F.col("ts"))
+    w_open = Window.partitionBy("event_type", bar).orderBy("ts", "event_id")
+    w_close = Window.partitionBy("event_type", bar).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    ordered = ev.select(
+        "event_type", bar.alias("bar"), "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return ordered.groupBy("event_type", "bar").agg(
+        F.round(F.min(F.when(F.col("rn_open") == 1, F.col("value"))), 2)
+        .alias("open"),
+        F.round(F.max("value"), 2).alias("high"),
+        F.round(F.min("value"), 2).alias("low"),
+        F.round(F.min(F.when(F.col("rn_close") == 1, F.col("value"))), 2)
+        .alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "twap_user_daily",
+    """
+    WITH spans AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+               CAST(epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)) -
+                    epoch_us(ts) AS DOUBLE) / 1000000.0 AS hold_sec
+        FROM events
+    )
+    SELECT user_id, day,
+           round(sum(value * hold_sec) / sum(hold_sec), 4) AS twap,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM spans
+    WHERE hold_sec IS NOT NULL AND hold_sec > 0
+    GROUP BY user_id, day
+    """,
+)
+def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user-day: each observation is
+    weighted by how long it 'held' (until the user's next event) — the
+    TWAP/VWAP family, where a plain avg over irregular samples is biased
+    toward bursts. One lead() window pass per user, then a hash aggregate;
+    the last span of each user (no successor) is open-ended and excluded
+    in both engines."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hold = (
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        .cast("double") / 1_000_000.0
+    )
+    spans = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day"), "value",
+        hold.alias("hold_sec"),
+    ).where(F.col("hold_sec").isNotNull() & (F.col("hold_sec") > 0))
+    return spans.groupBy("user_id", "day").agg(
+        F.round(F.sum(F.col("value") * F.col("hold_sec")) / F.sum("hold_sec"), 4)
+        .alias("twap"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
