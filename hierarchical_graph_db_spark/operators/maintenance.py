@@ -66,3 +66,73 @@ def parquet_file_count(path: str) -> int:
 def table_stats(df: DataFrame) -> dict[str, int]:
     """Cheap stats for maintenance decisions (row count + scan file count)."""
     return {"n_rows": df.count(), "n_files": len(df.inputFiles())}
+
+
+def zorder_value(a: F.Column, b: F.Column, bits: int = 8) -> F.Column:
+    """Interleave the low ``bits`` of two non-negative ints → Z-curve index.
+
+    Unrolled shift/mask arithmetic (2·bits terms) — a flat codegen
+    expression, no UDF. Points close on the Z-curve are close in BOTH
+    dimensions, so range-partitioning by this value gives every output
+    file a tight bounding box in (a, b) — min/max file skipping works for
+    predicates on either column, which 1-D clustering can't do.
+    """
+    terms = []
+    for i in range(bits):
+        bit_a = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        terms.append(F.shiftleft(bit_a, 2 * i + 1))
+        terms.append(F.shiftleft(bit_b, 2 * i))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def zorder_compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    cols: list[str],
+    bits: int = 8,
+    target_mb: int = 128,
+    n_files: int | None = None,
+) -> int:
+    """Rewrite ``src_path`` Z-ordered on two numeric columns.
+
+    Each column is normalized to rank-space [0, 2^bits) with equi-width
+    scaling off an in-plan global min/max (a 1-row broadcast — no driver
+    stats pass), the Z-value interleaves them, and the write is
+    ``repartitionByRange`` + in-partition sort on the Z-value — the
+    Databricks ZORDER analog in three Catalyst expressions.
+    """
+    if len(cols) != 2:
+        raise ValueError("zorder_compact clusters exactly two columns")
+    df = spark.read.parquet(src_path)
+    a, b = (F.col(c).cast("double") for c in cols)
+    bounds = df.agg(
+        F.min(a).alias("_amin"), F.max(a).alias("_amax"),
+        F.min(b).alias("_bmin"), F.max(b).alias("_bmax"),
+    )
+    top = float(2**bits - 1)
+
+    def _norm(v, lo, hi):
+        span = F.when(F.col(hi) == F.col(lo), F.lit(1.0)) \
+            .otherwise(F.col(hi) - F.col(lo))
+        return F.least(F.floor((v - F.col(lo)) * top / span), F.lit(top)) \
+            .cast("long")
+
+    if n_files is None:
+        n_files = max(
+            1, math.ceil(dataset_bytes(src_path) / (target_mb * 1024 * 1024)))
+    z = zorder_value(_norm(a, "_amin", "_amax"), _norm(b, "_bmin", "_bmax"),
+                     bits=bits)
+    (
+        df.join(F.broadcast(bounds))
+        .withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z", "_amin", "_amax", "_bmin", "_bmax")
+        .write.mode("overwrite").parquet(dst_path)
+    )
+    return n_files

@@ -49,3 +49,46 @@ def test_clustered_compaction_tightens_ranges(spark, sf_dir, tmp_path):
     spans = sorted([(r["lo"], r["hi"]) for r in files])
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next  # disjoint ranges → min/max pruning works
+
+def test_zorder_tightens_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-ordering events on (user_id, value) must shrink per-file min/max
+    spans in BOTH dimensions (1-D clustering would collapse one and leave
+    the other at full width) — the property that makes min/max file
+    skipping work for predicates on either column."""
+    from hierarchical_graph_db_spark.operators.maintenance import zorder_compact
+
+    src = str(tmp_path / "ev_src")
+    Catalog(spark, sf_dir).events.select("event_id", "user_id", "value") \
+        .write.parquet(src)
+    dst = str(tmp_path / "ev_z")
+    # force a multi-file layout so per-file spans are meaningful
+    zorder_compact(spark, src, dst, cols=["user_id", "value"], n_files=8)
+
+    import glob
+
+    files = sorted(glob.glob(f"{dst}/part-*.parquet"))
+    assert len(files) >= 4, "z-order write did not produce a multi-file layout"
+
+    import pyarrow.parquet as pq
+
+    def spans(col):
+        out = []
+        for f in files:
+            t = pq.read_table(f, columns=[col])[col].to_pylist()
+            out.append(max(t) - min(t))
+        return out
+
+    full = spark.read.parquet(src)
+    import pyspark.sql.functions as F
+
+    g = full.agg(
+        (F.max("user_id") - F.min("user_id")).alias("du"),
+        (F.max("value") - F.min("value")).alias("dv"),
+    ).collect()[0]
+    avg_u = sum(spans("user_id")) / len(files)
+    avg_v = sum(spans("value")) / len(files)
+    # each file's bounding box should be well under the global extent in
+    # BOTH dims (Z-curve locality); 0.75 is a loose, load-independent bar
+    assert avg_u < 0.75 * g["du"], (avg_u, g["du"])
+    assert avg_v < 0.75 * g["dv"], (avg_v, g["dv"])
+    assert spark.read.parquet(dst).count() == full.count()
