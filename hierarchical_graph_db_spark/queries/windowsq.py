@@ -392,3 +392,114 @@ def events_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "session_event_paths",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN CAST(floor(epoch_ms(ts) / 1000) AS BIGINT)
+                         - lag(CAST(floor(epoch_ms(ts) / 1000) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_type, ts, event_id,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    ),
+    paths AS (
+        SELECT user_id, session_seq,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 25
+    """,
+)
+def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the ordered event-type path of each 30-min
+    session, counted across sessions — the product-analytics staple on top
+    of the same gaps-and-islands sessionization the session_stats family
+    pins. The path string materializes per session (bounded by session
+    length), then one hash aggregate ranks journeys."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long")
+           - F.lag(F.col("ts").cast("long")).over(by_user))
+    flagged = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path"))
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(25)
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH steps AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    counts AS (
+        SELECT src, dst, count(*) AS n
+        FROM steps WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, CAST(n AS BIGINT) AS n,
+           round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+    FROM counts
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types within user
+    streams: P(next=dst | cur=src). One lead() pass builds the bigrams,
+    one hash aggregate counts them, and the row-normalization reuses the
+    counted matrix (|types|² rows) — the fact is scanned exactly once."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", "n",
+        F.round(F.col("n") / F.sum("n").over(row_tot).cast("double"), 6)
+        .alias("p"),
+    )
