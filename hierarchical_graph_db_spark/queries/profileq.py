@@ -92,3 +92,99 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
              * (F.countDistinct("event_type") - 1)).alias("dof"),
         )
     )
+
+
+@query(
+    "value_feature_correlations",
+    """
+    SELECT event_type,
+           round(corr(value, CAST(hour(ts) AS DOUBLE)), 5)  AS corr_hour,
+           round(corr(value, CAST(day(ts) AS DOUBLE)), 5)   AS corr_day,
+           CAST(count(*) AS BIGINT)                          AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation of value against time-derived features
+    (hour of day, day of month) — the feature-screening statistic of a
+    training pipeline. corr() is a single-pass streaming aggregate in both
+    engines (sum/sum-sq/cross moments), one hash aggregate total. Features
+    chosen for identical cross-engine semantics (DuckDB and Spark disagree
+    on day-of-week numbering; hour/day do not)."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", F.hour("ts").cast("double")), 5)
+        .alias("corr_hour"),
+        F.round(F.corr("value", F.dayofmonth("ts").cast("double")), 5)
+        .alias("corr_day"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "drift_psi_value",
+    """
+    WITH bounds AS (
+        SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               CAST(least(floor((value - vmin) * 10.0 / (vmax - vmin)), 9)
+                    AS BIGINT) AS bin,
+               ts >= TIMESTAMP '2024-01-16' AS is_b
+        FROM events, bounds
+    ),
+    per_bin AS (
+        SELECT event_type, bin,
+               count(*) FILTER (WHERE NOT is_b) AS n_a,
+               count(*) FILTER (WHERE is_b)     AS n_b
+        FROM binned GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type, sum(n_a) AS tot_a, sum(n_b) AS tot_b
+        FROM per_bin GROUP BY event_type
+    )
+    SELECT p.event_type,
+           round(sum(
+               ((n_a + 1.0) / (tot_a + 10.0) - (n_b + 1.0) / (tot_b + 10.0))
+               * ln(((n_a + 1.0) / (tot_a + 10.0))
+                    / ((n_b + 1.0) / (tot_b + 10.0)))), 6) AS psi
+    FROM per_bin p JOIN tot t ON p.event_type = t.event_type
+    GROUP BY p.event_type
+    """,
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the value distribution, first half of
+    the month vs second — the standard drift alarm (PSI > 0.2 ⇒
+    investigate). Ten equi-width bins off a broadcast global min/max,
+    add-one smoothing so empty bins stay finite (+bins in the denominator
+    keeps shares normalized), and the whole statistic folds into two hash
+    aggregates over the binned counts — the fact scans once."""
+    ev = Catalog(spark, sf_dir).events
+    bounds = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    bin_col = F.least(
+        F.floor((F.col("value") - F.col("vmin")) * 10.0
+                / (F.col("vmax") - F.col("vmin"))),
+        F.lit(9),
+    ).cast("long")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    per_bin = (
+        ev.join(F.broadcast(bounds))
+        .select("event_type", bin_col.alias("bin"),
+                (F.col("ts") >= cutoff).alias("is_b"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(~F.col("is_b"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("is_b"), 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    tot = per_bin.groupBy("event_type").agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
+    pa = (F.col("n_a") + 1.0) / (F.col("tot_a") + 10.0)
+    pb = (F.col("n_b") + 1.0) / (F.col("tot_b") + 10.0)
+    return (
+        per_bin.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))
+    )

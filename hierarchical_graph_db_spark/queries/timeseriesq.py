@@ -368,3 +368,55 @@ def twap_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("twap"),
         F.count(F.lit(1)).alias("n_spans"),
     )
+
+
+@query(
+    "nearest_event_join",
+    """
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts,
+               abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dist_us,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)),
+                            c.ts, c.event_id) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE
+                      AND p.ts + INTERVAL 10 MINUTE
+    )
+    SELECT purchase_id, purchase_ts, click_id, click_ts,
+           CAST(dist_us AS BIGINT) AS dist_us
+    FROM pairs WHERE rn = 1
+    """,
+)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor-in-time join: each purchase pairs with its closest
+    click within ±10 minutes (either direction — the symmetric complement
+    of the as-of join's last-before semantics). The band predicate keeps
+    the join banded exactly like the interval join; a per-purchase window
+    takes the minimum |Δt| with a deterministic (ts, event_id) tie-break."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"), F.col("user_id").alias("p_user"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"), F.col("user_id").alias("c_user"))
+    band = F.expr("INTERVAL 10 MINUTES")
+    dist = F.abs(F.unix_micros("click_ts") - F.unix_micros("purchase_ts"))
+    w = Window.partitionBy("purchase_id").orderBy(
+        dist, "click_ts", "click_id")
+    return (
+        p.join(c, (F.col("c_user") == F.col("p_user"))
+               & (F.col("click_ts") >= F.col("purchase_ts") - band)
+               & (F.col("click_ts") <= F.col("purchase_ts") + band))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("purchase_id", "purchase_ts", "click_id", "click_ts",
+                dist.cast("long").alias("dist_us"))
+    )
