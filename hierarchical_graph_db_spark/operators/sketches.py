@@ -56,9 +56,10 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
 
     The sketch is tiny by construction — broadcast it; the probe side
     explodes to depth rows each and one hash aggregate takes the min.
-    Output: (item, est_n). Probes absent from the data estimate as the
-    collision mass of their cells (standard CMS semantics) — or drop out
-    entirely if every cell is empty.
+    Output: (item, est_n). Empty cells count as 0 (left join + coalesce),
+    so a probe absent from the data estimates 0 unless EVERY one of its
+    depth cells collides with data — exact count-min semantics, not
+    min-over-populated-cells.
     """
     item = F.col(item_col)
     cells = F.array(*[
@@ -69,7 +70,7 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
         item.alias("item"), F.explode(cells).alias("rc")
     ).select("item", F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
     return (
-        probe_cells.join(F.broadcast(sketch), ["r", "col"])
+        probe_cells.join(F.broadcast(sketch), ["r", "col"], "left")
         .groupBy("item")
-        .agg(F.min("c").alias("est_n"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
     )

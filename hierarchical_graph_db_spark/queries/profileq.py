@@ -130,7 +130,9 @@ def value_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     binned AS (
         SELECT event_type,
-               CAST(least(floor((value - vmin) * 10.0 / (vmax - vmin)), 9)
+               CAST(least(floor((value - vmin) * 10.0
+                                / (CASE WHEN vmax = vmin THEN 1.0
+                                        ELSE vmax - vmin END)), 9)
                     AS BIGINT) AS bin,
                ts >= TIMESTAMP '2024-01-16' AS is_b
         FROM events, bounds
@@ -163,9 +165,10 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over the binned counts — the fact scans once."""
     ev = Catalog(spark, sf_dir).events
     bounds = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    span = F.when(F.col("vmax") == F.col("vmin"), F.lit(1.0)) \
+        .otherwise(F.col("vmax") - F.col("vmin"))
     bin_col = F.least(
-        F.floor((F.col("value") - F.col("vmin")) * 10.0
-                / (F.col("vmax") - F.col("vmin"))),
+        F.floor((F.col("value") - F.col("vmin")) * 10.0 / span),
         F.lit(9),
     ).cast("long")
     cutoff = F.lit("2024-01-16").cast("timestamp")

@@ -113,9 +113,10 @@ def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(tokens(F.col("text"))).alias("_raw")) \
         .select(F.lower("_raw").alias("token"))
     sketch = cms_build(tok, "token", width=_CMS_W, depth=_CMS_D)
-    probes = tok.distinct()
-    est = cms_estimate(sketch, probes, "token", width=_CMS_W, depth=_CMS_D)
     truth = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_n"))
+    # probes come off the truth aggregate — no second tokenize/distinct pass
+    est = cms_estimate(sketch, truth.select("token"), "token",
+                       width=_CMS_W, depth=_CMS_D)
     return (
         truth.join(est, truth.token == est.item)
         .select("token", "true_n", F.col("est_n").cast("long").alias("est_n"))

@@ -431,21 +431,10 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same gaps-and-islands sessionization the session_stats family
     pins. The path string materializes per session (bounded by session
     length), then one hash aggregate ranks journeys."""
-    from pyspark.sql import Window
+    from hierarchical_graph_db_spark.operators.sessionize import sessionize
 
     ev = Catalog(spark, sf_dir).events
-    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.col("ts").cast("long")
-           - F.lag(F.col("ts").cast("long")).over(by_user))
-    flagged = ev.select(
-        "user_id", "event_type", "ts", "event_id",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
-    )
-    sess = flagged.withColumn(
-        "session_seq",
-        F.sum("new_session").over(
-            by_user.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sess = sessionize(ev, gap_minutes=30)
     paths = (
         sess.groupBy("user_id", "session_seq")
         .agg(F.concat_ws(

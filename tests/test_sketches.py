@@ -73,3 +73,24 @@ def test_cms_overestimates_within_collision_bound(spark):
     # the heavy hitter is still clearly separable from the tail
     assert est["hot"] >= 500
     assert est["hot"] > max(v for k, v in est.items() if k != "hot")
+
+
+def test_cms_out_of_vocabulary_probe_counts_empty_cells_as_zero(spark):
+    """A probe absent from the data must estimate 0 unless EVERY one of its
+    depth cells collides — empty cells are zeros, not dropped rows."""
+    from hierarchical_graph_db_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    items = spark.createDataFrame([("only_item",)] * 10, "item string")
+    # width large enough that an unseen probe is overwhelmingly unlikely to
+    # collide with the single occupied cell in all 4 rows
+    sketch = cms_build(items, "item", width=1024, depth=4)
+    probes = spark.createDataFrame([("never_seen",), ("only_item",)],
+                                   "item string")
+    est = {r["item"]: r["est_n"]
+           for r in cms_estimate(sketch, probes, "item",
+                                 width=1024, depth=4).collect()}
+    assert est["only_item"] == 10
+    assert est["never_seen"] == 0

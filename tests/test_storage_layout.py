@@ -91,6 +91,13 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
     fact = spark.read.parquet(out)
     dim = spark.read.parquet(dim_path).where(F.col("campaign") == "launch")
     # force the shuffle-join path so DPP (not broadcast reuse) is what prunes
+    # (save/RESTORE the session values — unset would fall back to Spark's
+    # hard defaults, not the engine's configured ones, polluting later tests)
+    orig_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    orig_reuse = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+    orig_infer = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
                    "false")
@@ -101,8 +108,10 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
         expect = events.where(F.col("day") == days[0]).count()
         assert joined.count() == expect
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset(
-            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
-        spark.conf.unset(
-            "spark.sql.sources.partitionColumnTypeInference.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_bcast)
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            orig_reuse)
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+            orig_infer)
