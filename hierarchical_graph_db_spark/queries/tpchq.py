@@ -840,3 +840,146 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count("*").alias("numcust"),
              F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_acctbal, s.s_name,
+               n.n_name
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    best AS (SELECT l_partkey, min(s_acctbal) AS min_bal FROM cost
+             GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_name, c.s_name, c.n_name,
+           round(c.s_acctbal, 2) AS s_acctbal
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey AND c.s_acctbal = b.min_bal
+    JOIN part p ON p.p_partkey = c.l_partkey
+    WHERE p.p_size <= 5
+    ORDER BY s_acctbal, p_partkey, s_name LIMIT 50
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 SHAPE (minimum-cost supplier with join-back): the fixture
+    has no partsupp/supplycost, so 'cost' is the supplier's account balance
+    over the part→supplier relationships lineitem witnessed, regioned to
+    EUROPE. The canonical plan survives intact: per-part min as a grouped
+    twin, equi-joined back to recover the argmin rows (never a correlated
+    probe), dims broadcast, deterministic tie-break."""
+    cat = Catalog(spark, sf_dir)
+    r = cat.region.where(F.col("r_name") == "EUROPE").select("r_regionkey")
+    n = cat.nation.join(F.broadcast(r),
+                        F.col("n_regionkey") == F.col("r_regionkey")) \
+        .select("n_nationkey", "n_name")
+    s = cat.supplier.join(F.broadcast(n),
+                          F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    cost = (
+        cat.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("l_partkey", "l_suppkey", "s_acctbal", "s_name", "n_name")
+        .distinct()
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    p = cat.part.where(F.col("p_size") <= 5).select("p_partkey", "p_name")
+    return (
+        cost.join(best, ["l_partkey"])
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "n_name",
+                F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_acctbal", "p_partkey", "s_name")
+        .limit(50)
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    """
+    WITH pv AS (
+        SELECT l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM pv
+    WHERE part_value > (SELECT avg(part_value) * 1.5 FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 SHAPE (important stock): group to per-part value, keep
+    parts above 1.5× the GLOBAL mean part value — the grouped-aggregate +
+    scalar-subquery-threshold pattern (mean-relative instead of the spec's
+    sum×FRACTION so the cut is scale-free across fixture sizes). No
+    partsupp in the fixture, so 'stock value' is revenue per part; the
+    threshold re-aggregates the 2k-row per-part table (not the fact) and
+    broadcasts as one row."""
+    cat = Catalog(spark, sf_dir)
+    pv = (
+        cat.lineitem.groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                     2).alias("part_value"))
+    )
+    thresh = pv.agg((F.avg("part_value") * 1.5).alias("_cut"))
+    return (
+        pv.join(F.broadcast(thresh))
+        .where(F.col("part_value") > F.col("_cut"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "tpch_q20_dominant_suppliers",
+    """
+    WITH sq AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    pq AS (
+        SELECT l_partkey, sum(supp_qty) AS part_qty FROM sq GROUP BY l_partkey
+    )
+    SELECT s.s_name, n.n_name,
+           CAST(count(*) AS BIGINT) AS n_dominated_parts
+    FROM sq
+    JOIN pq ON sq.l_partkey = pq.l_partkey
+    JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE sq.supp_qty > 0.15 * pq.part_qty
+    GROUP BY s.s_name, n.n_name
+    ORDER BY n_dominated_parts DESC, s_name LIMIT 25
+    """,
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 SHAPE (suppliers holding excess share of a part): the
+    spec's nested IN(qty > half of shipped) becomes two grouped aggregates
+    off the SAME per-(part,supplier) table — Catalyst reuses the first
+    aggregate for the per-part total, the share predicate rides the
+    join-back, and only supplier/nation dims broadcast. Counts how many
+    parts each supplier dominates (>15% of shipped quantity — sized to
+    the fixture's ~uniform part→supplier spread so the answer is
+    non-trivial at every scale factor)."""
+    cat = Catalog(spark, sf_dir)
+    sq = (cat.lineitem.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum("l_quantity").alias("supp_qty")))
+    pq = sq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    n = cat.nation.select("n_nationkey", "n_name")
+    s = cat.supplier.join(F.broadcast(n),
+                          F.col("s_nationkey") == F.col("n_nationkey")) \
+        .select("s_suppkey", "s_name", "n_name")
+    return (
+        sq.join(pq, "l_partkey")
+        .where(F.col("supp_qty") > 0.15 * F.col("part_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+        .orderBy(F.col("n_dominated_parts").desc(), "s_name")
+        .limit(25)
+    )
