@@ -282,16 +282,25 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def weighted_distances(edges: DataFrame, landmark: str, n_rounds: int = 6,
-                       weight_col: str = "cost") -> DataFrame:
-    """Bellman-Ford relaxation from ``landmark`` → (id, distance), exact for
-    all shortest paths of ≤ ``n_rounds`` hops (non-negative costs).
+def weighted_distances(edges: DataFrame, landmark: str,
+                       weight_col: str = "cost",
+                       max_rounds: int = 64) -> DataFrame:
+    """Bellman-Ford relaxation from ``landmark`` → (id, distance), iterated
+    to the FIXED POINT (non-negative costs): rounds continue until one full
+    relaxation improves no distance. ``max_rounds`` is a safety valve only
+    (a graph with diameter > max_rounds raises rather than silently
+    returning unconverged answers — at 100× scale a constant round count
+    would be wrong-but-plausible).
 
     Each round relaxes every edge once: dist'[v] = min(dist[v],
     min over (u,v) of dist[u] + cost). One join + one agg per round, keyed on
     the vertex id — the distributed-friendly SSSP (Dijkstra's priority queue
     is inherently sequential; relaxation rounds are how SSSP scales out).
-    Unreachable vertices are absent (same as the unrolled SQL oracle).
+    The convergence probe is a 1-row early-exit count on rows that improved
+    (limit(1) — never materializes the comparison), the same loop-control
+    pattern as :func:`connected_components`; per-round ``localCheckpoint``
+    keeps the lineage flat. Unreachable vertices are absent (same as the
+    unrolled SQL oracle).
     """
     e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("cost"))
     e = e.localCheckpoint(eager=True)
@@ -299,18 +308,34 @@ def weighted_distances(edges: DataFrame, landmark: str, n_rounds: int = 6,
         [(landmark, 0.0)], "id string, distance double"
     ).localCheckpoint(eager=True)
 
-    for _ in range(n_rounds):
+    for _ in range(max_rounds):
         relaxed = (
             dist.join(e, dist.id == e.src)
             .select(F.col("dst").alias("id"),
                     (F.col("distance") + F.col("cost")).alias("distance"))
         )
-        dist = (
+        new_dist = (
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("distance").alias("distance"))
         ).localCheckpoint(eager=True)
-    return dist
+        improved = (
+            new_dist.alias("n")
+            .join(dist.alias("o"), on="id", how="left")
+            .where(
+                F.col("o.distance").isNull()
+                | (F.col("n.distance") < F.col("o.distance"))
+            )
+            .limit(1)
+            .count()
+        )
+        dist = new_dist
+        if improved == 0:
+            return dist
+    raise RuntimeError(
+        f"weighted_distances did not converge within max_rounds={max_rounds}; "
+        f"the graph's weighted diameter exceeds the safety cap — raise it"
+    )
 
 
 def label_propagation_communities(edges: DataFrame, n_iter: int = 5) -> DataFrame:
@@ -499,17 +524,20 @@ def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 8) -> DataFrame:
-    """k-core membership by fixed-round peeling: repeatedly drop vertices
-    with induced degree < k. ``n_rounds`` is part of the operator contract
-    (like the Bellman-Ford relaxation rounds) so the result is deterministic
-    and the oracle can unroll the same rounds; rounds beyond convergence are
-    no-ops. Returns (id, degree) for surviving vertices with their induced
-    degree.
+def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 256) -> DataFrame:
+    """k-core membership by peeling to the FIXED POINT: repeatedly drop
+    vertices with induced degree < k until a full round drops nothing.
+    ``max_rounds`` is a safety valve only (a peeling sequence deeper than
+    the cap raises instead of returning a superset of the core — the
+    pre-convergence-check version stopped after 8 constant rounds, which at
+    100× scale silently kept sub-core vertices). Returns (id, degree) for
+    surviving vertices with their induced degree.
 
     Each round is one degree aggregate + two semi-joins on the vertex id —
     the same keyed-join discipline as every iterative op here;
-    ``localCheckpoint`` per round cuts the lineage.
+    ``localCheckpoint`` per round cuts the lineage. Convergence is detected
+    by the surviving directed-edge count (peeling is monotone — an unchanged
+    count IS the fixed point), a 1-row driver read per round.
     """
     sym = (
         edges.select("src", "dst")
@@ -518,7 +546,10 @@ def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 8) -> DataFrame:
         .distinct()
     ).localCheckpoint(eager=True)
     alive = sym
-    for _ in range(n_rounds):
+    n_prev = alive.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
         deg = alive.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("degree")
         )
@@ -529,6 +560,15 @@ def k_core(edges: DataFrame, k: int = 3, n_rounds: int = 8) -> DataFrame:
             .join(keep.withColumnRenamed("id", "dst"), on="dst",
                   how="left_semi")
         ).localCheckpoint(eager=True)
+        n_new = alive.count()
+        if n_new == n_prev:
+            break
+        n_prev = n_new
+    else:
+        raise RuntimeError(
+            f"k_core did not converge within max_rounds={max_rounds}; "
+            f"the peeling depth exceeds the safety cap — raise it"
+        )
     return (
         alive.groupBy(F.col("src").alias("id"))
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))

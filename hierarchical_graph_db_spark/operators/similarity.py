@@ -110,11 +110,18 @@ def hyperplane_signature(vec_col: str, n_planes: int, dim: int,
     shifts plane indices so banded callers draw independent families from
     the same hash stream.
     """
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec_col):
+        raise ValueError(
+            f"hyperplane_signature expects a plain column identifier, "
+            f"got {vec_col!r}"
+        )
     bits = []
     for p in range(plane_offset, plane_offset + n_planes):
         # left-assoc " + " chain == the oracle's term order (float parity)
         terms = " + ".join(
-            f"CAST({vec_col}[{d}] AS DOUBLE) * {1.0 if hash_sign(p, d) else -1.0}"
+            f"CAST(`{vec_col}`[{d}] AS DOUBLE) * {1.0 if hash_sign(p, d) else -1.0}"
             for d in range(dim)
         )
         bits.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")

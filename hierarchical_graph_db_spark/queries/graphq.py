@@ -252,9 +252,18 @@ def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_communities(edges)
 
 
-def _weighted_sssp_oracle(n_rounds: int = 6) -> str:
+WEIGHTED_SSSP_ORACLE_ROUNDS = 16
+
+
+def _weighted_sssp_oracle(n_rounds: int = WEIGHTED_SSSP_ORACLE_ROUNDS) -> str:
     """Unrolled Bellman-Ford rounds (MATERIALIZED — each round reads the
-    previous twice: carry-over + relaxation)."""
+    previous twice: carry-over + relaxation).
+
+    The Spark operator iterates to the fixed point, so the oracle unrolls
+    a round count safely PAST the fixture's convergence depth (rounds after
+    convergence are no-ops — the CTE chain reproduces the fixed point
+    exactly). ``tests/test_graph.py`` pins that the fixture converges well
+    inside this margin."""
     rounds = []
     prev = "d0"
     for i in range(1, n_rounds + 1):
@@ -284,8 +293,9 @@ def _weighted_sssp_oracle(n_rounds: int = 6) -> str:
 @query("graph_weighted_distances", _weighted_sssp_oracle())
 def graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted SSSP from user '1': edge cost = 1/interaction-count (frequent
-    pairs are 'closer'), 6 Bellman-Ford relaxation rounds — hash-checked
-    against the same rounds unrolled as SQL CTEs."""
+    pairs are 'closer'), Bellman-Ford relaxed to the fixed point —
+    hash-checked against an unrolled SQL CTE chain that runs past the
+    convergence depth (post-convergence rounds are no-ops)."""
     from hierarchical_graph_db_spark.operators.graph import weighted_distances
 
     ev = Catalog(spark, sf_dir).events
@@ -295,7 +305,7 @@ def graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").cast("string").alias("dst"),
         )
     ).select("src", "dst", (F.lit(1.0) / F.col("weight")).alias("cost"))
-    out = weighted_distances(weighted, landmark="1", n_rounds=6)
+    out = weighted_distances(weighted, landmark="1")
     return out.select("id", F.round("distance", 6).alias("distance"))
 
 
@@ -411,13 +421,16 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 K_CORE_K = 72
-K_CORE_ROUNDS = 8
+K_CORE_ORACLE_ROUNDS = 24
 
 
-def _kcore_oracle(k: int = K_CORE_K, n_rounds: int = K_CORE_ROUNDS) -> str:
-    """DuckDB twin of ``operators.graph.k_core``: the fixed peeling rounds
-    unroll into chained CTEs, each keeping edges whose BOTH endpoints clear
-    the induced-degree bar of the previous round."""
+def _kcore_oracle(k: int = K_CORE_K, n_rounds: int = K_CORE_ORACLE_ROUNDS) -> str:
+    """DuckDB twin of ``operators.graph.k_core``: peeling rounds unroll into
+    chained CTEs, each keeping edges whose BOTH endpoints clear the
+    induced-degree bar of the previous round. The Spark operator peels to
+    the fixed point, so the unroll count sits safely past the fixture's
+    convergence depth (post-convergence rounds are no-ops);
+    ``tests/test_graph.py`` pins the margin."""
     iters = []
     prev = "a0"
     for i in range(1, n_rounds + 1):
@@ -444,10 +457,9 @@ def _kcore_oracle(k: int = K_CORE_K, n_rounds: int = K_CORE_ROUNDS) -> str:
 
 @query("graph_k_core", _kcore_oracle())
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """72-core of the interaction graph by fixed-round peeling (8 rounds —
-    rounds beyond convergence are no-ops, so the count is the determinism
-    contract like the Bellman-Ford rounds). Surviving vertices with their
-    induced degree; the oracle unrolls identical peeling rounds."""
+    """72-core of the interaction graph, peeled to the fixed point.
+    Surviving vertices with their induced degree; the oracle unrolls
+    peeling rounds past the convergence depth (no-ops once converged)."""
     from hierarchical_graph_db_spark.operators.graph import k_core
 
     ev = Catalog(spark, sf_dir).events
@@ -455,7 +467,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
     )
-    return k_core(edges, k=K_CORE_K, n_rounds=K_CORE_ROUNDS)
+    return k_core(edges, k=K_CORE_K)
 
 
 @query(

@@ -324,10 +324,13 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     "events_value_histogram",
     """
     WITH bounds AS (
-        SELECT min(value) AS vmin, max(value) AS vmax FROM events
+        SELECT min(value) AS vmin, max(value) AS vmax,
+               CASE WHEN max(value) = min(value) THEN 1.0
+                    ELSE max(value) - min(value) END AS vspan
+        FROM events
     )
     SELECT event_type,
-           CAST(least(floor((value - vmin) * 20.0 / (vmax - vmin)), 19)
+           CAST(least(floor((value - vmin) * 20.0 / vspan), 19)
                 AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_events,
            round(sum(value), 2) AS total_value
@@ -341,12 +344,20 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a driver collect), the bucket index is pure arithmetic folded
     into the map side, and the histogram itself is one hash aggregate —
     the two-pass shape that survives any scale. Identical float expression
-    order on both engines keeps boundary values in the same bucket."""
+    order on both engines keeps boundary values in the same bucket. The
+    span falls back to 1.0 when vmax == vmin (all-equal column) so a
+    degenerate distribution lands in bucket 0 instead of NaN — same CASE
+    guard as drift_psi_value, mirrored in the oracle."""
     ev = Catalog(spark, sf_dir).events
-    bounds = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    bounds = ev.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.when(F.max("value") == F.min("value"), F.lit(1.0))
+        .otherwise(F.max("value") - F.min("value"))
+        .alias("vspan"),
+    )
     bucket = F.least(
-        F.floor((F.col("value") - F.col("vmin")) * 20.0
-                / (F.col("vmax") - F.col("vmin"))),
+        F.floor((F.col("value") - F.col("vmin")) * 20.0 / F.col("vspan")),
         F.lit(19),
     ).cast("long")
     return (

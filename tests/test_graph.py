@@ -107,6 +107,63 @@ def test_weighted_distances_prefers_cheap_path(spark):
     assert d == {"a": 0.0, "b": 1.0, "c": 2.0}  # x, y unreachable → absent
 
 
+def test_weighted_distances_converges_past_old_round_cap(spark):
+    """A 15-hop path: the pre-convergence-check version (constant 6 rounds)
+    would have returned distances for only the first 6 hops, silently
+    dropping v7..v15. The fixed-point loop must return ALL hops exactly —
+    this is the 100×-scale guarantee (diameter grows with the graph)."""
+    from hierarchical_graph_db_spark.operators.graph import weighted_distances
+
+    n = 15
+    edges = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i+1:02d}", 1.0) for i in range(n)],
+        "src string, dst string, cost double")
+    d = {r["id"]: r["distance"]
+         for r in weighted_distances(edges, landmark="v00").collect()}
+    assert len(d) == n + 1                      # every hop reached
+    assert d[f"v{n:02d}"] == float(n)           # beyond the old 6-round cap
+    assert all(d[f"v{i:02d}"] == float(i) for i in range(n + 1))
+
+
+def test_weighted_distances_cap_is_a_safety_valve(spark):
+    """The round cap raises instead of returning unconverged answers."""
+    import pytest
+
+    from hierarchical_graph_db_spark.operators.graph import weighted_distances
+
+    edges = spark.createDataFrame(
+        [(f"v{i}", f"v{i+1}", 1.0) for i in range(6)],
+        "src string, dst string, cost double")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        weighted_distances(edges, landmark="v0", max_rounds=3)
+
+
+def test_k_core_peels_past_old_round_cap(spark):
+    """A 20-node tail welded to a triangle, k=2: peeling removes one tail
+    vertex per round, so reaching the fixed point takes ~20 rounds — the
+    pre-convergence-check version (constant 8 rounds) would have kept
+    mid-tail vertices that are NOT in the 2-core. The fixed-point loop
+    returns exactly the triangle."""
+    from hierarchical_graph_db_spark.operators.graph import k_core
+
+    tail = [(f"t{i:02d}", f"t{i+1:02d}") for i in range(19)]
+    weld = [("t19", "c0")]
+    triangle = [("c0", "c1"), ("c1", "c2"), ("c2", "c0")]
+    edges = spark.createDataFrame(tail + weld + triangle,
+                                  "src string, dst string")
+    core = {r["id"]: r["degree"] for r in k_core(edges, k=2).collect()}
+    assert core == {"c0": 2, "c1": 2, "c2": 2}
+
+
+def test_k_core_empty_core_terminates(spark):
+    """A pure path has no 2-core; peeling must drain to empty and stop."""
+    from hierarchical_graph_db_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(f"p{i}", f"p{i+1}") for i in range(9)], "src string, dst string")
+    assert k_core(edges, k=2).count() == 0
+
+
 def test_label_propagation_two_cliques(spark):
     """Two 4-cliques bridged by a single edge: CC sees one component, LPA
     keeps two communities — and output is deterministic across runs."""
