@@ -3,9 +3,9 @@
 The communication graph is emulated on ``events`` (FIXTURES.md B4):
 consecutive users within an event_type stream form directed edges. Edge
 building, weighting and degrees are oracle-matched; connected components is
-oracle-matched via a recursive-CTE reachability twin; PageRank is fixed-point
-iterative (rows-only — validated against networkx-free hand checks in
-pytest).
+oracle-matched via a recursive-CTE reachability twin; the iterative ops
+(PageRank, PPR, Bellman-Ford SSSP, k-core, LPA) oracle via their rounds
+unrolled as chained MATERIALIZED CTEs.
 """
 
 from __future__ import annotations
@@ -234,12 +234,60 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(edges, landmark="1", max_hops=10)
 
 
-@query("graph_communities_lpa", None)  # iterative mode-finding: rows-only;
+def _lpa_oracle(n_iter: int = 5) -> str:
+    """DuckDB twin of ``operators.graph.label_propagation_communities``:
+    the synchronized rounds unroll into chained MATERIALIZED CTEs (each
+    round reads the previous once per reference; MATERIALIZED still
+    prevents the chain re-inlining). The most-frequent-neighbor-label
+    choice with min-label tie-break (Spark: ``min_by(community,
+    struct(-freq, community))``) is reproduced with ``row_number() OVER
+    (ORDER BY freq DESC, community ASC)`` — both are binary-collation
+    string comparisons, so ties agree."""
+    rounds = []
+    prev = "l0"
+    for i in range(1, n_iter + 1):
+        cur = f"l{i}"
+        rounds.append(f"""
+    {cur} AS MATERIALIZED (
+        SELECT v.id, coalesce(b.community, v.id) AS community
+        FROM verts v
+        LEFT JOIN (
+            SELECT id, community FROM (
+                SELECT id, community,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY freq DESC, community ASC)
+                           AS rn
+                FROM (
+                    SELECT s.a AS id, l.community, count(*) AS freq
+                    FROM sym s JOIN {prev} l ON l.id = s.b
+                    GROUP BY s.a, l.community
+                )
+            ) WHERE rn = 1
+        ) b ON b.id = v.id
+    )""")
+        prev = cur
+    return f"""
+    WITH raw AS ({_SQL_EDGES}),
+    sym AS MATERIALIZED (
+        SELECT src AS a, dst AS b FROM raw
+        UNION
+        SELECT dst AS a, src AS b FROM raw
+    ),
+    verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym),
+    l0 AS MATERIALIZED (SELECT id, id AS community FROM verts),
+    {','.join(rounds)}
+    SELECT id, community FROM {prev}
+    """
+
+
+@query("graph_communities_lpa", _lpa_oracle())
 def graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronized label-propagation communities (5 rounds, deterministic
     min-tie-break) over the interaction graph — dense-structure detection
     beside CC's connectivity. Determinism + clique-separation behavior
-    pinned in tests/test_graph.py."""
+    pinned in tests/test_graph.py; the oracle unrolls the same 5
+    synchronized rounds as SQL CTEs (fixed round count IS the contract —
+    mode-finding can oscillate, so LPA is not a convergence loop)."""
     from hierarchical_graph_db_spark.operators.graph import (
         label_propagation_communities,
     )
