@@ -1,11 +1,22 @@
-"""Grouped pandas UDF operators (``applyInPandas``).
+"""Grouped pandas UDF operators (``applyInPandas``) — hot-key-safe forms.
 
-The escape hatch for per-group math Catalyst can't express: each group
-arrives as one pandas DataFrame (Arrow transfer), runs arbitrary Python, and
-returns rows. Shape rules at 100 TB: the groupBy *is* the shuffle — one pass,
-hash-partitioned on the key; a single group must fit one executor's memory
-(true for per-user/per-doc groups, NOT for global ones — never key on a
-constant).
+The escape hatch for per-group math Catalyst can't express. Shape rules at
+100 TB: the groupBy *is* the shuffle, BUT a pandas group is one Arrow batch
+that must fit executor memory — so nothing here ever feeds a UDF a whole
+per-key history. Sequential recurrences are parallel-prefix-decomposed:
+
+- :func:`ewma_values` — the EWMA linear recurrence runs as chunk-local
+  prefixes in pure Catalyst (scaled cumulative sums inside bounded chunks)
+  plus a per-user carry scan over CHUNK SUMMARIES (one row per chunk, not
+  per event) in ``applyInPandas``. A key with 10⁸ events puts ≤ chunk_size
+  rows in any window frame's in-memory batch and ≤ 10⁸/chunk_size summary
+  rows in the scan group — both bounded, where the old whole-history group
+  was an OOM.
+- :func:`user_value_trend` — OLS moments are algebraically aggregable, so
+  they reduce map-side in Catalyst (centered two-pass form for numerical
+  parity with ``regr_slope``); the pandas UDF receives ONE moment row per
+  user (the model-scoring seam stays a grouped UDF, its input no longer
+  scales with history length).
 
 ``user_value_trend`` is deliberately also expressible in SQL
 (``regr_slope``), so the Python path gets a hash-checked DuckDB oracle —
@@ -15,74 +26,182 @@ relationally on synthetic data.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 TREND_SCHEMA = "user_id long, n_events long, slope double"
 
 
-def _trend(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-user OLS slope of value over event time (seconds).
+def _slope_from_moments(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Finalize the OLS slope from pre-aggregated centered moments.
 
-    Centered formulation (cov/var on demeaned x) — numerically identical to
-    SQL ``regr_slope``; None when variance is zero (single instant)."""
-    x = pdf["ts_sec"].astype("float64")
-    y = pdf["value"].astype("float64")
-    n = len(pdf)
-    xc = x - x.mean()
-    var = (xc * xc).sum()
-    slope = None if var == 0.0 else float((xc * (y - y.mean())).sum() / var)
+    One input row per user (sxy = Σ(x-x̄)(y-ȳ), sxx = Σ(x-x̄)²) — the
+    grouped-UDF seam where a real pipeline would run model scoring; the
+    group no longer scales with the user's history length."""
+    sxx = pdf["sxx"].iloc[0]
+    slope = None if sxx == 0.0 else round(float(pdf["sxy"].iloc[0] / sxx), 6)
     return pd.DataFrame(
-        {"user_id": [int(pdf["user_id"].iloc[0])], "n_events": [n],
-         "slope": [None if slope is None else round(slope, 6)]}
+        {"user_id": [int(pdf["user_id"].iloc[0])],
+         "n_events": [int(pdf["n_events"].iloc[0])],
+         "slope": [slope]}
     )
 
 
 def user_value_trend(events: DataFrame) -> DataFrame:
-    """value-over-time trend per user via ``applyInPandas``."""
-    from pyspark.sql import functions as F
+    """Per-user OLS slope of value over event time (seconds).
 
+    Centered two-pass formulation — numerically identical to SQL
+    ``regr_slope`` (raw moments would cancel catastrophically at
+    ts ≈ 1.7e9): pass 1 aggregates per-user means (map-side combine),
+    pass 2 re-joins them (co-partitioned on user_id) and aggregates the
+    centered cross-moments, and the grouped UDF finalizes slope from the
+    single moment row. No stage holds more than O(1) rows per user in
+    Python — hot keys reduce map-side in Catalyst."""
     prepped = events.select(
         "user_id", F.col("ts").cast("long").alias("ts_sec"), "value"
     )
-    return prepped.groupBy("user_id").applyInPandas(_trend, schema=TREND_SCHEMA)
+    means = prepped.groupBy("user_id").agg(
+        F.avg("ts_sec").alias("mx"),
+        F.avg("value").alias("my"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    xc = F.col("ts_sec").cast("double") - F.col("mx")
+    yc = F.col("value").cast("double") - F.col("my")
+    moments = (
+        prepped.join(means, on="user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(xc * yc).alias("sxy"),
+            F.sum(xc * xc).alias("sxx"),
+            F.first("n_events").alias("n_events"),
+        )
+    )
+    return moments.groupBy("user_id").applyInPandas(
+        _slope_from_moments, schema=TREND_SCHEMA
+    )
 
 
-def _ewma(alpha: float):
-    """Per-group EWMA (adjust=True closed form) via the num/den recursion:
-    num_t = x_t + (1-α)·num_{t-1}; den_t = 1 + (1-α)·den_{t-1}; y = num/den.
-    Mathematically Σ(1-α)^j·x_{t-j} / Σ(1-α)^j — the bounded-weight form
-    whose oracle is a list-lambda in DuckDB. Rounded to 5dp so the two
-    engines' summation orders can't flip the hash."""
+def _ewma_carry_scan(d: float):
+    """Per-user sequential scan over CHUNK SUMMARIES (one row per chunk):
+    carry-in state for chunk i is the end-of-chunk-(i-1) global (num, den)
+    of the recursion num' = x + d·num, den' = 1 + d·den. Group size is
+    n_events/chunk_size — bounded even for a 10⁸-event hot key."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        decay = 1.0 - alpha
-        num = 0.0
-        den = 0.0
-        out = []
-        for x in pdf["value"].astype("float64"):
-            num = x + decay * num
-            den = 1.0 + decay * den
-            out.append(round(num / den, 5))
-        return pd.DataFrame({"event_id": pdf["event_id"], "ewma": out})
+        pdf = pdf.sort_values("chunk_id", kind="mergesort")
+        s_num = 0.0
+        s_den = 0.0
+        out_num = []
+        out_den = []
+        for num_end, den_end, ln in zip(
+            pdf["num_end"].astype("float64"),
+            pdf["den_end"].astype("float64"),
+            pdf["chunk_len"],
+        ):
+            out_num.append(s_num)
+            out_den.append(s_den)
+            dk = d ** int(ln)
+            s_num = num_end + dk * s_num
+            s_den = den_end + dk * s_den
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "chunk_id": pdf["chunk_id"],
+             "s_num": out_num, "s_den": out_den}
+        )
 
     return fn
 
 
-def ewma_values(events: DataFrame, alpha: float = 0.3) -> DataFrame:
-    """Exponentially weighted moving average of ``value`` per user.
+CARRY_SCHEMA = "user_id long, chunk_id long, s_num double, s_den double"
 
-    The recursion is order-dependent state — the one window shape Catalyst
-    can't express (no recursive frames) — so it runs as ``applyInPandas``:
-    the groupBy(user_id) IS the shuffle, each user's history streams through
-    one Arrow batch in event-time order. At 100 TB the per-group invariant
-    holds (a user's events fit an executor); never key this on a constant.
+
+def ewma_values(events: DataFrame, alpha: float = 0.3,
+                chunk_size: int = 4096) -> DataFrame:
+    """Exponentially weighted moving average of ``value`` per user
+    (adjust=True closed form: Σ(1-α)^j·x_{t-j} / Σ(1-α)^j).
+
+    The recursion num' = x + d·num, den' = 1 + d·den (d = 1-α) is a linear
+    recurrence, so it parallel-prefix-decomposes instead of running one
+    pandas loop over a key's whole history:
+
+    1. rows get a per-user position (``row_number`` — WindowExec sorts with
+       disk spill, never an Arrow batch) and a chunk id / in-chunk position;
+    2. chunk-LOCAL prefixes run in pure Catalyst as a scaled cumulative sum
+       (num_p = d^p · Σ x_q·d^{-q} over the chunk frame) — the chunk bound
+       keeps d^{±p} far inside double range (auto-shrunk for extreme α, see
+       below), and the local denominator is the closed-form geometric sum;
+    3. per-chunk end states reduce to ONE summary row each; a per-user
+       ``applyInPandas`` scan over summaries produces each chunk's carry-in
+       (group size = n_chunks, bounded for any history length);
+    4. carries join back co-keyed on (user_id, chunk_id) and the final
+       value is (num_local + d^{p+1}·carry_num)/(den_local + d^{p+1}·carry_den),
+       rounded to 5dp so engine summation orders can't flip the hash (the
+       DuckDB oracle computes the same closed form with a list lambda —
+       a third association — and agrees at 5dp).
+
+    Per-task memory is O(chunk_size + n_chunks) for any key — the
+    whole-history-in-one-Arrow-batch form this replaces was a hot-key OOM
+    at 100 TB (SCALING.md §grouped).
     """
-    from pyspark.sql import functions as F
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    d = 1.0 - alpha
+    if d == 0.0:
+        # alpha == 1: no memory — EWMA is the value itself.
+        return events.select(
+            "event_id", F.round(F.col("value").cast("double"), 5).alias("ewma")
+        )
+    # d^{±(chunk-1)} must stay within ~1e±250: cap the chunk so the scaled
+    # cumsum cannot overflow even for aggressive decay rates.
+    safe = int(250.0 / abs(math.log10(d))) if d < 1.0 else chunk_size
+    chunk = max(16, min(chunk_size, safe))
 
-    prepped = events.select("user_id", "ts", "event_id", "value")
-    return prepped.groupBy("user_id").applyInPandas(
-        _ewma(alpha), schema="event_id long, ewma double"
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = events.select("user_id", "ts", "event_id", "value").withColumn(
+        "gpos", F.row_number().over(w_rn) - F.lit(1)
+    ).select(
+        "user_id", "event_id",
+        (F.col("gpos") / chunk).cast("long").alias("chunk_id"),
+        (F.col("gpos") % chunk).alias("pos"),
+        F.col("value").cast("double").alias("value"),
+    )
+    w_chunk = (
+        Window.partitionBy("user_id", "chunk_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scaled = F.col("value") * F.pow(F.lit(d), -F.col("pos"))
+    lnum = F.pow(F.lit(d), F.col("pos")) * F.sum(scaled).over(w_chunk)
+    lden = (
+        (F.lit(1.0) - F.pow(F.lit(d), F.col("pos") + 1)) / F.lit(1.0 - d)
+        if d < 1.0
+        else (F.col("pos") + F.lit(1)).cast("double")
+    )
+    local = rows.select(
+        "user_id", "event_id", "chunk_id", "pos",
+        lnum.alias("lnum"), lden.alias("lden"),
+    ).localCheckpoint(eager=True)  # reused by summaries AND the final join
+
+    summaries = local.groupBy("user_id", "chunk_id").agg(
+        F.max_by("lnum", "pos").alias("num_end"),
+        F.max_by("lden", "pos").alias("den_end"),
+        (F.max("pos") + 1).alias("chunk_len"),
+    )
+    carries = summaries.groupBy("user_id").applyInPandas(
+        _ewma_carry_scan(d), schema=CARRY_SCHEMA
+    )
+    dk1 = F.pow(F.lit(d), F.col("pos") + 1)
+    return (
+        local.join(carries, on=["user_id", "chunk_id"])
+        .select(
+            "event_id",
+            F.round(
+                (F.col("lnum") + dk1 * F.col("s_num"))
+                / (F.col("lden") + dk1 * F.col("s_den")),
+                5,
+            ).alias("ewma"),
+        )
     )
