@@ -561,7 +561,10 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 256) -> DataFrame:
                   how="left_semi")
         ).localCheckpoint(eager=True)
         n_new = alive.count()
-        if n_new == n_prev:
+        # n_new == 0 is itself a provable fixed point (nothing left to peel)
+        # — break NOW, or a drain on the final permitted round would fall
+        # through to the spurious did-not-converge raise below.
+        if n_new == n_prev or n_new == 0:
             break
         n_prev = n_new
     else:

@@ -214,3 +214,48 @@ def test_thread_reconstruction(spark):
     t = {r["message_id"]: r["thread_id"] for r in thread_ids(emails).collect()}
     assert t["<m1>"] == t["<m2>"] == t["<m3>"]
     assert t["<m4>"] == "<m4>"  # singleton threads alone
+
+
+def test_k_core_drain_on_final_round_is_converged(spark):
+    """A 10-node path peels to empty in exactly 5 rounds; empty IS a fixed
+    point, so max_rounds=5 must return empty rather than raise (the loop
+    treats n_new == 0 as converged even on the last permitted round)."""
+    from hierarchical_graph_db_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(f"p{i}", f"p{i+1}") for i in range(9)], "src string, dst string")
+    assert k_core(edges, k=2, max_rounds=5).count() == 0
+
+
+def test_fixture_converges_inside_oracle_unrolls(spark, sf_dir):
+    """The SSSP/k-core oracles unroll a FIXED round count while the Spark
+    operators iterate to the fixed point; if fixture regeneration ever
+    deepens convergence past the unroll, the only driver-side signal would
+    be an opaque hash mismatch. Pin the margin here: running with
+    max_rounds == the oracle unroll count raises iff convergence needs more
+    rounds than the oracle replays."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_graph_db_spark.io import Catalog
+    from hierarchical_graph_db_spark.operators.graph import (
+        k_core,
+        sequential_interaction_edges,
+        weighted_distances,
+    )
+    from hierarchical_graph_db_spark.queries.graphq import (
+        K_CORE_K,
+        K_CORE_ORACLE_ROUNDS,
+        WEIGHTED_SSSP_ORACLE_ROUNDS,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    weighted = edge_weights(edges).select(
+        "src", "dst", (F.lit(1.0) / F.col("weight")).alias("cost"))
+    assert weighted_distances(
+        weighted, landmark="1", max_rounds=WEIGHTED_SSSP_ORACLE_ROUNDS
+    ).count() > 0
+    assert k_core(edges, k=K_CORE_K, max_rounds=K_CORE_ORACLE_ROUNDS).count() > 0

@@ -172,3 +172,29 @@ def test_chi_square_zero_for_independent_table(spark):
         .collect()[0]["chi2"]
     )
     assert chi2 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ewma_multi_chunk_carry_matches_pandas(spark):
+    """45 events/user at chunk_size=16 → 3 chunks per user: the cross-chunk
+    carry scan (the hot-key scale path, never reached by the small fixtures)
+    must still reproduce pandas ewm(adjust=True) exactly."""
+    base = pd.Timestamp("2024-01-01")
+    rows, series, eid = [], {}, 0
+    for uid in (1, 2):
+        vals = [float((i * 7 + uid * 13) % 23) + 0.5 * uid for i in range(45)]
+        ids = list(range(eid, eid + len(vals)))
+        series[uid] = (ids, vals)
+        for i, v in enumerate(vals):
+            rows.append(
+                (ids[i], (base + pd.Timedelta(minutes=i)).to_pydatetime(),
+                 uid, v))
+        eid += len(vals)
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    for alpha in (0.3, 0.97):
+        got = {r["event_id"]: r["ewma"]
+               for r in ewma_values(ev, alpha=alpha, chunk_size=16).collect()}
+        for uid, (ids, vals) in series.items():
+            want = pd.Series(vals).ewm(alpha=alpha, adjust=True).mean()
+            for i, w in zip(ids, want):
+                assert got[i] == pytest.approx(w, abs=1e-4), (alpha, uid, i)
