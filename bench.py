@@ -59,6 +59,11 @@ HEADLINE = [
     "graph_clustering_coefficient",
     "ewma_user_value",
     "doc_unigram_logprob",
+    # iterative graph family (VERDICT r2 item 8): convergence-looped joins —
+    # a regression in per-round plan shape (lost localCheckpoint, lineage
+    # blowup, extra shuffles per iteration) shows up as wall-time here.
+    "graph_pagerank",
+    "graph_connected_components",
 ]
 
 

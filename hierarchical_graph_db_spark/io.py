@@ -47,14 +47,21 @@ class Catalog:
             # schemas in schemas.FIXTURES are asserted in tests instead of
             # forced here, so footer/declared drift fails loudly not silently.
             if name == "events":
-                # ts is TIMESTAMP(NANOS) in the fixture parquet, which
-                # Spark's reader rejects → read as long nanos → exact micros.
-                # Set here (not only in session.py) so the queries also work
+                # Fixture generations have stored ts as TIMESTAMP(NANOS)
+                # (read as long nanos under nanosAsLong) or TIMESTAMP(MICROS)
+                # (read as timestamp_ntz). Sniff the footer type and normalize
+                # both to a session-tz (UTC) timestamp so every downstream
+                # query sees one ts type regardless of fixture vintage. Conf
+                # set here (not only in session.py) so the queries also work
                 # under a caller-provided SparkSession (the driver's).
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                df = self.spark.read.parquet(self.path(name)).withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
+                df = self.spark.read.parquet(self.path(name))
+                if df.schema["ts"].dataType.simpleString() == "bigint":
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+                else:
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             else:
                 df = self.spark.read.parquet(self.path(name))
             self._cache[name] = df

@@ -44,23 +44,35 @@ def fixture_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the driver's ``events`` fixture.
 
     The file source needs a *directory*, so the scale-factor dir is the base
-    path with a glob filter selecting events.parquet; the fixture's
-    TIMESTAMP(NANOS) column is read as long nanos (see ``io.Catalog``) and
-    converted to an exact micros timestamp.
+    path with a glob filter selecting events.parquet. Fixture vintages store
+    ts as either TIMESTAMP(NANOS) (read as long nanos, see ``io.Catalog``)
+    or TIMESTAMP(MICROS); sniff the footer with a batch read and normalize.
     """
+    base = sf_dir.rstrip("/")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = StructType(
-        [
-            f if f.name != "ts" else StructField("ts", LongType())
-            for f in FIXTURES["events"]
-        ]
+    footer_ts = (
+        spark.read.parquet(f"{base}/events.parquet")
+        .schema["ts"].dataType.simpleString()
     )
+    if footer_ts == "bigint":  # TIMESTAMP(NANOS) vintage
+        schema = StructType(
+            [
+                f if f.name != "ts" else StructField("ts", LongType())
+                for f in FIXTURES["events"]
+            ]
+        )
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(base)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(FIXTURES["events"])
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
+        .parquet(base)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def drain_to_dataframe(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:

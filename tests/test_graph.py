@@ -227,13 +227,15 @@ def test_k_core_drain_on_final_round_is_converged(spark):
     assert k_core(edges, k=2, max_rounds=5).count() == 0
 
 
-def test_fixture_converges_inside_oracle_unrolls(spark, sf_dir):
+def test_fixture_converges_inside_oracle_unrolls(spark):
     """The SSSP/k-core oracles unroll a FIXED round count while the Spark
     operators iterate to the fixed point; if fixture regeneration ever
     deepens convergence past the unroll, the only driver-side signal would
-    be an opaque hash mismatch. Pin the margin here: running with
-    max_rounds == the oracle unroll count raises iff convergence needs more
-    rounds than the oracle replays."""
+    be an opaque hash mismatch. Pin the margin here at sf0.01 (the driver's
+    comparison SF): running with max_rounds == the oracle unroll count
+    raises iff convergence needs more rounds than the oracle replays.
+    Result emptiness is NOT asserted — an empty k-core is itself a valid
+    fixed point (sf0.001's 72-core is empty, for instance)."""
     from pyspark.sql import functions as F
 
     from hierarchical_graph_db_spark.io import Catalog
@@ -248,7 +250,7 @@ def test_fixture_converges_inside_oracle_unrolls(spark, sf_dir):
         WEIGHTED_SSSP_ORACLE_ROUNDS,
     )
 
-    ev = Catalog(spark, sf_dir).events
+    ev = Catalog(spark, "/root/testdata/sf0.01").events
     edges = sequential_interaction_edges(ev).select(
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
@@ -258,4 +260,5 @@ def test_fixture_converges_inside_oracle_unrolls(spark, sf_dir):
     assert weighted_distances(
         weighted, landmark="1", max_rounds=WEIGHTED_SSSP_ORACLE_ROUNDS
     ).count() > 0
-    assert k_core(edges, k=K_CORE_K, max_rounds=K_CORE_ORACLE_ROUNDS).count() > 0
+    # must not raise "did not converge"; the count itself may be anything
+    k_core(edges, k=K_CORE_K, max_rounds=K_CORE_ORACLE_ROUNDS).count()

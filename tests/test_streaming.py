@@ -234,26 +234,74 @@ def test_dedup_sink_rewrites_only_touched_buckets(spark, tmp_path):
     seed = [Row(key=f"k{i}", payload=f"p{i}", src="a") for i in range(32)]
     sink(spark.createDataFrame(seed), batch_id=0)
 
+    def bucket_files(data):
+        out = {}
+        for d in os.listdir(data):
+            if not d.startswith("bucket_id="):
+                continue
+            files = []
+            for root, _, names in os.walk(os.path.join(data, d)):
+                for f in sorted(names):
+                    if f.endswith(".parquet"):
+                        p = os.path.join(root, f)
+                        files.append((os.path.relpath(p, data),
+                                      os.path.getmtime(p)))
+            out[d] = sorted(files)
+        return out
+
     data = os.path.join(store, "data")
-    before = {}
-    for d in os.listdir(data):
-        if d.startswith("bucket_id="):
-            files = sorted(f for f in os.listdir(os.path.join(data, d))
-                           if f.endswith(".parquet"))
-            before[d] = [(f, os.path.getmtime(os.path.join(data, d, f)))
-                         for f in files]
+    before = bucket_files(data)
     assert len(before) > 1  # seed spread over several buckets
 
     sink(spark.createDataFrame([Row(key="k0", payload="dup", src="b")]),
          batch_id=1)
-    touched = 0
-    for d, snap in before.items():
-        now = sorted(f for f in os.listdir(os.path.join(data, d))
-                     if f.endswith(".parquet"))
-        cur = [(f, os.path.getmtime(os.path.join(data, d, f))) for f in now]
-        if cur != snap:
-            touched += 1
+    after = bucket_files(data)
+    touched = sum(1 for d, snap in before.items() if after[d] != snap)
     assert touched == 1  # exactly the bucket containing k0
+
+
+def test_store_crash_between_moves_and_swap_is_invisible(spark, tmp_path,
+                                                         monkeypatch):
+    """Manifest-pointer publish: a crash AFTER the new version dirs land but
+    BEFORE the single manifest swap leaves readers on the old, fully
+    consistent state (the round-2 verdict's kill-between-renames scenario —
+    the previous per-bucket-rename publish had a half-published window
+    here). Replay then completes the publish from pending + moved dirs."""
+    import pytest
+
+    from hierarchical_graph_db_spark.streaming.store import BucketedParquetStore
+
+    path = str(tmp_path / "st")
+    store = BucketedParquetStore(spark, path)
+    store.commit(0, spark.createDataFrame(
+        [(0, "a"), (1, "b")], "bucket_id int, val string"))
+    v0 = {(r["bucket_id"], r["val"]) for r in store.read().collect()}
+    assert v0 == {(0, "a"), (1, "b")}
+
+    orig = BucketedParquetStore._write_json
+
+    def crash_on_swap(self, name, payload):
+        if name == "manifest.json":
+            raise RuntimeError("killed before the swap")
+        return orig(self, name, payload)
+
+    monkeypatch.setattr(BucketedParquetStore, "_write_json", crash_on_swap)
+    with pytest.raises(RuntimeError, match="killed"):
+        store.commit(1, spark.createDataFrame(
+            [(0, "a2"), (1, "b2")], "bucket_id int, val string"))
+    monkeypatch.setattr(BucketedParquetStore, "_write_json", orig)
+
+    # a fresh reader sees batch 0 exactly — never a mix of old and new
+    fresh = BucketedParquetStore(spark, path)
+    assert fresh.committed_batch_id() == 0
+    assert {(r["bucket_id"], r["val"])
+            for r in fresh.read().collect()} == v0
+
+    # replay finishes the publish (moves are idempotent, swap is redone)
+    assert fresh.already_done(1)
+    assert fresh.committed_batch_id() == 1
+    assert {(r["bucket_id"], r["val"])
+            for r in fresh.read().collect()} == {(0, "a2"), (1, "b2")}
 
 
 def test_dedup_within_watermark_across_batches(spark, tmp_path):
