@@ -64,6 +64,10 @@ HEADLINE = [
     # blowup, extra shuffles per iteration) shows up as wall-time here.
     "graph_pagerank",
     "graph_connected_components",
+    # skew hardening (VERDICT r2 item 7): the two-stage salted window —
+    # a regression to the single-window form changes this entry's plan
+    # from (key, salt)-partitioned to whole-key reducers.
+    "window_topk_salted",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Hot-key hardening (round-2 verdict item 7): one user owning ~50% of all
+events — the shape that melts naive per-key operators at 100 TB. The salted
+top-k, sessionization, and chunked EWMA must stay correct under it, and the
+salted/chunked plan shapes must actually be present (asserted, not claimed).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.operators.grouped import ewma_values
+from hierarchical_graph_db_spark.operators.sessionize import session_stats
+from hierarchical_graph_db_spark.operators.skew import salted_topk
+
+HOT_USER = 7
+
+
+def _hot_events(spark, n=200_000):
+    """~50% of rows on one user; the rest spread over ~1000 cold users.
+    ts is a non-monotonic shuffle of a 50k-minute span so per-user sorted
+    gaps come out varied (single giant session for the hot user, sparse
+    multi-session histories for cold ones)."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(HOT_USER))
+        .otherwise((F.col("id") % 997) + 100).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + ((F.col("id") * 7) % 50_000) * 60
+        ).alias("ts"),
+        ((F.col("id") % 1000) / 10.0).alias("value"),
+    )
+
+
+def test_salted_topk_matches_direct_window_under_hot_key(spark):
+    ev = _hot_events(spark)
+    out = salted_topk(
+        ev.select("user_id", "event_id", "value"),
+        keys=["user_id"],
+        order_by=[F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+    )
+    # the salt column must survive into the optimized plan: stage 1 really
+    # partitions on (user_id, _salt), so no reducer sorts the hot user whole
+    assert "_salt" in out._jdf.queryExecution().optimizedPlan().toString()
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc())
+    direct = (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank")
+    )
+    got = {(r["user_id"], r["event_id"], r["rank"]) for r in out.collect()}
+    want = {(r["user_id"], r["event_id"], r["rank"]) for r in direct.collect()}
+    assert got == want and len(want) > 1000
+
+
+def test_session_stats_correct_under_hot_key(spark):
+    ev = _hot_events(spark)
+    got = {
+        (r["user_id"], r["session_id"]):
+            (r["n_events"], r["span_seconds"], r["total_value"])
+        for r in session_stats(ev, gap_minutes=30).collect()
+    }
+
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    pdf["gap"] = pdf.groupby("user_id")["ts"].diff().dt.total_seconds()
+    pdf["new"] = ((pdf["gap"].isna()) | (pdf["gap"] > 30 * 60)).astype(int)
+    pdf["seq"] = pdf.groupby("user_id")["new"].cumsum()
+    want = {}
+    for (uid, seq), g in pdf.groupby(["user_id", "seq"]):
+        span = int((g["ts"].max() - g["ts"].min()).total_seconds())
+        want[(uid, f"{uid}-{seq}")] = (len(g), span, round(g["value"].sum(), 2))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1], k
+        assert got[k][2] == pytest.approx(want[k][2], abs=0.02), k
+    # the hot user really is one giant session (the skewed shape under test)
+    hot = [k for k in want if k[0] == HOT_USER]
+    assert len(hot) == 1 and want[hot[0]][0] == 100_000
+
+
+def test_ewma_hot_key_multi_chunk_matches_pandas(spark):
+    """50k-event hot user at chunk_size=64 → ~780 chunk summaries flow
+    through the carry scan; per-task state never holds the full history
+    (the pre-rework operator shipped all 50k rows as ONE Arrow group)."""
+    n = 50_000
+    ev = spark.range(n).select(
+        F.lit(HOT_USER).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 60).alias("ts"),
+        ((F.col("id") % 321) / 7.0).alias("value"),
+    )
+    got = (
+        ewma_values(ev, alpha=0.3, chunk_size=64)
+        .orderBy("event_id").toPandas()
+    )
+    want = (
+        pd.Series([(i % 321) / 7.0 for i in range(n)])
+        .ewm(alpha=0.3, adjust=True).mean()
+    )
+    assert len(got) == n
+    diffs = (got["ewma"].to_numpy() - want.to_numpy())
+    assert abs(diffs).max() < 1e-3
