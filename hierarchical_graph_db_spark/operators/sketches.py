@@ -74,3 +74,66 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet-Fuss-Gandouet-Meunier 2007, public algorithm)
+# ---------------------------------------------------------------------------
+
+HLL_SALT = "hll-v1"
+HLL_M = 64  # registers (p = 6); alpha_64 per the HLL paper
+_HLL_ALPHA = 0.709
+# h is 15 sha256 nibbles = 60 bits: 6 register bits + 54 rank bits. All
+# integer arithmetic (the 2^-M_j sum is the EXACT integer Σ 2^(55-M_j)
+# over registers, empty registers contributing 2^55), so both engines
+# reach the same doubles before the single division.
+_HLL_RANK_BITS = 54
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
+                 m: int = HLL_M) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count of ``key_col`` per group.
+
+    Unlike ``approx_count_distinct`` (engine-private xxhash64 registers,
+    rows-only checkable), this sketch hashes with the repo's portable
+    sha256 convention, so a SQL oracle replays every register and the
+    estimate hash-matches across engines — the CMS treatment applied to
+    cardinality. Scale shape: one hash aggregate to ≤ m rows per group
+    (map-side collapsed), then a per-group fold; shuffle volume is
+    O(groups × m) regardless of input size.
+
+    Small-range correction (linear counting) per the HLL paper; the
+    32-bit-hash large-range correction is unnecessary with 54 rank bits.
+    """
+    if m != 64:
+        raise ValueError("oracle replay is pinned to m=64 (p=6)")
+    hexs = F.sha2(
+        F.concat_ws("|", F.lit(HLL_SALT), F.col(key_col).cast("string")), 256
+    )
+    h = F.conv(F.substring(hexs, 1, 15), 16, 10).cast("long")
+    v = F.shiftright(h, 6)  # 54 rank bits
+    rho = F.when(v == 0, F.lit(_HLL_RANK_BITS + 1)).otherwise(
+        F.lit(_HLL_RANK_BITS + 1) - F.length(F.conv(v, 10, 2))
+    )
+    regs = (
+        df.select(*group_cols, F.pmod(h, F.lit(m)).alias("reg"),
+                  rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    two55 = 1 << (_HLL_RANK_BITS + 1)
+    per = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        # pyspark's shiftleft() only takes a literal bit count — the
+        # column-shift form needs the SQL expression
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                     f"{_HLL_RANK_BITS + 1} - m_j)")).alias("s_present"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    s_total = (F.col("s_present") + zeros * F.lit(two55)).cast("double")
+    raw = F.lit(_HLL_ALPHA * m * m * float(two55)) / s_total
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per.select(*group_cols, F.round(est, 4).alias("est_users"))

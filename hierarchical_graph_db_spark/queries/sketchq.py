@@ -121,3 +121,69 @@ def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         truth.join(est, truth.token == est.item)
         .select("token", "true_n", F.col("est_n").cast("long").alias("est_n"))
     )
+
+
+def _sql_hex15(hex_expr: str) -> str:
+    """First 15 sha256 nibbles as a 60-bit BIGINT (DuckDB twin of
+    operators.sketches.hll_distinct's conv(substr(hex,1,15),16,10))."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hex_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+# alpha_64 * m^2 * 2^55, computed ONCE in Python so both engines see the
+# identical double literal (the estimate is this constant / an exact
+# integer register sum — one division, no order-dependent float folds).
+_HLL_NUMERATOR = repr(0.709 * 64 * 64 * float(1 << 55))
+
+
+@query(
+    "sketch_hll_distinct",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    h AS (
+        SELECT event_type,
+               {_sql_hex15("sha256('hll-v1|' || CAST(user_id AS VARCHAR))")}
+                   AS hv
+        FROM keys
+    ),
+    regs AS (
+        SELECT event_type, hv % 64 AS reg,
+               max(CASE WHEN (hv >> 6) = 0 THEN 55
+                        ELSE 55 - length(to_base(hv >> 6, 2)) END) AS m_j
+        FROM h GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT event_type, count(*) AS n_present,
+               sum(1::BIGINT << (55 - m_j)) AS s_present
+        FROM regs GROUP BY 1
+    )
+    SELECT event_type,
+           round(CASE WHEN {_HLL_NUMERATOR} /
+                          CAST(s_present + (64 - n_present) *
+                               (1::BIGINT << 55) AS DOUBLE) <= 160.0
+                       AND n_present < 64
+                      THEN 64.0 * ln(64.0 / (64 - n_present))
+                      ELSE {_HLL_NUMERATOR} /
+                           CAST(s_present + (64 - n_present) *
+                                (1::BIGINT << 55) AS DOUBLE)
+                 END, 4) AS est_users
+    FROM per
+    """,
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog distinct users per event_type — every register
+    replayed by the DuckDB oracle (sha256 hash family, exact integer
+    register sum), so the CARDINALITY SKETCH itself is hash-checked, not
+    just error-bounded. ``agg_hll_distinct`` keeps the engine-native
+    ``approx_count_distinct`` beside it as the rows-only production form;
+    accuracy vs exact counts is bounded in tests/test_sketches.py."""
+    from hierarchical_graph_db_spark.operators.sketches import hll_distinct
+
+    ev = Catalog(spark, sf_dir).events
+    return hll_distinct(ev, "user_id", ["event_type"])

@@ -94,3 +94,24 @@ def test_cms_out_of_vocabulary_probe_counts_empty_cells_as_zero(spark):
                                  width=1024, depth=4).collect()}
     assert est["only_item"] == 10
     assert est["never_seen"] == 0
+
+
+def test_portable_hll_within_error_bound(spark, sf_dir):
+    """The sha256-register HLL (sketch_hll_distinct) against exact distinct
+    counts: m=64 gives rsd ≈ 1.04/√64 = 13%; allow 3σ on the small fixture
+    groups plus a 20k-key synthetic where the estimate must tighten."""
+    from hierarchical_graph_db_spark.operators.sketches import hll_distinct
+
+    out = {r["event_type"]: r["est_users"]
+           for r in load()["sketch_hll_distinct"].run(spark, sf_dir).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in Catalog(spark, sf_dir).events.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    assert set(out) == set(exact)
+    for et, est in out.items():
+        assert abs(est - exact[et]) / exact[et] <= 0.40, (et, est, exact[et])
+
+    big = spark.range(20_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k"))
+    est = hll_distinct(big, "k", ["g"]).collect()[0]["est_users"]
+    assert abs(est - 20_000) / 20_000 <= 0.40
