@@ -68,6 +68,9 @@ HEADLINE = [
     # a regression to the single-window form changes this entry's plan
     # from (key, salt)-partitioned to whole-key reducers.
     "window_topk_salted",
+    # iterative ML representative: farthest-point seeding (k broadcast
+    # passes) + 3 Lloyd rounds of broadcast-assign / k×dim-shuffle update.
+    "embedding_kmeans_clusters",
 ]
 
 

@@ -311,3 +311,114 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return label_centroid_quality(Catalog(spark, sf_dir).embeddings, dim=64)
+
+
+# --- k-means (operators/clustering.py) --------------------------------------
+
+_KM_K, _KM_ROUNDS = 8, 3
+_SQL_SQDIST = (
+    "round(list_sum(list_transform(list_zip({a}, {b}), "
+    "q -> (q[1] - q[2]) * (q[1] - q[2]))), 6)"
+)
+
+
+def _km_assign_cte(name: str, cents: str) -> str:
+    """Argmin assignment of every point against centroid table ``cents`` —
+    same total order as the operator's struct-min: (dist 6dp, cid)."""
+    d = _SQL_SQDIST.format(a="p.v", b="c.c")
+    return f"""
+    {name} AS MATERIALIZED (
+        SELECT pid, v, cid, d FROM (
+            SELECT p.pid, p.v, c.cid, {d} AS d,
+                   row_number() OVER (PARTITION BY p.pid
+                                      ORDER BY {d}, c.cid) AS rn
+            FROM pts p CROSS JOIN {cents} c
+        ) WHERE rn = 1
+    )"""
+
+
+def _km_update_cte(name: str, assign: str) -> str:
+    """Component-wise 6dp-quantized centroid means from ``assign``."""
+    return f"""
+    {name} AS MATERIALIZED (
+        SELECT cid, list(c ORDER BY pos) AS c FROM (
+            SELECT cid, pos, round(avg(x), 6) AS c FROM (
+                SELECT cid, unnest(generate_series(1, len(v))) AS pos,
+                       unnest(v) AS x
+                FROM {assign}
+            ) GROUP BY cid, pos
+        ) GROUP BY cid
+    )"""
+
+
+def _km_seed_ctes() -> list[str]:
+    """Unrolled farthest-point seeding: seeds1 = smallest id; seeds{j} adds
+    the point with the largest 6dp distance to its nearest seed (ties →
+    smallest id), mirroring operators.clustering.farthest_point_seeds."""
+    d = _SQL_SQDIST.format(a="p.v", b="s.c")
+    ctes = ["""seeds1 AS MATERIALIZED (
+        SELECT pid AS cid, list_transform(v, x -> round(x, 6)) AS c
+        FROM pts ORDER BY pid LIMIT 1
+    )"""]
+    for j in range(2, _KM_K + 1):
+        prev = f"seeds{j - 1}"
+        ctes.append(f"""
+    pick{j} AS MATERIALIZED (
+        SELECT pid AS cid, list_transform(v, x -> round(x, 6)) AS c
+        FROM (
+            SELECT p.pid, p.v, min({d}) AS mind
+            FROM pts p CROSS JOIN {prev} s
+            WHERE p.pid NOT IN (SELECT cid FROM {prev})
+            GROUP BY p.pid, p.v
+            ORDER BY mind DESC, p.pid
+            LIMIT 1
+        )
+    )""")
+        ctes.append(f"""
+    seeds{j} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM pick{j}
+    )""")
+    return ctes
+
+
+def _sql_kmeans() -> str:
+    ctes = [
+        """pts AS MATERIALIZED (
+        SELECT vec_id AS pid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )""",
+        *_km_seed_ctes(),
+        f"""c0 AS MATERIALIZED (
+        SELECT * FROM seeds{_KM_K}
+    )""",
+    ]
+    for i in range(1, _KM_ROUNDS + 1):
+        ctes.append(_km_assign_cte(f"a{i}", f"c{i - 1}"))
+        ctes.append(_km_update_cte(f"c{i}", f"a{i}"))
+    d = _SQL_SQDIST.format(a="p.v", b="c.c")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT pid AS vec_id, cid AS cluster, d AS dist FROM (
+        SELECT p.pid, c.cid, {d} AS d,
+               row_number() OVER (PARTITION BY p.pid
+                                  ORDER BY {d}, c.cid) AS rn
+        FROM pts p CROSS JOIN c{_KM_ROUNDS} c
+    ) WHERE rn = 1
+    """
+
+
+@query("embedding_kmeans_clusters", _sql_kmeans())
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (k=8, 3 rounds,
+    deterministic farthest-point seeding): per-vector cluster + squared
+    distance. The oracle unrolls seeding AND every Lloyd round as
+    materialized CTEs with the same 6dp state quantization — the SSSP/LPA
+    treatment applied to an iterative ML operator. Per round the corpus
+    streams once against a broadcast k×dim centroid table and the update
+    shuffles only O(k × dim) partial means (operators/clustering.py)."""
+    from hierarchical_graph_db_spark.operators.clustering import kmeans
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return kmeans(emb, id_col="vec_id", vec_col="embedding",
+                  k=_KM_K, n_rounds=_KM_ROUNDS)

@@ -1,0 +1,54 @@
+"""K-means semantics on hand-built separable data + plan-shape guards."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.operators.clustering import kmeans
+
+
+def _blobs(spark):
+    """Three tight, well-separated 4-d blobs of 30 points each. Offsets are
+    small deterministic jitter (<0.2) around centers 10 apart, so any
+    correct k-means run must recover the blob partition exactly."""
+    rows = []
+    for b, center in enumerate(((0.0, 0.0, 0.0, 0.0),
+                                (10.0, 10.0, 0.0, 0.0),
+                                (0.0, 0.0, 10.0, 10.0))):
+        for i in range(30):
+            jit = ((i * 7 % 19) - 9) / 50.0
+            rows.append((b * 30 + i,
+                         [c + jit * (j + 1) / 4.0
+                          for j, c in enumerate(center)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    out = kmeans(_blobs(spark), k=3, n_rounds=3).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["vec_id"] // 30, set()).add(r["cluster"])
+    # each blob maps to exactly one cluster, and the three clusters differ
+    assert all(len(cl) == 1 for cl in by_blob.values())
+    assert len(set().union(*by_blob.values())) == 3
+    # tight blobs → small final distances
+    assert max(r["dist"] for r in out) < 1.0
+
+
+def test_kmeans_deterministic_rerun(spark):
+    a = {(r["vec_id"], r["cluster"], r["dist"])
+         for r in kmeans(_blobs(spark), k=3, n_rounds=3).collect()}
+    b = {(r["vec_id"], r["cluster"], r["dist"])
+         for r in kmeans(_blobs(spark), k=3, n_rounds=3).collect()}
+    assert a == b
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """The corpus must never shuffle for assignment: the centroid side of
+    the per-round cross join is a broadcast (the 100 TB contract)."""
+    plan = (
+        kmeans(_blobs(spark), k=3, n_rounds=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
