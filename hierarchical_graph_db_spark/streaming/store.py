@@ -37,14 +37,18 @@ driver* and *without rewriting untouched data*:
   4. scratch bucket dirs move to ``data/<bucket>/__v=<batch_id>`` —
      idempotent (skip dirs that already arrived), invisible to readers
      (the manifest does not reference them yet);
-  5. the manifest is swapped in — THE commit point — then superseded
-     version dirs, pending, and scratch are garbage-collected.
+  5. the manifest is archived as ``manifest-b<batch_id>.json`` and swapped
+     in — THE commit point — then pending + scratch are cleaned up.
 
 Driver memory is O(#touched bucket ids) — the key list — never store rows.
-GC after the swap is best-effort: a crash leaves orphan version dirs that
-no manifest references; the next publish of the same bucket removes them
-(object-store deployments would instead age them out, since a reader
-holding a pre-swap manifest may still be scanning them).
+
+Because version dirs are immutable and every commit archives its manifest,
+any committed batch is a readable snapshot: ``read(as_of=batch_id)``
+resolves that batch's manifest instead of the live one (Delta-style time
+travel, for free). History is bounded by ``vacuum(keep_last=n)`` — an
+out-of-band maintenance call that deletes version dirs only older
+snapshots reference; it never runs inside the commit path, so retained
+readers never race it.
 """
 
 from __future__ import annotations
@@ -112,17 +116,45 @@ class BucketedParquetStore:
     def committed_batch_id(self) -> int:
         return int(self._manifest().get("batch_id", -1))
 
+    def versions(self) -> list[int]:
+        """Batch ids with an archived manifest (ascending) — the snapshots
+        ``read(as_of=...)`` can time-travel to (until vacuumed)."""
+        meta = os.path.dirname(self._meta("x"))
+        try:
+            names = os.listdir(meta)
+        except OSError:
+            return []
+        out = []
+        for n in names:
+            if n.startswith("manifest-b") and n.endswith(".json"):
+                try:
+                    out.append(int(n[len("manifest-b"):-len(".json")]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
     # -- read side ----------------------------------------------------------
     def exists(self) -> bool:
         return bool(self._manifest()["buckets"])
 
-    def read(self, buckets: list | None = None) -> DataFrame:
-        """Current store contents (including the bucket column), resolved
-        through the manifest: only each bucket's current version dir is
-        scanned — stale/orphan versions are invisible. With ``buckets``,
-        pruning is by *path selection* (stronger than a partition filter:
-        unrequested buckets never reach the scan at all)."""
-        manifest = self._manifest()
+    def read(self, buckets: list | None = None,
+             as_of: int | None = None) -> DataFrame:
+        """Store contents (including the bucket column), resolved through
+        the manifest: only each bucket's live version dir is scanned —
+        stale/orphan versions are invisible. With ``buckets``, pruning is
+        by *path selection* (stronger than a partition filter: unrequested
+        buckets never reach the scan at all). With ``as_of`` (a committed
+        batch id), the archived manifest of that batch resolves instead —
+        snapshot reads, free because version dirs are immutable; bounded
+        by ``vacuum``."""
+        if as_of is None:
+            manifest = self._manifest()
+        else:
+            manifest = self._read_json(f"manifest-b{as_of}.json")
+            if manifest is None:
+                raise ValueError(
+                    f"no snapshot for batch {as_of}: not committed here or "
+                    f"already vacuumed (have {self.versions()})")
         entries = manifest["buckets"]
         if buckets is not None:
             wanted = {str(b) for b in buckets}
@@ -181,6 +213,7 @@ class BucketedParquetStore:
         """Advance the manifest for a batch that needed no data change."""
         manifest = self._manifest()
         manifest["batch_id"] = batch_id
+        self._write_json(f"manifest-b{batch_id}.json", manifest)
         self._write_json("manifest.json", manifest)
 
     def _publish(self, batch_id: int, entries: list[str]) -> None:
@@ -205,18 +238,51 @@ class BucketedParquetStore:
         manifest["batch_id"] = batch_id
         for entry in entries:
             manifest["buckets"][entry] = batch_id
+        # Archive first (same-content rewrite under replay), then swap the
+        # live pointer — the archive is what read(as_of=...) resolves.
+        self._write_json(f"manifest-b{batch_id}.json", manifest)
         self._write_json("manifest.json", manifest)  # ← the commit point
-        # Post-swap GC (best-effort): superseded versions of the touched
-        # buckets + any orphans a crashed publish left behind.
-        for entry in entries:
-            bucket_dir = os.path.join(self.data_dir, entry)
-            for d in os.listdir(bucket_dir):
-                if (d.startswith(_VERSION_PREFIX)
-                        and d != f"{_VERSION_PREFIX}{batch_id}"):
-                    shutil.rmtree(os.path.join(bucket_dir, d),
-                                  ignore_errors=True)
         try:
             os.remove(self._meta("pending.json"))
         except OSError:
             pass
         shutil.rmtree(scratch, ignore_errors=True)
+        # Superseded version dirs are RETAINED — they back snapshot reads
+        # (Delta-style time travel); ``vacuum`` bounds the history.
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Drop snapshots older than the last ``keep_last``: version dirs
+        referenced only by vacuumed manifests are deleted, as are their
+        archives. Returns the number of version dirs removed. Run this
+        out-of-band (maintenance), never inside the commit path — a reader
+        of a retained snapshot never races it."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.versions()
+        kept = versions[-keep_last:]
+        live: set[tuple[str, int]] = set()
+        for b in kept:
+            m = self._read_json(f"manifest-b{b}.json") or {"buckets": {}}
+            live.update((e, int(v)) for e, v in m["buckets"].items())
+        live.update(
+            (e, int(v)) for e, v in self._manifest()["buckets"].items())
+        removed = 0
+        if os.path.isdir(self.data_dir):
+            for entry in os.listdir(self.data_dir):
+                bucket_dir = os.path.join(self.data_dir, entry)
+                if not os.path.isdir(bucket_dir):
+                    continue
+                for d in os.listdir(bucket_dir):
+                    if not d.startswith(_VERSION_PREFIX):
+                        continue
+                    v = int(d[len(_VERSION_PREFIX):])
+                    if (entry, v) not in live:
+                        shutil.rmtree(os.path.join(bucket_dir, d),
+                                      ignore_errors=True)
+                        removed += 1
+        for b in versions[:-keep_last]:
+            try:
+                os.remove(self._meta(f"manifest-b{b}.json"))
+            except OSError:
+                pass
+        return removed
