@@ -55,6 +55,11 @@ class Catalog:
                 # set here (not only in session.py) so the queries also work
                 # under a caller-provided SparkSession (the driver's).
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                # The MICROS vintage lands as timestamp_ntz and the cast below
+                # reinterprets it in the session timezone — pin UTC here (not
+                # only in session.py) so a caller-provided vanilla session in
+                # a non-UTC environment doesn't shift every ts vs the oracle.
+                self.spark.conf.set("spark.sql.session.timeZone", "UTC")
                 df = self.spark.read.parquet(self.path(name))
                 if df.schema["ts"].dataType.simpleString() == "bigint":
                     df = df.withColumn(

@@ -3,8 +3,10 @@ path beside hyperplane LSH (SURVEY.md §2.11).
 
 Architecture (classic IVF-Flat):
 
-1. **train** — KMeans (Spark MLlib, fixed seed) learns ``n_lists`` coarse
-   centroids over the corpus;
+1. **train** — the engine's own deterministic k-means
+   (``operators/clustering.py`` — oversampled seeding, fixed-point centroid
+   sums, SQL-replayable) learns ``n_lists`` coarse centroids over the
+   corpus; an MLlib-backed trainer is kept as an alternative;
 2. **index** — every corpus vector is assigned to its nearest centroid (the
    inverted list); at 100 TB the corpus is *written partitioned/bucketed by
    list id* so a probe reads only its lists' files;
@@ -31,14 +33,35 @@ from hierarchical_graph_db_spark.functions.vectors import (
 
 def train_centroids(corpus: DataFrame, n_lists: int = 10,
                     vec_col: str = "embedding", seed: int = 42) -> list[list[float]]:
-    """KMeans coarse quantizer; returns centers as plain lists (plan
-    literals)."""
+    """MLlib KMeans coarse quantizer; returns centers as plain lists (plan
+    literals). Alternative trainer — not oracle-replayable (MLlib's
+    initialization is engine-private); the default query path uses
+    :func:`deterministic_centroids`."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(feats)
     return [c.tolist() for c in model.clusterCenters()]
+
+
+def deterministic_centroids(corpus: DataFrame, n_lists: int = 10,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_rounds: int = 2) -> list[list[float]]:
+    """Coarse quantizer trained with the engine's deterministic k-means
+    (``operators/clustering.kmeans_centroids``): no RNG, 6dp-quantized
+    state, so a SQL oracle can replay the exact same centers. Returned
+    ordered by seed id — list i is centroid i in :func:`assign_lists` /
+    :func:`ivf_topk`. The collect is k rows (the centroid table), never
+    corpus data."""
+    from hierarchical_graph_db_spark.operators.clustering import (
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                             k=n_lists, n_rounds=n_rounds)
+    return [r["c"] for r in cents.orderBy("cid").collect()]
 
 
 def _sq_dist(vec, center: list[float]):
@@ -58,8 +81,11 @@ def assign_lists(df: DataFrame, centers: list[list[float]],
     """Index step: nearest-centroid id per vector (argmin over unrolled
     distances). Output: (id, list_id, vec, norm) — what gets written
     bucketed by list_id at scale."""
+    # Distances rounded to 6dp before the argmin (ties → lowest list id):
+    # the same quantize-then-compare discipline as operators/clustering.py,
+    # which is what lets a SQL oracle replay the assignment bit-for-bit.
     dists = F.array(*[
-        F.struct(_sq_dist(F.col(vec_col), c).alias("d"),
+        F.struct(F.round(_sq_dist(F.col(vec_col), c), 6).alias("d"),
                  F.lit(i).alias("i"))
         for i, c in enumerate(centers)
     ])
@@ -88,7 +114,7 @@ def ivf_topk(
     indexed = assign_lists(corpus, centers, id_col, vec_col)
 
     dists = F.array(*[
-        F.struct(_sq_dist(F.col(vec_col), c).alias("d"),
+        F.struct(F.round(_sq_dist(F.col(vec_col), c), 6).alias("d"),
                  F.lit(i).alias("i"))
         for i, c in enumerate(centers)
     ])

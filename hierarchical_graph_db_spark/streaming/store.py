@@ -59,6 +59,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _VERSION_PREFIX = "__v="
 
@@ -113,6 +114,18 @@ class BucketedParquetStore:
             return {"batch_id": -1, "buckets": {}}
         return m
 
+    def _schema(self, manifest: dict) -> StructType | None:
+        """The store schema pinned at commit time (bucket column included),
+        or None for a pre-schema manifest. Pinning it makes ``read()``
+        independent of ambient session config — without it the bucket
+        column's dtype comes back through partition-directory *inference*,
+        so a session with ``partitionColumnTypeInference.enabled=false``
+        would silently read int buckets as strings."""
+        raw = manifest.get("schema")
+        if raw is None:
+            return None
+        return StructType.fromJson(json.loads(raw))
+
     def committed_batch_id(self) -> int:
         return int(self._manifest().get("batch_id", -1))
 
@@ -163,12 +176,47 @@ class BucketedParquetStore:
                 if e.split("=", 1)[1] in wanted
             }
         paths = [self._version_dir(e, v) for e, v in sorted(entries.items())]
+        schema = self._schema(manifest)
+        if not paths:
+            # A bucket filter can select only buckets the store has never
+            # seen (a micro-batch whose keys all hash to new buckets).
+            # spark.read.parquet() with zero paths would raise
+            # UNABLE_TO_INFER_SCHEMA; the contract is an empty frame with
+            # the store schema, same as the pre-manifest isin-filter read.
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            live = manifest["buckets"]
+            if live:  # pre-schema manifest: borrow the schema of any live dir
+                e, v = next(iter(sorted(live.items())))
+                return (
+                    self.spark.read.option("basePath", self.data_dir)
+                    .parquet(self._version_dir(e, v))
+                    .drop("__v").limit(0)
+                )
+            raise ValueError(
+                f"store at {self.path} is empty and has no pinned schema — "
+                "check exists() before read()")
         df = (
             self.spark.read.option("basePath", self.data_dir)
             .parquet(*paths)
         )
         # __v materializes as a partition column under basePath — internal.
-        return df.drop("__v")
+        df = df.drop("__v")
+        if schema is not None:
+            # Conform to the committed schema (column order included): the
+            # bucket column's read-back type no longer depends on whether
+            # the ambient session enables partition-type inference. Cast
+            # only real type drift — a nullability-only difference in nested
+            # types is a Spark cast error and needs no cast at all.
+            current = {f.name: f.dataType for f in df.schema.fields}
+            cols = []
+            for f in schema.fields:
+                if current[f.name].simpleString() == f.dataType.simpleString():
+                    cols.append(F.col(f.name))
+                else:
+                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            df = df.select(*cols)
+        return df
 
     # -- write-ahead commit --------------------------------------------------
     def already_done(self, batch_id: int) -> bool:
@@ -178,9 +226,14 @@ class BucketedParquetStore:
         if batch_id <= self.committed_batch_id():
             return True
         pending = self._read_json("pending.json")
+        # .get("entries"): a pre-upgrade pending.json ({"batch_id": N} only)
+        # is NOT replayable from here — fall through so the caller redoes
+        # the whole batch (idempotent), instead of raising KeyError.
         if (pending is not None and int(pending.get("batch_id", -1)) == batch_id
+                and pending.get("entries") is not None
                 and os.path.exists(os.path.join(self._scratch(batch_id), "_SUCCESS"))):
-            self._publish(batch_id, pending["entries"])
+            self._publish(batch_id, pending["entries"],
+                          schema_json=pending.get("schema"))
             return True
         return False
 
@@ -205,9 +258,13 @@ class BucketedParquetStore:
         entries = sorted(
             e for e in os.listdir(scratch) if e.startswith(prefix)
         )
+        # The schema travels through pending.json into the manifest so a
+        # crash-replay publish pins it identically to a clean commit.
+        schema_json = merged_touched.schema.json()
         self._write_json("pending.json", {"batch_id": batch_id,
-                                          "entries": entries})
-        self._publish(batch_id, entries)
+                                          "entries": entries,
+                                          "schema": schema_json})
+        self._publish(batch_id, entries, schema_json=schema_json)
 
     def mark_committed(self, batch_id: int) -> None:
         """Advance the manifest for a batch that needed no data change."""
@@ -216,7 +273,8 @@ class BucketedParquetStore:
         self._write_json(f"manifest-b{batch_id}.json", manifest)
         self._write_json("manifest.json", manifest)
 
-    def _publish(self, batch_id: int, entries: list[str]) -> None:
+    def _publish(self, batch_id: int, entries: list[str],
+                 schema_json: str | None = None) -> None:
         """Publish scratch → data: move each touched bucket's rows into a
         NEW immutable version dir, then swap the manifest once.
 
@@ -238,6 +296,8 @@ class BucketedParquetStore:
         manifest["batch_id"] = batch_id
         for entry in entries:
             manifest["buckets"][entry] = batch_id
+        if schema_json is not None:
+            manifest["schema"] = schema_json
         # Archive first (same-content rewrite under replay), then swap the
         # live pointer — the archive is what read(as_of=...) resolves.
         self._write_json(f"manifest-b{batch_id}.json", manifest)
@@ -266,6 +326,15 @@ class BucketedParquetStore:
             live.update((e, int(v)) for e, v in m["buckets"].items())
         live.update(
             (e, int(v)) for e, v in self._manifest()["buckets"].items())
+        # Version dirs from a batch that crashed mid-publish (moved into
+        # place but manifest not yet swapped) are referenced by NO manifest
+        # — but already_done() will finish their publish on replay, so they
+        # must survive vacuum. Spare every dir newer than the live commit
+        # point, plus anything pending.json names explicitly.
+        committed = self.committed_batch_id()
+        pending = self._read_json("pending.json") or {}
+        pending_batch = int(pending.get("batch_id", -1))
+        pending_entries = set(pending.get("entries") or [])
         removed = 0
         if os.path.isdir(self.data_dir):
             for entry in os.listdir(self.data_dir):
@@ -276,6 +345,10 @@ class BucketedParquetStore:
                     if not d.startswith(_VERSION_PREFIX):
                         continue
                     v = int(d[len(_VERSION_PREFIX):])
+                    if v > committed:
+                        continue  # uncommitted batch awaiting replay
+                    if v == pending_batch and entry in pending_entries:
+                        continue
                     if (entry, v) not in live:
                         shutil.rmtree(os.path.join(bucket_dir, d),
                                       ignore_errors=True)

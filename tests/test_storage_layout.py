@@ -85,23 +85,26 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
         "day string, campaign string",
     ).write.parquet(dim_path)
 
-    # partition values stay strings so the join key matches the dim exactly
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
-                   "false")
-    fact = spark.read.parquet(out)
-    dim = spark.read.parquet(dim_path).where(F.col("campaign") == "launch")
     # force the shuffle-join path so DPP (not broadcast reuse) is what prunes
     # (save/RESTORE the session values — unset would fall back to Spark's
-    # hard defaults, not the engine's configured ones, polluting later tests)
+    # hard defaults, not the engine's configured ones, polluting later tests).
+    # Every save happens BEFORE the first conf.set of the same key, so the
+    # finally block restores pre-test values, not mid-test mutations.
     orig_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     orig_reuse = spark.conf.get(
         "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
     orig_infer = spark.conf.get(
         "spark.sql.sources.partitionColumnTypeInference.enabled")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
-                   "false")
     try:
+        # partition values stay strings so the join key matches the dim exactly
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        fact = spark.read.parquet(out)
+        dim = spark.read.parquet(dim_path).where(F.col("campaign") == "launch")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            "false")
         joined = fact.join(dim, "day")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "dynamicpruning" in plan.lower(), plan[:2000]

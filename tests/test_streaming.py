@@ -219,7 +219,10 @@ def test_dedup_sink_never_collects_store(spark, tmp_path):
     assert "createDataFrame" not in sink_src
     store_src = inspect.getsource(store_mod)
     assert ".collect()" not in store_src
-    assert "createDataFrame" not in store_src
+    # the only createDataFrame is the zero-row empty-schema frame for reads
+    # that select no live bucket — never a materialization of store rows
+    assert store_src.count("createDataFrame") == 1
+    assert "createDataFrame([], schema)" in store_src
 
 
 def test_dedup_sink_rewrites_only_touched_buckets(spark, tmp_path):
@@ -302,6 +305,99 @@ def test_store_crash_between_moves_and_swap_is_invisible(spark, tmp_path,
     assert fresh.committed_batch_id() == 1
     assert {(r["bucket_id"], r["val"])
             for r in fresh.read().collect()} == {(0, "a2"), (1, "b2")}
+
+
+def test_store_read_schema_survives_inference_conf(spark, tmp_path):
+    """The bucket column's dtype is pinned in the manifest at commit, so
+    ``read()`` returns the committed schema even in a session that disables
+    partition-directory type inference (the round-4 wart: inference-off
+    sessions silently read int buckets back as strings)."""
+    from hierarchical_graph_db_spark.streaming.store import BucketedParquetStore
+
+    store = BucketedParquetStore(spark, str(tmp_path / "st"))
+    store.commit(0, spark.createDataFrame(
+        [(0, "a"), (1, "b")], "bucket_id int, val string"))
+
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    orig = spark.conf.get(key)
+    try:
+        for setting in ("true", "false"):
+            spark.conf.set(key, setting)
+            df = store.read()
+            assert dict(df.dtypes)["bucket_id"] == "int", setting
+            assert {(r["bucket_id"], r["val"]) for r in df.collect()} == \
+                {(0, "a"), (1, "b")}
+    finally:
+        spark.conf.set(key, orig)
+
+
+def test_store_read_unseen_buckets_returns_empty(spark, tmp_path):
+    """A bucket filter selecting only never-written buckets returns an empty
+    frame with the store schema — not UNABLE_TO_INFER_SCHEMA. This is the
+    micro-batch-touches-only-new-buckets path in DedupParquetSink/
+    ContinuousAggregate (round-4 advice, high)."""
+    from hierarchical_graph_db_spark.streaming.store import BucketedParquetStore
+
+    store = BucketedParquetStore(spark, str(tmp_path / "st"))
+    store.commit(0, spark.createDataFrame(
+        [(0, "a")], "bucket_id int, val string"))
+    df = store.read(buckets=[7, 9])
+    assert df.count() == 0
+    assert df.schema == store.read().schema
+
+
+def test_store_vacuum_spares_uncommitted_version_dirs(spark, tmp_path,
+                                                      monkeypatch):
+    """vacuum() running between a crashed publish (dirs moved, manifest not
+    swapped) and its replay must not delete the moved-but-uncommitted
+    version dirs — otherwise the batch's merged rows are unrecoverable
+    (round-4 advice, medium)."""
+    import pytest
+
+    from hierarchical_graph_db_spark.streaming.store import BucketedParquetStore
+
+    path = str(tmp_path / "st")
+    store = BucketedParquetStore(spark, path)
+    store.commit(0, spark.createDataFrame(
+        [(0, "a"), (1, "b")], "bucket_id int, val string"))
+
+    orig = BucketedParquetStore._write_json
+
+    def crash_on_swap(self, name, payload):
+        if name == "manifest.json":
+            raise RuntimeError("killed before the swap")
+        return orig(self, name, payload)
+
+    monkeypatch.setattr(BucketedParquetStore, "_write_json", crash_on_swap)
+    with pytest.raises(RuntimeError, match="killed"):
+        store.commit(1, spark.createDataFrame(
+            [(0, "a2"), (1, "b2")], "bucket_id int, val string"))
+    monkeypatch.setattr(BucketedParquetStore, "_write_json", orig)
+
+    fresh = BucketedParquetStore(spark, path)
+    fresh.vacuum(keep_last=1)  # maintenance fires before the replay
+
+    # replay still completes and the batch's rows survived the vacuum
+    assert fresh.already_done(1)
+    assert {(r["bucket_id"], r["val"]) for r in fresh.read().collect()} == \
+        {(0, "a2"), (1, "b2")}
+
+
+def test_store_legacy_pending_without_entries_not_replayable(spark, tmp_path):
+    """A pre-upgrade pending.json ({"batch_id": N} only) falls through to
+    "redo the batch" instead of raising KeyError (round-4 advice, low)."""
+    from hierarchical_graph_db_spark.streaming.store import BucketedParquetStore
+
+    store = BucketedParquetStore(spark, str(tmp_path / "st"))
+    store.commit(0, spark.createDataFrame(
+        [(0, "a")], "bucket_id int, val string"))
+    store._write_json("pending.json", {"batch_id": 1})  # legacy shape
+    assert store.already_done(1) is False  # not a KeyError
+    # redoing the batch converges normally
+    store.commit(1, spark.createDataFrame(
+        [(0, "a2")], "bucket_id int, val string"))
+    assert {(r["bucket_id"], r["val"]) for r in store.read().collect()} == \
+        {(0, "a2")}
 
 
 def test_dedup_within_watermark_across_batches(spark, tmp_path):
