@@ -19,6 +19,50 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Calibration work unit: a fixed sha256 chain. Deterministic, allocation-free,
+# independent of Spark/JVM — pure host CPU. Emitted with every bench run so
+# wall-times can be normalized across environment shifts (the round-4 lesson:
+# a uniform ~1.7× host slowdown made cross-round BENCH deltas meaningless).
+_CALIB_ITERS = 300_000
+
+
+def _calib_work(iters: int = _CALIB_ITERS) -> int:
+    import hashlib
+
+    h = b"spark-graft-calibration"
+    for _ in range(iters):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
+def _calibrate() -> dict:
+    """Host-speed fingerprint: single-thread seconds for the fixed hash
+    chain, plus the speedup running one chain per CPU in parallel
+    (process pool — measures real core availability, not GIL sharing).
+    Comparing `single_thread_sec` across BENCH_r{N}.json files gives the
+    host-speed ratio to divide wall-times by; `parallel_speedup` falling
+    well below `n_procs` flags a contended host."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = time.perf_counter()
+    _calib_work()
+    single = time.perf_counter() - t0
+    with ProcessPoolExecutor(N_CPUS) as ex:
+        # warm the pool (fork + import cost) so the probe times CPU, not
+        # process startup
+        list(ex.map(_calib_work, [1] * N_CPUS))
+        t0 = time.perf_counter()
+        list(ex.map(_calib_work, [_CALIB_ITERS] * N_CPUS))
+        par = time.perf_counter() - t0
+    return {
+        "unit_work": f"sha256_chain_{_CALIB_ITERS}",
+        "single_thread_sec": round(single, 4),
+        "n_procs": N_CPUS,
+        "parallel_wall_sec": round(par, 4),
+        "parallel_speedup": round(N_CPUS * single / par, 2),
+    }
 
 # Headline set: the scan-agg/join/window core plus one representative of each
 # north-star family (dedup merge, fuzzy dedup, ANN, text, graph, sessions).
@@ -68,9 +112,11 @@ HEADLINE = [
     # a regression to the single-window form changes this entry's plan
     # from (key, salt)-partitioned to whole-key reducers.
     "window_topk_salted",
-    # iterative ML representative: farthest-point seeding (k broadcast
-    # passes) + 3 Lloyd rounds of broadcast-assign / k×dim-shuffle update.
+    # iterative ML representative: two-pass oversampled seeding + 3 Lloyd
+    # rounds of broadcast-assign / k×dim-shuffle update.
     "embedding_kmeans_clusters",
+    # IVF ANN end-to-end (deterministic quantizer train + probe + score).
+    "ann_ivf_topk",
 ]
 
 
@@ -137,6 +183,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "ingest_emails_per_sec": round(n_emails / ingest_sec, 1),
+        "calibration": _calibrate(),
     }
     print(json.dumps(out))
 

@@ -81,13 +81,18 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str,
 # ---------------------------------------------------------------------------
 
 HLL_SALT = "hll-v1"
-HLL_M = 64  # registers (p = 6); alpha_64 per the HLL paper
-_HLL_ALPHA = 0.709
-# h is 15 sha256 nibbles = 60 bits: 6 register bits + 54 rank bits. All
-# integer arithmetic (the 2^-M_j sum is the EXACT integer Σ 2^(55-M_j)
-# over registers, empty registers contributing 2^55), so both engines
+HLL_M = 1024  # default registers (p = 10, rsd ≈ 1.04/√1024 = 3.25%)
+# h is 15 sha256 nibbles = 60 bits: p register bits + (60-p) rank bits. All
+# integer arithmetic (the 2^-M_j sum is the EXACT integer Σ 2^(R+1-M_j)
+# over registers, empty registers contributing 2^(R+1)), so both engines
 # reach the same doubles before the single division.
-_HLL_RANK_BITS = 54
+_HLL_MS = (64, 256, 1024)
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant per Flajolet et al. 2007 (Fig. 3)."""
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
 
 
 def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
@@ -102,18 +107,23 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
     (map-side collapsed), then a per-group fold; shuffle volume is
     O(groups × m) regardless of input size.
 
-    Small-range correction (linear counting) per the HLL paper; the
-    32-bit-hash large-range correction is unnecessary with 54 rank bits.
+    ``m`` ∈ {64, 256, 1024} (p = 6/8/10; rsd 13%/6.5%/3.25%) — wide enough
+    at the default that the portable sketch IS the production form, not a
+    demo beside ``approx_count_distinct``. Small-range correction (linear
+    counting) per the HLL paper; the 32-bit-hash large-range correction is
+    unnecessary with ≥50 rank bits.
     """
-    if m != 64:
-        raise ValueError("oracle replay is pinned to m=64 (p=6)")
+    if m not in _HLL_MS:
+        raise ValueError(f"oracle replay supports m in {_HLL_MS}, got {m}")
+    p = m.bit_length() - 1
+    r1 = 60 - p + 1  # rank values are 1..r1
     hexs = F.sha2(
         F.concat_ws("|", F.lit(HLL_SALT), F.col(key_col).cast("string")), 256
     )
     h = F.conv(F.substring(hexs, 1, 15), 16, 10).cast("long")
-    v = F.shiftright(h, 6)  # 54 rank bits
-    rho = F.when(v == 0, F.lit(_HLL_RANK_BITS + 1)).otherwise(
-        F.lit(_HLL_RANK_BITS + 1) - F.length(F.conv(v, 10, 2))
+    v = F.shiftright(h, p)  # 60-p rank bits
+    rho = F.when(v == 0, F.lit(r1)).otherwise(
+        F.lit(r1) - F.length(F.conv(v, 10, 2))
     )
     regs = (
         df.select(*group_cols, F.pmod(h, F.lit(m)).alias("reg"),
@@ -121,17 +131,17 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("m_j"))
     )
-    two55 = 1 << (_HLL_RANK_BITS + 1)
+    two_top = 1 << r1  # empty register's Σ contribution; m·2^r1 = 2^61 < 2^63
     per = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_present"),
         # pyspark's shiftleft() only takes a literal bit count — the
         # column-shift form needs the SQL expression
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), "
-                     f"{_HLL_RANK_BITS + 1} - m_j)")).alias("s_present"),
+                     f"{r1} - m_j)")).alias("s_present"),
     )
     zeros = F.lit(m) - F.col("n_present")
-    s_total = (F.col("s_present") + zeros * F.lit(two55)).cast("double")
-    raw = F.lit(_HLL_ALPHA * m * m * float(two55)) / s_total
+    s_total = (F.col("s_present") + zeros * F.lit(two_top)).cast("double")
+    raw = F.lit(hll_alpha(m) * m * m * float(two_top)) / s_total
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),

@@ -134,15 +134,20 @@ def _sql_hex15(hex_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-# alpha_64 * m^2 * 2^55, computed ONCE in Python so both engines see the
-# identical double literal (the estimate is this constant / an exact
-# integer register sum — one division, no order-dependent float folds).
-_HLL_NUMERATOR = repr(0.709 * 64 * 64 * float(1 << 55))
+def _sql_hll(m: int) -> str:
+    """DuckDB twin of operators.sketches.hll_distinct at ``m`` registers:
+    every register max replayed, exact integer Σ 2^(r1-M_j), and the
+    alpha·m²·2^r1 numerator computed ONCE in Python so both engines see the
+    identical double literal (one division, no order-dependent float
+    folds)."""
+    from hierarchical_graph_db_spark.operators.sketches import hll_alpha
 
-
-@query(
-    "sketch_hll_distinct",
-    f"""
+    p = m.bit_length() - 1
+    r1 = 60 - p + 1
+    numerator = repr(hll_alpha(m) * m * m * float(1 << r1))
+    s_total = (f"CAST(s_present + ({m} - n_present) * "
+               f"(1::BIGINT << {r1}) AS DOUBLE)")
+    return f"""
     WITH keys AS (
         SELECT DISTINCT event_type, user_id FROM events
     ),
@@ -153,37 +158,37 @@ _HLL_NUMERATOR = repr(0.709 * 64 * 64 * float(1 << 55))
         FROM keys
     ),
     regs AS (
-        SELECT event_type, hv % 64 AS reg,
-               max(CASE WHEN (hv >> 6) = 0 THEN 55
-                        ELSE 55 - length(to_base(hv >> 6, 2)) END) AS m_j
+        SELECT event_type, hv % {m} AS reg,
+               max(CASE WHEN (hv >> {p}) = 0 THEN {r1}
+                        ELSE {r1} - length(to_base(hv >> {p}, 2)) END) AS m_j
         FROM h GROUP BY 1, 2
     ),
     per AS (
         SELECT event_type, count(*) AS n_present,
-               sum(1::BIGINT << (55 - m_j)) AS s_present
+               sum(1::BIGINT << ({r1} - m_j)) AS s_present
         FROM regs GROUP BY 1
     )
     SELECT event_type,
-           round(CASE WHEN {_HLL_NUMERATOR} /
-                          CAST(s_present + (64 - n_present) *
-                               (1::BIGINT << 55) AS DOUBLE) <= 160.0
-                       AND n_present < 64
-                      THEN 64.0 * ln(64.0 / (64 - n_present))
-                      ELSE {_HLL_NUMERATOR} /
-                           CAST(s_present + (64 - n_present) *
-                                (1::BIGINT << 55) AS DOUBLE)
+           round(CASE WHEN {numerator} / {s_total} <= {2.5 * m}
+                       AND n_present < {m}
+                      THEN {float(m)} * ln({float(m)} / ({m} - n_present))
+                      ELSE {numerator} / {s_total}
                  END, 4) AS est_users
     FROM per
-    """,
-)
+    """
+
+
+@query("sketch_hll_distinct", _sql_hll(1024))
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portable HyperLogLog distinct users per event_type — every register
-    replayed by the DuckDB oracle (sha256 hash family, exact integer
-    register sum), so the CARDINALITY SKETCH itself is hash-checked, not
-    just error-bounded. ``agg_hll_distinct`` keeps the engine-native
-    ``approx_count_distinct`` beside it as the rows-only production form;
+    """Portable HyperLogLog distinct users per event_type (m=1024, rsd
+    3.25% — comparable to ``approx_count_distinct`` at rsd 2%) — every
+    register replayed by the DuckDB oracle (sha256 hash family, exact
+    integer register sum), so the CARDINALITY SKETCH itself is
+    hash-checked, not just error-bounded, and accurate enough to BE the
+    production form. ``agg_hll_distinct`` keeps the engine-native
+    ``approx_count_distinct`` beside it as the rows-only alternative;
     accuracy vs exact counts is bounded in tests/test_sketches.py."""
     from hierarchical_graph_db_spark.operators.sketches import hll_distinct
 
     ev = Catalog(spark, sf_dir).events
-    return hll_distinct(ev, "user_id", ["event_type"])
+    return hll_distinct(ev, "user_id", ["event_type"], m=1024)

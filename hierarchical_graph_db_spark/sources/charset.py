@@ -20,11 +20,18 @@ Detection ladder (first confident verdict wins):
    map to Cyrillic letters × how well those letters match the Russian
    letter-frequency top set). Needs a high density of 8-bit bytes, so
    accented western text (mostly ASCII + a few accents) never trips it.
-3. Shift-JIS structural probe — lead/trail byte ranges must parse end to
-   end AND the decode must actually yield CJK text. Runs after the
-   Cyrillic check because dense 0xC0-0xFF Cyrillic text can be
-   structurally valid Shift-JIS, while Japanese text scores ~0 on step 2.
-4. otherwise ``None`` → caller falls back (utf-8 → latin-1), same terminal
+3. East-Asian double-byte scoring (euc-kr / gb2312 / big5 — the round-4
+   "long tail") — strict decode under each candidate, then the same
+   coverage × common-character formula: the byte *structure* of the EUC
+   family is shared (pairs ≥ 0xA1), so what separates Korean euc-kr from
+   simplified-Chinese gb2312 is whether the decode lands on frequent
+   Hangul syllables or frequent hanzi — exactly the signal chardet's
+   language models encode.
+4. Shift-JIS structural probe — lead/trail byte ranges must parse end to
+   end AND the decode must actually yield CJK text. Runs after steps 2-3
+   because dense Cyrillic/EUC text can be structurally valid Shift-JIS,
+   while Japanese text scores ~0 on the preceding scorers.
+5. otherwise ``None`` → caller falls back (utf-8 → latin-1), same terminal
    behavior as the reference chain when chardet returns nothing usable.
 """
 
@@ -34,6 +41,55 @@ from __future__ import annotations
 # public linguistic data, the same signal chardet's SBCS models encode.
 _RU_COMMON = set("оеаинтсрвлкмдпуя")
 _CYRILLIC_CANDIDATES = ("koi8-r", "windows-1251")
+
+# Most frequent Hangul syllables / hanzi — public corpus-frequency data
+# (top grammatical particles + pronouns dominate running text in each
+# language, the same discrimination chardet's CJK language models use).
+_KO_COMMON = set("이다는의에하고지를은가기한으로서사아요니시")
+_ZH_SIMP_COMMON = set("的一是不了在人有我他这中大来上国个到说们为子和你地出道")
+_ZH_TRAD_COMMON = set("的一是不了在人有我他這中大來上國個到說們為子和你地出道")
+
+
+def _hangul(c: str) -> bool:
+    return "가" <= c <= "힣"
+
+
+def _ideograph(c: str) -> bool:
+    return "一" <= c <= "鿿"
+
+
+# (codec, script predicate, frequent-character set)
+_DBCS_CANDIDATES = (
+    ("euc-kr", _hangul, _KO_COMMON),
+    ("gb2312", _ideograph, _ZH_SIMP_COMMON),
+    ("big5", _ideograph, _ZH_TRAD_COMMON),
+)
+
+
+def _dbcs_score(data: bytes, codec: str, script, common: set[str]) -> float:
+    """How strongly ``data`` reads as ``codec``'s language ∈ [0, 1]: a
+    STRICT decode must succeed (the structural check — wrong-family byte
+    grammars raise), then coverage (high chars landing in the target
+    script) × frequent-character share. Cross-family confusions (Korean
+    bytes decoded as gb2312 land on *valid but arbitrary* hanzi) pass the
+    structure test yet score ≤ ~0.3 on the frequency term."""
+    try:
+        text = data.decode(codec)
+    except (UnicodeDecodeError, LookupError):
+        return 0.0
+    high = [c for c in text if ord(c) > 0x7F]
+    if not high:
+        return 0.0
+    hits = [c for c in high if script(c)]
+    if len(hits) < 4:  # too little text for a frequency verdict
+        return 0.0
+    coverage = len(hits) / len(high)
+    # CJK running text is frequency-flat next to alphabetic scripts: the
+    # top-25 hanzi/syllables cover only ~15-30% of real text, while a
+    # wrong-codec decode lands on them at chance level (<1%). Saturating
+    # the term at 15% makes that gap decisive instead of marginal.
+    freq = sum(1 for c in hits if c in common) / len(hits)
+    return coverage * (0.2 + 0.8 * min(1.0, freq / 0.15))
 
 
 def _high_bytes(data: bytes) -> int:
@@ -106,6 +162,11 @@ def detect(data: bytes) -> str | None:
         best = max(scores, key=scores.get)
         if scores[best] >= 0.6:
             return best
+    dbcs = {codec: _dbcs_score(data, codec, script, common)
+            for codec, script, common in _DBCS_CANDIDATES}
+    best = max(dbcs, key=dbcs.get)
+    if dbcs[best] >= 0.5:
+        return best
     if _shift_jis_plausible(data):
         return "shift_jis"
     return None

@@ -156,6 +156,18 @@ def test_smart_decode_chardet_parity_corpus():
         assert _smart_decode(raw) == ru, codec
     assert _smart_decode(ja.encode("shift_jis")) == ja
     assert detect(ja.encode("shift_jis")) == "shift_jis"
+
+    # round-4 verdict item 7 — the East-Asian double-byte long tail. On
+    # well-formed text chardet names the true codec, so round-tripping the
+    # original text IS parity with its verdict.
+    ko = ("안녕하세요. 오늘 회의는 오후 세 시에 시작합니다. "
+          "자료는 미리 보내 주세요. 감사합니다.")
+    zh_s = "你好，今天的会议在下午三点开始。请提前发送资料，谢谢大家的支持。"
+    zh_t = "你好，今天的會議在下午三點開始。請提前發送資料，謝謝大家的支持。"
+    for text, codec in ((ko, "euc-kr"), (zh_s, "gb2312"), (zh_t, "big5")):
+        raw = text.encode(codec)
+        assert detect(raw) == codec, codec
+        assert _smart_decode(raw) == text, codec
     # western accents: mostly-ASCII density keeps the Cyrillic scorer out;
     # chardet says a latin-1-family codec here and so do we (byte-identical
     # decode, since the text has no 0x80-0x9F bytes)

@@ -97,9 +97,10 @@ def test_cms_out_of_vocabulary_probe_counts_empty_cells_as_zero(spark):
 
 
 def test_portable_hll_within_error_bound(spark, sf_dir):
-    """The sha256-register HLL (sketch_hll_distinct) against exact distinct
-    counts: m=64 gives rsd ≈ 1.04/√64 = 13%; allow 3σ on the small fixture
-    groups plus a 20k-key synthetic where the estimate must tighten."""
+    """The sha256-register HLL (sketch_hll_distinct, m=1024) against exact
+    distinct counts: rsd ≈ 1.04/√1024 = 3.25%; allow 3σ (10%) on the small
+    fixture groups, and ≤5% on a 20k-key synthetic — production-form
+    accuracy, not the m=64 demo bound."""
     from hierarchical_graph_db_spark.operators.sketches import hll_distinct
 
     out = {r["event_type"]: r["est_users"]
@@ -109,9 +110,27 @@ def test_portable_hll_within_error_bound(spark, sf_dir):
              .agg(F.count_distinct("user_id").alias("n")).collect()}
     assert set(out) == set(exact)
     for et, est in out.items():
-        assert abs(est - exact[et]) / exact[et] <= 0.40, (et, est, exact[et])
+        assert abs(est - exact[et]) / exact[et] <= 0.10, (et, est, exact[et])
 
     big = spark.range(20_000).select(
         F.lit("g").alias("g"), F.col("id").alias("k"))
-    est = hll_distinct(big, "k", ["g"]).collect()[0]["est_users"]
-    assert abs(est - 20_000) / 20_000 <= 0.40
+    est = hll_distinct(big, "k", ["g"], m=1024).collect()[0]["est_users"]
+    assert abs(est - 20_000) / 20_000 <= 0.05
+
+
+def test_portable_hll_register_widths(spark):
+    """Every supported register count stays inside 3·rsd on the same 20k-key
+    stream, and accuracy improves monotonically band-to-band (13% / 6.5% /
+    3.25% rsd for m=64/256/1024)."""
+    from hierarchical_graph_db_spark.operators.sketches import hll_distinct
+
+    big = spark.range(20_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k"))
+    for m, rsd in ((64, 0.13), (256, 0.065), (1024, 0.0325)):
+        est = hll_distinct(big, "k", ["g"], m=m).collect()[0]["est_users"]
+        assert abs(est - 20_000) / 20_000 <= 3 * rsd, (m, est)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="oracle replay"):
+        hll_distinct(big, "k", ["g"], m=128)
