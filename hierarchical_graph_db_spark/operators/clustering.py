@@ -42,8 +42,11 @@ PageRank).
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 
 def _sq_dist(a, b) -> F.Column:
@@ -55,30 +58,44 @@ def _sq_dist(a, b) -> F.Column:
     )
 
 
-def farthest_point_seeds(pts: DataFrame, k: int) -> DataFrame:
-    """k-center greedy seeding over (pid, v): smallest id first, then k-1
-    rounds of 'farthest point from its nearest seed' (6dp distances, ties
-    on smallest id). Each round scans ``pts`` once — so call this on a
-    SMALL frame (the oversampled candidate pool), not the corpus.
-    Returns (cid, c) with 6dp-quantized components."""
-    seeds = pts.orderBy("pid").limit(1).select(
-        F.col("pid").alias("cid"),
-        F.transform("v", lambda x: F.round(x, 6)).alias("c"),
-    ).localCheckpoint(eager=True)
-    for _ in range(k - 1):
-        nxt = (
-            pts.join(seeds.select(F.col("cid").alias("pid")),
-                     on="pid", how="left_anti")
-            .crossJoin(F.broadcast(seeds))
-            .groupBy("pid", "v")
-            .agg(F.min(F.round(_sq_dist(F.col("v"), F.col("c")), 6))
-                 .alias("mind"))
-            .orderBy(F.desc("mind"), F.asc("pid"))
-            .limit(1)
-            .select(F.col("pid").alias("cid"),
-                    F.transform("v", lambda x: F.round(x, 6)).alias("c"))
-        )
-        seeds = seeds.unionByName(nxt).localCheckpoint(eager=True)
+def _round6(x: float) -> float:
+    """Python twin of Spark's ``round(col, 6)`` on doubles: BigDecimal
+    HALF_UP over the shortest decimal repr (Java ``Double.toString`` ==
+    Python ``repr``), so driver-side arithmetic lands on the exact same
+    quantized doubles as the Spark/SQL plans."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
+def _py_sq_dist(a: list[float], b: list[float]) -> float:
+    """Driver twin of :func:`_sq_dist`: identical left-to-right fold."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _greedy_seeds(cands: list[tuple], k: int) -> list[tuple]:
+    """k-center greedy over the (already tiny) candidate pool, driver-side:
+    smallest id first, then 'farthest (6dp min-dist) from its nearest seed,
+    ties → smallest id'. Bit-compatible with the unrolled SQL replay
+    because every distance folds in the same order and rounds HALF_UP."""
+    pool = sorted(((pid, list(v)) for pid, v in cands), key=lambda r: r[0])
+    first = pool[0]
+    seeds = [(first[0], [_round6(x) for x in first[1]])]
+    chosen = {first[0]}
+    while len(seeds) < k:
+        best = None  # (mind, pid, v); maximize mind, tie → smallest pid
+        for pid, v in pool:
+            if pid in chosen:
+                continue
+            mind = min(_round6(_py_sq_dist(v, c)) for _, c in seeds)
+            if best is None or mind > best[0]:
+                best = (mind, pid, v)
+        if best is None:  # fewer candidates than k: every point is a seed
+            break
+        chosen.add(best[1])
+        seeds.append((best[1], [_round6(x) for x in best[2]]))
     return seeds
 
 
@@ -94,11 +111,14 @@ def oversampled_seeds(pts: DataFrame, k: int,
       smallest pid) from the pass-A pool: recovers small, distant clusters
       a uniform draw can miss (the d²-weighting of k-means‖, derandomized
       to a top-L);
-    * refine — :func:`farthest_point_seeds` over the ≤2L candidate rows
-      (k−1 tiny jobs, no corpus access).
+    * refine — k-center greedy over the ≤2L candidate rows, DRIVER-side
+      (the k-means‖ paper's own final step: recluster the O(k·oversample)
+      candidate pool on one machine). The collect is the candidate pool,
+      never corpus data — same class as collecting the k trained centroids
+      — and replaces 2(k−1) tiny Spark jobs with plain Python that lands
+      on bit-identical doubles (HALF_UP rounding twin of Spark's round).
 
-    Both passes are top-L selections (TakeOrdered — no corpus shuffle), and
-    the pool is localCheckpoint-ed at ≤2L rows, never the corpus."""
+    Both passes are top-L selections (TakeOrdered — no corpus shuffle)."""
     n_cand = oversample * k
     cand_a = (
         pts.orderBy(F.sha2(F.col("pid").cast("string"), 256), F.col("pid"))
@@ -117,8 +137,14 @@ def oversampled_seeds(pts: DataFrame, k: int,
         .limit(n_cand)
         .select("pid", "v")
     )
-    candidates = cand_a.unionByName(cand_b).localCheckpoint(eager=True)
-    return farthest_point_seeds(candidates, k)
+    cand_rows = [(r["pid"], r["v"])
+                 for r in cand_a.unionByName(cand_b).collect()]
+    seeds = _greedy_seeds(cand_rows, k)
+    schema = StructType([
+        StructField("cid", pts.schema["pid"].dataType, False),
+        StructField("c", ArrayType(DoubleType()), False),
+    ])
+    return pts.sparkSession.createDataFrame(seeds, schema)
 
 
 def _project(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -198,4 +224,36 @@ def kmeans(vectors: DataFrame, id_col: str = "vec_id",
         .select(F.col("pid").alias(id_col),
                 F.col("best.cid").alias("cluster"),
                 F.col("best.d").alias("dist"))
+    )
+
+
+def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 8,
+                   n_rounds: int = 3) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): cluster the embedding corpus, then keep ONE representative per
+    semantic cluster — the member closest to its centroid (6dp distance,
+    ties → smallest id). Returns (cluster, keeper_id, n_members,
+    keeper_dist); dropping every non-keeper dedups the corpus down to k
+    semantic exemplars (coarse pass; production runs it per shard /
+    per-topic with larger k).
+
+    Scale shape: :func:`kmeans` above (no corpus shuffles beyond one keyed
+    window), plus one window over (cluster) — k partitions. Deterministic
+    end to end, so the SQL oracle replays keeper choice exactly."""
+    assigned = kmeans(vectors, id_col, vec_col, k, n_rounds)
+    from pyspark.sql.window import Window
+
+    w_cl = Window.partitionBy("cluster")
+    w_rank = Window.partitionBy("cluster").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        assigned
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count(F.lit(1)).over(w_cl))
+        .where(F.col("rn") == 1)
+        .select(F.col("cluster"),
+                F.col(id_col).alias("keeper_id"),
+                F.col("n_members"),
+                F.col("dist").alias("keeper_dist"))
     )

@@ -396,7 +396,10 @@ def _km_seed_ctes(k: int = None, oversample: int = None) -> list[str]:
     return ctes
 
 
-def _sql_kmeans() -> str:
+def _km_pipeline_ctes() -> list[str]:
+    """The full k-means pipeline (k=_KM_K, _KM_ROUNDS Lloyd rounds) as
+    CTEs ending in ``fin`` (pid, cid, d) — shared by the k-means query and
+    the semantic-dedup query built on top of it."""
     ctes = [
         """pts AS MATERIALIZED (
         SELECT vec_id AS pid,
@@ -412,14 +415,21 @@ def _sql_kmeans() -> str:
         ctes.append(_km_assign_cte(f"a{i}", f"c{i - 1}"))
         ctes.append(_km_update_cte(f"c{i}", f"a{i}"))
     d = _SQL_SQDIST.format(a="p.v", b="c.c")
+    ctes.append(f"""fin AS MATERIALIZED (
+        SELECT pid, cid, d FROM (
+            SELECT p.pid, c.cid, {d} AS d,
+                   row_number() OVER (PARTITION BY p.pid
+                                      ORDER BY {d}, c.cid) AS rn
+            FROM pts p CROSS JOIN c{_KM_ROUNDS} c
+        ) WHERE rn = 1
+    )""")
+    return ctes
+
+
+def _sql_kmeans() -> str:
     return f"""
-    WITH {', '.join(ctes)}
-    SELECT pid AS vec_id, cid AS cluster, d AS dist FROM (
-        SELECT p.pid, c.cid, {d} AS d,
-               row_number() OVER (PARTITION BY p.pid
-                                  ORDER BY {d}, c.cid) AS rn
-        FROM pts p CROSS JOIN c{_KM_ROUNDS} c
-    ) WHERE rn = 1
+    WITH {', '.join(_km_pipeline_ctes())}
+    SELECT pid AS vec_id, cid AS cluster, d AS dist FROM fin
     """
 
 
@@ -440,6 +450,35 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).embeddings
     return kmeans(emb, id_col="vec_id", vec_col="embedding",
                   k=_KM_K, n_rounds=_KM_ROUNDS)
+
+
+def _sql_semantic_dedup() -> str:
+    return f"""
+    WITH {', '.join(_km_pipeline_ctes())}
+    SELECT cid AS cluster, pid AS keeper_id,
+           CAST(n_members AS BIGINT) AS n_members, d AS keeper_dist
+    FROM (
+        SELECT cid, pid, d,
+               row_number() OVER (PARTITION BY cid ORDER BY d, pid) AS rn,
+               count(*) OVER (PARTITION BY cid) AS n_members
+        FROM fin
+    ) WHERE rn = 1
+    """
+
+
+@query("semantic_dedup_keepers", _sql_semantic_dedup())
+def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus: one keeper
+    per k-means cluster (closest to centroid, ties → smallest id) with the
+    cluster population. The oracle reuses the full unrolled k-means
+    pipeline and replays the keeper window — cluster assignment AND
+    representative selection are hash-checked (operators/clustering.py,
+    Abbas et al. 2023 SemDeDup, public method)."""
+    from hierarchical_graph_db_spark.operators.clustering import semantic_dedup
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return semantic_dedup(emb, id_col="vec_id", vec_col="embedding",
+                          k=_KM_K, n_rounds=_KM_ROUNDS)
 
 
 # --- IVF ANN (operators/ivf.py) — needs the k-means CTE builders above ---

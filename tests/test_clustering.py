@@ -43,6 +43,23 @@ def test_kmeans_deterministic_rerun(spark):
     assert a == b
 
 
+def test_semantic_dedup_keeps_one_per_blob(spark):
+    """SemDeDup on the separable blobs: exactly one keeper per cluster,
+    each blob fully counted, and the keeper is genuinely a member of the
+    blob whose cluster it represents."""
+    from hierarchical_graph_db_spark.operators.clustering import semantic_dedup
+
+    out = semantic_dedup(_blobs(spark), k=3, n_rounds=3).collect()
+    assert len(out) == 3
+    assert sorted(r["n_members"] for r in out) == [30, 30, 30]
+    assert len({r["cluster"] for r in out}) == 3
+    # each keeper's own blob == the blob of every member of its cluster —
+    # recovered exactly for well-separated data
+    keeper_blobs = {r["keeper_id"] // 30 for r in out}
+    assert keeper_blobs == {0, 1, 2}
+    assert all(r["keeper_dist"] < 1.0 for r in out)
+
+
 def test_kmeans_broadcasts_centroids(spark):
     """The corpus must never shuffle for assignment: the centroid side of
     the per-round cross join is a broadcast (the 100 TB contract)."""
