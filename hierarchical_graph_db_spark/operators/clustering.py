@@ -127,12 +127,15 @@ def oversampled_seeds(pts: DataFrame, k: int,
         .localCheckpoint(eager=True)
     )
     pool_a = cand_a.select(F.col("pid").alias("cid"), F.col("v").alias("c"))
+    # Group by pid alone — v is functionally dependent on pid, and hashing
+    # a long beats hashing a dim-wide double array per (point × candidate).
     cand_b = (
         pts.join(cand_a.select("pid"), on="pid", how="left_anti")
         .crossJoin(F.broadcast(pool_a))
-        .groupBy("pid", "v")
+        .groupBy("pid")
         .agg(F.min(F.round(_sq_dist(F.col("v"), F.col("c")), 6))
-             .alias("mind"))
+             .alias("mind"),
+             F.first("v").alias("v"))
         .orderBy(F.desc("mind"), F.asc("pid"))
         .limit(n_cand)
         .select("pid", "v")
@@ -175,8 +178,11 @@ def kmeans_centroids(vectors: DataFrame, id_col: str = "vec_id",
             F.col("cid"),
             F.round(_sq_dist(F.col("v"), F.col("c")), 6).alias("d"),
         )
-        assigned = scored.groupBy("pid", "v").agg(
-            F.min(F.struct("d", "cid")).alias("best")
+        # argmin keyed by pid only (cheap long key; v rides along via
+        # first() — identical across the k copies of each point)
+        assigned = scored.groupBy("pid").agg(
+            F.min(F.struct("d", "cid")).alias("best"),
+            F.first("v").alias("v"),
         ).select("pid", "v", F.col("best.cid").alias("cid"),
                  F.col("best.d").alias("d"))
         comp = assigned.select(

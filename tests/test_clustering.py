@@ -69,3 +69,25 @@ def test_kmeans_broadcasts_centroids(spark):
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seeding_constant_corpus_work_independent_of_k(spark):
+    """Oversampled seeding does its corpus work in the two candidate
+    passes; the returned seed table is a driver-materialized local relation
+    (the greedy refinement ran on the candidate pool, not the corpus), so
+    its plan carries NO corpus lineage — downstream rounds re-broadcast k
+    local rows however large k grows."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_graph_db_spark.operators.clustering import (
+        oversampled_seeds,
+    )
+
+    pts = _blobs(spark).select(
+        F.col("vec_id").alias("pid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    seeds = oversampled_seeds(pts, k=5)
+    assert seeds.count() == 5
+    plan = seeds._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Join" not in plan and "Exchange" not in plan
