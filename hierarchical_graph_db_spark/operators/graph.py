@@ -183,6 +183,55 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
     return ranks
 
 
+def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999, public algorithm) over
+    (src, dst) edges → (id, hub, auth). Fixed iteration count, max-norm
+    each half-step (deterministic and SQL-replayable, unlike an L2 norm's
+    order-dependent sum-of-squares), state rounded to 6dp per half-step —
+    the PageRank treatment applied to the two-score mutual recursion.
+
+    Per iteration: two keyed joins + two hash aggregates (authority from
+    current hubs, then hubs from new authorities); the max is a broadcast
+    1-row aggregate inside the plan, never a driver collect. Multi-edges
+    weight by multiplicity, matching :func:`pagerank`.
+    """
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    ).localCheckpoint(eager=True)
+    hubs = vertices.withColumn("hub", F.lit(1.0))
+    auths = None
+    for _ in range(n_iter):
+        a_raw = (
+            edges.join(hubs.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("s"))
+        )
+        amax = a_raw.agg(F.max("s").alias("m"))
+        auths = (
+            vertices.join(a_raw, on="id", how="left")
+            .crossJoin(F.broadcast(amax))
+            .select("id", F.round(
+                F.coalesce(F.col("s") / F.col("m"), F.lit(0.0)), 6
+            ).alias("auth"))
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            edges.join(auths.withColumnRenamed("id", "dst"), on="dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("s"))
+        )
+        hmax = h_raw.agg(F.max("s").alias("m"))
+        hubs = (
+            vertices.join(h_raw, on="id", how="left")
+            .crossJoin(F.broadcast(hmax))
+            .select("id", F.round(
+                F.coalesce(F.col("s") / F.col("m"), F.lit(0.0)), 6
+            ).alias("hub"))
+        ).localCheckpoint(eager=True)
+    return hubs.join(auths, on="id").select("id", "hub", "auth")
+
+
 def reply_edges(emails: DataFrame) -> DataFrame:
     """G4 input: reply edges from the ``in-reply-to`` header (child → parent).
 

@@ -178,6 +178,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _hits_oracle(n_iter: int = 8) -> str:
+    """DuckDB twin of ``operators.graph.hits``: each iteration's authority
+    and hub half-steps unroll into chained MATERIALIZED CTEs with the same
+    max-normalization and 6dp rounding — mutual recursion, differential-
+    tested like PageRank."""
+    iters = []
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+    ar{i} AS MATERIALIZED (
+        SELECT e.dst AS id, sum(h.hub) AS s
+        FROM edges e JOIN {prev_h} h ON e.src = h.id GROUP BY e.dst
+    )""")
+        iters.append(f"""
+    a{i} AS MATERIALIZED (
+        SELECT v.id,
+               round(coalesce(r.s / (SELECT max(s) FROM ar{i}), 0), 6) AS auth
+        FROM vertices v LEFT JOIN ar{i} r ON v.id = r.id
+    )""")
+        iters.append(f"""
+    hr{i} AS MATERIALIZED (
+        SELECT e.src AS id, sum(a.auth) AS s
+        FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src
+    )""")
+        iters.append(f"""
+    h{i} AS MATERIALIZED (
+        SELECT v.id,
+               round(coalesce(r.s / (SELECT max(s) FROM hr{i}), 0), 6) AS hub
+        FROM vertices v LEFT JOIN hr{i} r ON v.id = r.id
+    )""")
+        prev_h = f"h{i}"
+    return f"""
+    WITH base_edges AS ({_SQL_EDGES}),
+    -- multi-edges intentional: weight by multiplicity, like pagerank
+    edges AS MATERIALIZED (SELECT src, dst FROM base_edges),
+    vertices AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM vertices),
+    {','.join(iters)}
+    SELECT h.id, h.hub, a.auth
+    FROM h{n_iter} h JOIN a{n_iter} a ON h.id = a.id
+    """
+
+
+@query("graph_hits", _hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (8 iterations, max-norm) over the interaction
+    graph — who initiates interactions (hub) vs who receives them
+    (authority), the directed complement to PageRank. Every half-step
+    unrolls into the oracle (operators/graph.py:hits)."""
+    from hierarchical_graph_db_spark.operators.graph import hits
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return hits(edges, n_iter=8)
+
+
 @query(
     "graph_triangle_count",
     f"""

@@ -262,3 +262,29 @@ def test_fixture_converges_inside_oracle_unrolls(spark):
     ).count() > 0
     # must not raise "did not converge"; the count itself may be anything
     k_core(edges, k=K_CORE_K, max_rounds=K_CORE_ORACLE_ROUNDS).count()
+
+
+def test_hits_star_graph(spark):
+    """HITS on a pure star: the pointed-at center is the sole authority,
+    the pointers are pure hubs — and scores are exact under max-norm."""
+    from hierarchical_graph_db_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("u1", "c"), ("u2", "c"), ("u3", "c")], "src string, dst string")
+    out = {r["id"]: (r["hub"], r["auth"])
+           for r in hits(edges, n_iter=3).collect()}
+    assert out["c"] == (0.0, 1.0)
+    for u in ("u1", "u2", "u3"):
+        assert out[u] == (1.0, 0.0)
+
+
+def test_hits_multi_edge_weighting(spark):
+    """Parallel edges weight by multiplicity (same convention as pagerank):
+    a target hit twice by one hub out-scores a target hit once."""
+    from hierarchical_graph_db_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("u", "a"), ("u", "a"), ("u", "b")], "src string, dst string")
+    out = {r["id"]: r["auth"] for r in hits(edges, n_iter=3).collect()}
+    assert out["a"] == 1.0          # max-normalized top authority
+    assert 0.0 < out["b"] < out["a"]

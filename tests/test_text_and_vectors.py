@@ -90,3 +90,17 @@ def test_fingerprint_deterministic(spark):
     df = spark.createDataFrame([Row(t="Hello  World"), Row(t="hello world")])
     out = [r[0] for r in df.select(fingerprint("t")).collect()]
     assert out[0] == out[1]  # normalization collapses case/whitespace
+
+
+def test_bm25_ranking_invariants(spark, sf_dir):
+    """BM25 top-10: dense 1..n ranks, scores non-increasing and positive
+    (the query terms are the corpus's top-df terms, so matches exist)."""
+    from hierarchical_graph_db_spark.queries import load
+
+    out = sorted(load()["text_bm25_topk"].run(spark, sf_dir).collect(),
+                 key=lambda r: r["rnk"])
+    assert 0 < len(out) <= 10
+    assert [r["rnk"] for r in out] == list(range(1, len(out) + 1))
+    scores = [r["score"] for r in out]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    assert all(s > 0 for s in scores)
