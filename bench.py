@@ -117,6 +117,8 @@ HEADLINE = [
     "embedding_kmeans_clusters",
     # IVF ANN end-to-end (deterministic quantizer train + probe + score).
     "ann_ivf_topk",
+    # semantic dedup: the kmeans pipeline + keeper window composition.
+    "semantic_dedup_keepers",
 ]
 
 
