@@ -143,6 +143,62 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_interval_join_outer",
+    """
+    WITH p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM p),
+                        (SELECT max(ts) FROM c)) AS w)
+    SELECT p.user_id, p.ts, round(p.value, 2) AS purchase_value,
+           c.ts AS ts_r, round(c.value, 2) AS click_value
+    FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    UNION ALL
+    SELECT p.user_id, p.ts, round(p.value, 2) AS purchase_value,
+           CAST(NULL AS TIMESTAMP) AS ts_r,
+           CAST(NULL AS DOUBLE) AS click_value
+    FROM p CROSS JOIN wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                      AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts)
+    """,
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched (purchase, click)
+    pairs plus null-joined purchases once the watermark proves no click can
+    still arrive. Emission semantics are part of the oracle: an unmatched
+    left row emits iff its event time is STRICTLY below the final global
+    watermark min(max left ts, max right ts) — verified against an exact
+    boundary row in tests/test_streaming.py — so even the watermark-
+    eviction behavior is hash-checked, not just the matched pairs. The 0s
+    watermark makes the bounded drain as complete as outer-join semantics
+    allow; production uses a real horizon and trades completeness for
+    late-data tolerance."""
+    from hierarchical_graph_db_spark.streaming.streams import interval_join
+
+    ev = fixture_event_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = drain_to_dataframe(
+        interval_join(purchases, clicks, on="user_id",
+                      left_cols=["value"], right_cols=["value"],
+                      watermark="0 seconds", how="left_outer"),
+        output_mode="append",
+    )
+    return out.select(
+        "user_id", "ts",
+        F.round("value", 2).alias("purchase_value"),
+        "ts_r",
+        F.round("value_r", 2).alias("click_value"),
+    )
+
+
+@query(
     "streaming_static_enrichment",
     """
     SELECT c.c_mktsegment, e.event_type,

@@ -46,13 +46,22 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
                   ts_col: str = "ts", band: str = "10 minutes",
                   watermark: str = "2 hours",
                   left_cols: list[str] | None = None,
-                  right_cols: list[str] | None = None) -> DataFrame:
-    """Stream-stream inner join: right rows on the same key with
+                  right_cols: list[str] | None = None,
+                  how: str = "inner") -> DataFrame:
+    """Stream-stream join: right rows on the same key with
     ``right.ts ∈ [left.ts - band, left.ts]``.
 
     Both sides are watermarked so Spark bounds the join state: a buffered
     row is droppable once the other side's watermark passes its band edge.
     Column names: left keeps its names, right's are suffixed ``_r``.
+
+    ``how='left_outer'`` additionally emits unmatched left rows (right
+    columns null) once the watermark proves no future match can arrive —
+    the streaming twin of a batch left join, with the caveat that rows
+    still inside the final watermark horizon when the stream drains are
+    held in state, never emitted (standard Structured Streaming outer-join
+    semantics; with a short watermark on bounded input the drained result
+    is the full batch left join minus the horizon tail).
     """
     lw = left.withWatermark(ts_col, watermark).alias("l")
     rw = (
@@ -69,7 +78,7 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
         & (F.col(f"{ts_col}_r") >= F.col(ts_col) - F.expr(f"interval {band}"))
         & (F.col(f"{ts_col}_r") <= F.col(ts_col))
     )
-    joined = lw.join(rw, cond, "inner")
+    joined = lw.join(rw, cond, how)
     keep = [on, ts_col, *(left_cols or []),
             f"{ts_col}_r", *[f"{c}_r" for c in (right_cols or [])]]
     return joined.select(*keep)

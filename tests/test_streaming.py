@@ -522,6 +522,41 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
     assert got == [(2, 1)]  # only purchase#2 pairs with click#1
 
 
+def test_outer_interval_join_watermark_eviction_boundary(spark, tmp_path):
+    """Left-outer stream-stream join drain semantics, pinned exactly: an
+    unmatched left row emits null-joined iff its event time is STRICTLY
+    below the final global watermark min(max left ts, max right ts). A row
+    AT the boundary and a row above it stay in state (never emitted); a row
+    below it emits. The streaming_interval_join_outer oracle encodes this
+    predicate — this test is what licenses it."""
+    from hierarchical_graph_db_spark.streaming.ingest import drain_to_dataframe
+    from hierarchical_graph_db_spark.streaming.streams import interval_join
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        Row(user_id=1, ts=t, value=1.0, side="p"),  # ts == watermark: held
+        Row(user_id=2, ts=t - dt.timedelta(hours=3), value=2.0,
+            side="p"),                               # below: emits
+        Row(user_id=3, ts=t, value=3.0, side="c"),   # fixes max right ts
+        Row(user_id=9, ts=t + dt.timedelta(hours=1), value=9.0,
+            side="p"),                               # above: held
+    ]
+    d = str(tmp_path / "in")
+    spark.createDataFrame(rows).write.parquet(d)
+    s = spark.readStream.schema(
+        "user_id long, ts timestamp, value double, side string").parquet(d)
+    out = drain_to_dataframe(
+        interval_join(s.where("side = 'p'").select("user_id", "ts", "value"),
+                      s.where("side = 'c'").select("user_id", "ts", "value"),
+                      on="user_id", left_cols=["value"],
+                      right_cols=["value"], watermark="0 seconds",
+                      how="left_outer"),
+        output_mode="append",
+    )
+    got = [(r["user_id"], r["ts_r"]) for r in out.collect()]
+    assert got == [(2, None)]
+
+
 def test_dedup_sink_empty_first_batch_does_not_poison_store(spark, tmp_path):
     """An all-filtered first micro-batch must not create an empty store dir
     (which would break schema inference for every later batch); the next
