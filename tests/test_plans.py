@@ -95,3 +95,26 @@ def test_tpch_q21_reuses_lineitem_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q21_waiting_supplier")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_query_terms_no_cartesian(spark, sf_dir):
+    """BM25: the 3-term query table and the 1-row (N, avgdl) aggregates
+    must broadcast; corpus-side postings never shuffle against them via
+    cartesian/shuffle joins."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_hits_no_cartesian(spark, sf_dir):
+    """HITS: per half-step keyed join + hash agg, max as broadcast 1-row —
+    no cartesian products anywhere in the 8-iteration plan."""
+    plan = _plan(spark, sf_dir, "graph_hits")
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_no_cartesian(spark, sf_dir):
+    """Semantic dedup = the kmeans pipeline + one window; centroid sides
+    broadcast, never cartesian."""
+    plan = _plan(spark, sf_dir, "semantic_dedup_keepers")
+    assert "CartesianProduct" not in plan
