@@ -199,6 +199,67 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_interval_join_full_outer",
+    """
+    WITH p AS (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    wm AS (SELECT least((SELECT max(ts) FROM p),
+                        (SELECT max(ts) FROM c)) AS w)
+    SELECT p.user_id, p.ts, round(p.value, 2) AS purchase_value,
+           c.ts AS ts_r, round(c.value, 2) AS click_value
+    FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    UNION ALL
+    SELECT p.user_id, p.ts, round(p.value, 2) AS purchase_value,
+           CAST(NULL AS TIMESTAMP) AS ts_r,
+           CAST(NULL AS DOUBLE) AS click_value
+    FROM p CROSS JOIN wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+                      AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts)
+    UNION ALL
+    SELECT c.user_id, CAST(NULL AS TIMESTAMP) AS ts,
+           CAST(NULL AS DOUBLE) AS purchase_value,
+           c.ts AS ts_r, round(c.value, 2) AS click_value
+    FROM c CROSS JOIN wm
+    WHERE c.ts + INTERVAL 10 MINUTE < wm.w
+      AND NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+                      AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 10 MINUTE)
+    """,
+)
+def streaming_interval_join_full_outer(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matched pairs plus BOTH
+    sides' watermark-evicted unmatched rows. The two eviction predicates
+    are asymmetric and both encoded in the oracle — an unmatched purchase
+    emits iff ``p.ts < wm``, an unmatched click iff ``c.ts + band < wm``
+    (the click's last possible matching purchase lives at ``c.ts + band``)
+    — each pinned by a boundary row in tests/test_streaming.py."""
+    from hierarchical_graph_db_spark.streaming.streams import interval_join
+
+    ev = fixture_event_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = drain_to_dataframe(
+        interval_join(purchases, clicks, on="user_id",
+                      left_cols=["value"], right_cols=["value"],
+                      watermark="0 seconds", how="full_outer"),
+        output_mode="append",
+    )
+    return out.select(
+        "user_id", "ts",
+        F.round("value", 2).alias("purchase_value"),
+        "ts_r",
+        F.round("value_r", 2).alias("click_value"),
+    )
+
+
+@query(
     "streaming_static_enrichment",
     """
     SELECT c.c_mktsegment, e.event_type,

@@ -79,6 +79,11 @@ def interval_join(left: DataFrame, right: DataFrame, on: str,
         & (F.col(f"{ts_col}_r") <= F.col(ts_col))
     )
     joined = lw.join(rw, cond, how)
-    keep = [on, ts_col, *(left_cols or []),
+    # For right/full outer, unmatched right rows carry the key only on the
+    # _r side — surface one coalesced key column either way.
+    key = (F.coalesce(F.col(on), F.col(f"{on}_r")).alias(on)
+           if how in ("full_outer", "right_outer", "outer", "full")
+           else F.col(on))
+    keep = [key, ts_col, *(left_cols or []),
             f"{ts_col}_r", *[f"{c}_r" for c in (right_cols or [])]]
     return joined.select(*keep)

@@ -557,6 +557,41 @@ def test_outer_interval_join_watermark_eviction_boundary(spark, tmp_path):
     assert got == [(2, None)]
 
 
+def test_full_outer_interval_join_eviction_boundaries(spark, tmp_path):
+    """Full-outer drain semantics, both sides pinned: an unmatched RIGHT
+    row emits iff its last possible match time (c.ts + band) is strictly
+    below the final watermark; boundary rows on either side stay in state.
+    Licenses the streaming_interval_join_full_outer oracle."""
+    from hierarchical_graph_db_spark.streaming.ingest import drain_to_dataframe
+    from hierarchical_graph_db_spark.streaming.streams import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    band = dt.timedelta(minutes=10)
+    rows = [
+        Row(user_id=1, ts=t0, value=1.0, side="c"),   # c.ts+band == wm: held
+        Row(user_id=2, ts=t0 - dt.timedelta(hours=3), value=2.0,
+            side="c"),                                # well below: emits
+        Row(user_id=3, ts=t0 + band, value=3.0, side="c"),  # max_c
+        Row(user_id=4, ts=t0 + band, value=4.0, side="p"),  # max_p == wm: held
+    ]
+    d = str(tmp_path / "in")
+    spark.createDataFrame(rows).write.parquet(d)
+    s = spark.readStream.schema(
+        "user_id long, ts timestamp, value double, side string").parquet(d)
+    out = drain_to_dataframe(
+        interval_join(s.where("side = 'p'").select("user_id", "ts", "value"),
+                      s.where("side = 'c'").select("user_id", "ts", "value"),
+                      on="user_id", left_cols=["value"],
+                      right_cols=["value"], watermark="0 seconds",
+                      how="full_outer"),
+        output_mode="append",
+    )
+    got = [(r["user_id"], r["ts"], r["ts_r"]) for r in out.collect()]
+    # only the clearly-below-watermark click emits; its key survives the
+    # coalesced projection even though the left side is null
+    assert got == [(2, None, t0 - dt.timedelta(hours=3))]
+
+
 def test_dedup_sink_empty_first_batch_does_not_poison_store(spark, tmp_path):
     """An all-filtered first micro-batch must not create an empty store dir
     (which would break schema inference for every later batch); the next
