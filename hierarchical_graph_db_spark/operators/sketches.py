@@ -95,24 +95,15 @@ def hll_alpha(m: int) -> float:
         m, 0.7213 / (1.0 + 1.079 / m))
 
 
-def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
-                 m: int = HLL_M) -> DataFrame:
-    """Deterministic HyperLogLog distinct-count of ``key_col`` per group.
-
-    Unlike ``approx_count_distinct`` (engine-private xxhash64 registers,
-    rows-only checkable), this sketch hashes with the repo's portable
-    sha256 convention, so a SQL oracle replays every register and the
-    estimate hash-matches across engines — the CMS treatment applied to
-    cardinality. Scale shape: one hash aggregate to ≤ m rows per group
-    (map-side collapsed), then a per-group fold; shuffle volume is
-    O(groups × m) regardless of input size.
-
-    ``m`` ∈ {64, 256, 1024} (p = 6/8/10; rsd 13%/6.5%/3.25%) — wide enough
-    at the default that the portable sketch IS the production form, not a
-    demo beside ``approx_count_distinct``. Small-range correction (linear
-    counting) per the HLL paper; the 32-bit-hash large-range correction is
-    unnecessary with ≥50 rank bits.
-    """
+def hll_registers(df: DataFrame, key_col: str, group_cols: list[str],
+                  m: int = HLL_M) -> DataFrame:
+    """Per-group HLL register table (group_cols..., reg, m_j) — the
+    MERGEABLE sketch partial. Register tables are the materialization
+    format at 100 TB: persist them at fine grain (e.g. per day), then any
+    coarser distinct-count rolls up via :func:`hll_merge` from ≤ m rows
+    per fine group, never re-touching the raw data. Merging is a plain
+    ``max`` per register, so partials compose associatively across
+    partitions, files, and time."""
     if m not in _HLL_MS:
         raise ValueError(f"oracle replay supports m in {_HLL_MS}, got {m}")
     p = m.bit_length() - 1
@@ -125,12 +116,29 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
     rho = F.when(v == 0, F.lit(r1)).otherwise(
         F.lit(r1) - F.length(F.conv(v, 10, 2))
     )
-    regs = (
+    return (
         df.select(*group_cols, F.pmod(h, F.lit(m)).alias("reg"),
                   rho.alias("rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("rho").alias("m_j"))
     )
+
+
+def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables down to coarser groups: max per register —
+    the associative union that makes HLL partials pre-aggregable."""
+    return regs.groupBy(*group_cols, "reg").agg(
+        F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str],
+                 m: int = HLL_M) -> DataFrame:
+    """Fold a register table to (group_cols..., est_users): exact integer
+    Σ 2^(r1-M_j) then one division; linear counting in the small range."""
+    if m not in _HLL_MS:
+        raise ValueError(f"oracle replay supports m in {_HLL_MS}, got {m}")
+    p = m.bit_length() - 1
+    r1 = 60 - p + 1
     two_top = 1 << r1  # empty register's Σ contribution; m·2^r1 = 2^61 < 2^63
     per = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_present"),
@@ -147,3 +155,27 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return per.select(*group_cols, F.round(est, 4).alias("est_users"))
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
+                 m: int = HLL_M) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count of ``key_col`` per group.
+
+    Unlike ``approx_count_distinct`` (engine-private xxhash64 registers,
+    rows-only checkable), this sketch hashes with the repo's portable
+    sha256 convention, so a SQL oracle replays every register and the
+    estimate hash-matches across engines — the CMS treatment applied to
+    cardinality. Scale shape: one hash aggregate to ≤ m rows per group
+    (map-side collapsed), then a per-group fold; shuffle volume is
+    O(groups × m) regardless of input size.
+
+    ``m`` ∈ {64, 256, 1024} (p = 6/8/10; rsd 13%/6.5%/3.25%) — wide enough
+    at the default that the portable sketch IS the production form, not a
+    demo beside ``approx_count_distinct``. Small-range correction (linear
+    counting) per the HLL paper; the 32-bit-hash large-range correction is
+    unnecessary with ≥50 rank bits. Composition of
+    :func:`hll_registers` → :func:`hll_estimate`; insert
+    :func:`hll_merge` between them to roll up persisted partials.
+    """
+    return hll_estimate(hll_registers(df, key_col, group_cols, m),
+                        group_cols, m)

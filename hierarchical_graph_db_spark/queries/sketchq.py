@@ -134,12 +134,14 @@ def _sql_hex15(hex_expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _sql_hll(m: int) -> str:
+def _sql_hll(m: int, merge_daily: bool = False) -> str:
     """DuckDB twin of operators.sketches.hll_distinct at ``m`` registers:
     every register max replayed, exact integer Σ 2^(r1-M_j), and the
     alpha·m²·2^r1 numerator computed ONCE in Python so both engines see the
     identical double literal (one division, no order-dependent float
-    folds)."""
+    folds). With ``merge_daily`` the registers are first built per
+    (day, event_type) and then max-merged — the sketch-partial rollup path
+    of operators.sketches.hll_merge, replayed level by level."""
     from hierarchical_graph_db_spark.operators.sketches import hll_alpha
 
     p = m.bit_length() - 1
@@ -147,8 +149,28 @@ def _sql_hll(m: int) -> str:
     numerator = repr(hll_alpha(m) * m * m * float(1 << r1))
     s_total = (f"CAST(s_present + ({m} - n_present) * "
                f"(1::BIGINT << {r1}) AS DOUBLE)")
-    return f"""
-    WITH keys AS (
+    if merge_daily:
+        reg_ctes = f"""keys AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, event_type, user_id
+        FROM events
+    ),
+    h AS (
+        SELECT day, event_type,
+               {_sql_hex15("sha256('hll-v1|' || CAST(user_id AS VARCHAR))")}
+                   AS hv
+        FROM keys
+    ),
+    dregs AS (
+        SELECT day, event_type, hv % {m} AS reg,
+               max(CASE WHEN (hv >> {p}) = 0 THEN {r1}
+                        ELSE {r1} - length(to_base(hv >> {p}, 2)) END) AS m_j
+        FROM h GROUP BY 1, 2, 3
+    ),
+    regs AS (
+        SELECT event_type, reg, max(m_j) AS m_j FROM dregs GROUP BY 1, 2
+    )"""
+    else:
+        reg_ctes = f"""keys AS (
         SELECT DISTINCT event_type, user_id FROM events
     ),
     h AS (
@@ -162,7 +184,9 @@ def _sql_hll(m: int) -> str:
                max(CASE WHEN (hv >> {p}) = 0 THEN {r1}
                         ELSE {r1} - length(to_base(hv >> {p}, 2)) END) AS m_j
         FROM h GROUP BY 1, 2
-    ),
+    )"""
+    return f"""
+    WITH {reg_ctes},
     per AS (
         SELECT event_type, count(*) AS n_present,
                sum(1::BIGINT << ({r1} - m_j)) AS s_present
@@ -192,3 +216,26 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = Catalog(spark, sf_dir).events
     return hll_distinct(ev, "user_id", ["event_type"], m=1024)
+
+
+@query("sketch_hll_mergeable_rollup", _sql_hll(1024, merge_daily=True))
+def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type computed by MERGING per-day HLL
+    register partials (max per register) instead of touching raw rows —
+    the pre-aggregation pattern that makes sketches the 100 TB answer:
+    persist fine-grained register tables (≤ m rows per group per day),
+    roll any coarser window up from them. The oracle replays both levels
+    (daily registers, then the max-merge), and the merged estimate is
+    bit-identical to the direct computation (pinned in
+    tests/test_sketches.py) because register max is associative."""
+    from hierarchical_graph_db_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd"))
+    daily = hll_registers(ev, "user_id", ["day", "event_type"], m=1024)
+    merged = hll_merge(daily, ["event_type"])
+    return hll_estimate(merged, ["event_type"], m=1024)

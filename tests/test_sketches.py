@@ -134,3 +134,17 @@ def test_portable_hll_register_widths(spark):
 
     with pytest.raises(ValueError, match="oracle replay"):
         hll_distinct(big, "k", ["g"], m=128)
+
+
+def test_hll_partials_merge_losslessly(spark, sf_dir):
+    """Register max is associative: merging per-day partials must land on
+    the BIT-IDENTICAL estimate as the direct whole-range computation —
+    the property that licenses persisting sketch partials at 100 TB."""
+    from hierarchical_graph_db_spark.queries import load
+
+    direct = {r["event_type"]: r["est_users"]
+              for r in load()["sketch_hll_distinct"].run(spark, sf_dir).collect()}
+    merged = {r["event_type"]: r["est_users"]
+              for r in load()["sketch_hll_mergeable_rollup"]
+              .run(spark, sf_dir).collect()}
+    assert merged == direct
