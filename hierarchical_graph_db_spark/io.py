@@ -26,6 +26,18 @@ class Catalog:
     tables partitioned on their natural keys (orders by o_orderdate month,
     events by ts day); the synthetic fixtures are single files, so partition
     pruning is exercised in tests rather than here.
+
+    **Session-wide side effect (deliberate, first ``events`` read only):**
+    reading ``events`` pins ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's session for
+    the rest of its lifetime. The tz pin is load-bearing for cross-engine
+    parity: every downstream wall-clock operation (``date_trunc``, window
+    boundaries, the driver's collect-and-render) must agree with the DuckDB
+    oracle's UTC rendering, and those run lazily — a save/restore scope
+    cannot cover execution time. Callers that need a different session tz
+    should use a separate SparkSession for non-engine work. (The *parse* of
+    the MICROS-vintage ntz column itself is tz-independent via
+    ``to_utc_timestamp``.)
     """
 
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
@@ -55,10 +67,10 @@ class Catalog:
                 # set here (not only in session.py) so the queries also work
                 # under a caller-provided SparkSession (the driver's).
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-                # The MICROS vintage lands as timestamp_ntz and the cast below
-                # reinterprets it in the session timezone — pin UTC here (not
-                # only in session.py) so a caller-provided vanilla session in
-                # a non-UTC environment doesn't shift every ts vs the oracle.
+                # Downstream wall-clock ops (date_trunc, windows, the
+                # driver's render) must agree with the oracle's UTC — pin
+                # the session tz (documented session-wide side effect, see
+                # class docstring).
                 self.spark.conf.set("spark.sql.session.timeZone", "UTC")
                 df = self.spark.read.parquet(self.path(name))
                 if df.schema["ts"].dataType.simpleString() == "bigint":
@@ -66,7 +78,10 @@ class Catalog:
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
                 else:
-                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+                    # ntz wall time read AS UTC — tz-independent (unlike a
+                    # bare cast, which reinterprets in the session tz).
+                    df = df.withColumn(
+                        "ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
             else:
                 df = self.spark.read.parquet(self.path(name))
             self._cache[name] = df

@@ -45,35 +45,45 @@ def train_centroids(corpus: DataFrame, n_lists: int = 10,
     return [c.tolist() for c in model.clusterCenters()]
 
 
+TRAIN_SAMPLE = 10_000
+
+
 def deterministic_centroids(corpus: DataFrame, n_lists: int = 10,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            n_rounds: int = 2) -> list[list[float]]:
+                            n_rounds: int = 2,
+                            train_sample: int = TRAIN_SAMPLE) -> list[list[float]]:
     """Coarse quantizer trained with the engine's deterministic k-means
-    (``operators/clustering.kmeans_centroids``): no RNG, 6dp-quantized
-    state, so a SQL oracle can replay the exact same centers. Returned
+    (``operators/clustering.kmeans_centroid_rows``): no RNG, 6dp-quantized
+    state, so a SQL oracle can replay the exact same centers. Trains on a
+    bounded deterministic sample (smallest-``sha256(pid)`` top-N — round-5
+    verdict item 3), so training cost is CONSTANT in corpus size; a coarse
+    quantizer needs a representative sample, not the corpus. Returned
     ordered by seed id — list i is centroid i in :func:`assign_lists` /
-    :func:`ivf_topk`. The collect is k rows (the centroid table), never
-    corpus data."""
+    :func:`ivf_topk`."""
     from hierarchical_graph_db_spark.operators.clustering import (
-        kmeans_centroids,
+        kmeans_centroid_rows,
     )
 
-    cents = kmeans_centroids(corpus, id_col=id_col, vec_col=vec_col,
-                             k=n_lists, n_rounds=n_rounds)
-    return [r["c"] for r in cents.orderBy("cid").collect()]
+    rows = kmeans_centroid_rows(corpus, id_col=id_col, vec_col=vec_col,
+                                k=n_lists, n_rounds=n_rounds,
+                                train_sample=train_sample)
+    return [c for _, c in sorted(rows, key=lambda r: r[0])]
 
 
 def _sq_dist(vec, center: list[float]):
-    """Unrolled ||v - c||² (codegen-friendly, like dot_static)."""
-    terms = [
-        (F.element_at(vec, i + 1).cast("double") - float(center[i])) ** 2
-        for i in range(len(center))
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    """||v - c||² against a literal center: left fold over
+    ``zip_with`` — one compact higher-order expression instead of 2×dim
+    unrolled codegen nodes, and multiplication (not ``pow``) exactly
+    matching the oracle's ``(q[1]-q[2]) * (q[1]-q[2])``. Identical result
+    to the clustering kernel (0.0 + t₀ = t₀ exactly for t₀ ≥ 0)."""
+    from hierarchical_graph_db_spark.operators.clustering import (
+        _lit_vec,
+        _sq_dist as _fold,
+    )
+
+    return _fold(F.transform(vec, lambda x: x.cast("double")),
+                 _lit_vec(center))
 
 
 def assign_lists(df: DataFrame, centers: list[list[float]],

@@ -310,9 +310,9 @@ _SQL_SQDIST = (
 )
 
 
-def _km_assign_cte(name: str, cents: str) -> str:
+def _km_assign_cte(name: str, cents: str, pts: str = "pts") -> str:
     """Argmin assignment of every point against centroid table ``cents`` —
-    same total order as the operator's struct-min: (dist 6dp, cid)."""
+    same total order as the operator's literal argmin: (dist 6dp, cid)."""
     d = _SQL_SQDIST.format(a="p.v", b="c.c")
     return f"""
     {name} AS MATERIALIZED (
@@ -320,7 +320,7 @@ def _km_assign_cte(name: str, cents: str) -> str:
             SELECT p.pid, p.v, c.cid, {d} AS d,
                    row_number() OVER (PARTITION BY p.pid
                                       ORDER BY {d}, c.cid) AS rn
-            FROM pts p CROSS JOIN {cents} c
+            FROM {pts} p CROSS JOIN {cents} c
         ) WHERE rn = 1
     )"""
 
@@ -343,7 +343,8 @@ def _km_update_cte(name: str, assign: str) -> str:
     )"""
 
 
-def _km_seed_ctes(k: int = None, oversample: int = None) -> list[str]:
+def _km_seed_ctes(k: int = None, oversample: int = None,
+                  pts: str = "pts") -> list[str]:
     """Unrolled k-means‖-style seeding, mirroring
     operators.clustering.oversampled_seeds: candA = the L smallest
     sha256(pid) points (pseudo-uniform draw), candB = the L points farthest
@@ -355,13 +356,13 @@ def _km_seed_ctes(k: int = None, oversample: int = None) -> list[str]:
     n_cand = oversample * k
     db = _SQL_SQDIST.format(a="p.v", b="a.v")
     ctes = [f"""canda AS MATERIALIZED (
-        SELECT pid, v FROM pts
+        SELECT pid, v FROM {pts}
         ORDER BY sha256(CAST(pid AS VARCHAR)), pid
         LIMIT {n_cand}
     )""", f"""candb AS MATERIALIZED (
         SELECT pid, v FROM (
             SELECT p.pid, p.v, min({db}) AS mind
-            FROM pts p CROSS JOIN canda a
+            FROM {pts} p CROSS JOIN canda a
             WHERE p.pid NOT IN (SELECT pid FROM canda)
             GROUP BY p.pid, p.v
             ORDER BY mind DESC, p.pid
@@ -442,9 +443,9 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every Lloyd round as materialized CTEs with the same 6dp state
     quantization and the same order-independent fixed-point centroid sums —
     the SSSP/LPA treatment applied to an iterative ML operator. Per round
-    the corpus streams once against a broadcast k×dim centroid table and
-    the update shuffles only O(k × dim) bigint partials
-    (operators/clustering.py)."""
+    the corpus streams once through a literal-centroid argmin expression
+    (no join, no assignment exchange) and the update shuffles only
+    O(k × dim) bigint partials (operators/clustering.py)."""
     from hierarchical_graph_db_spark.operators.clustering import kmeans
 
     emb = Catalog(spark, sf_dir).embeddings
@@ -489,21 +490,31 @@ _IVF_LISTS, _IVF_ROUNDS, _IVF_NPROBE, _IVF_TOPK = 10, 2, 2, 5
 def _sql_ivf() -> str:
     """Unrolled IVF-Flat: the coarse quantizer is the deterministic k-means
     pipeline (seeding + Lloyd rounds, same CTEs as the k-means oracle at
-    k=n_lists), then list assignment, probe selection and bucket-local
-    cosine scoring replay the operator's quantized argmins exactly."""
+    k=n_lists) trained on the bounded smallest-sha256(pid) sample ``tr``
+    (replaying operators/ivf.deterministic_centroids' constant-cost
+    training), then list assignment, probe selection and bucket-local
+    cosine scoring over the FULL corpus replay the operator's quantized
+    argmins exactly."""
+    from hierarchical_graph_db_spark.operators.ivf import TRAIN_SAMPLE
+
     ctes = [
         """pts AS MATERIALIZED (
         SELECT vec_id AS pid,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     )""",
-        *_km_seed_ctes(k=_IVF_LISTS),
+        f"""tr AS MATERIALIZED (
+        SELECT pid, v FROM pts
+        ORDER BY sha256(CAST(pid AS VARCHAR)), pid
+        LIMIT {TRAIN_SAMPLE}
+    )""",
+        *_km_seed_ctes(k=_IVF_LISTS, pts="tr"),
         f"""c0 AS MATERIALIZED (
         SELECT * FROM seeds{_IVF_LISTS}
     )""",
     ]
     for i in range(1, _IVF_ROUNDS + 1):
-        ctes.append(_km_assign_cte(f"a{i}", f"c{i - 1}"))
+        ctes.append(_km_assign_cte(f"a{i}", f"c{i - 1}", pts="tr"))
         ctes.append(_km_update_cte(f"c{i}", f"a{i}"))
     d = _SQL_SQDIST.format(a="p.v", b="c.c")
     ctes.append(f"""cent AS MATERIALIZED (

@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -196,8 +197,13 @@ class BucketedParquetStore:
             raise ValueError(
                 f"store at {self.path} is empty and has no pinned schema — "
                 "check exists() before read()")
+        # mergeSchema: buckets written before a schema-evolving commit lack
+        # the new columns — the footer-merged read surfaces the union, so
+        # newer buckets' values survive and older buckets null-fill natively
+        # (cost: one footer per live bucket version, metadata-only).
         df = (
             self.spark.read.option("basePath", self.data_dir)
+            .option("mergeSchema", "true")
             .parquet(*paths)
         )
         # __v materializes as a partition column under basePath — internal.
@@ -211,7 +217,12 @@ class BucketedParquetStore:
             current = {f.name: f.dataType for f in df.schema.fields}
             cols = []
             for f in schema.fields:
-                if current[f.name].simpleString() == f.dataType.simpleString():
+                if f.name not in current:
+                    # Schema evolution: a later commit pinned a column that
+                    # older untouched buckets' files lack — null-fill (the
+                    # standard wide-schema read) instead of a raw KeyError.
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                elif current[f.name].simpleString() == f.dataType.simpleString():
                     cols.append(F.col(f.name))
                 else:
                     cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
@@ -310,12 +321,21 @@ class BucketedParquetStore:
         # Superseded version dirs are RETAINED — they back snapshot reads
         # (Delta-style time travel); ``vacuum`` bounds the history.
 
-    def vacuum(self, keep_last: int = 2) -> int:
+    def vacuum(self, keep_last: int = 2, orphan_ttl_s: float = 86400.0) -> int:
         """Drop snapshots older than the last ``keep_last``: version dirs
         referenced only by vacuumed manifests are deleted, as are their
         archives. Returns the number of version dirs removed. Run this
         out-of-band (maintenance), never inside the commit path — a reader
-        of a retained snapshot never races it."""
+        of a retained snapshot never races it.
+
+        Version dirs ABOVE the commit point are spared while pending.json
+        names their batch (a crashed publish ``already_done`` will finish);
+        one that pending.json does NOT name can never be replayed (the
+        replay path needs pending entries + scratch ``_SUCCESS``), so
+        keeping it forever is a leak — it is removed once older than
+        ``orphan_ttl_s`` (age guard: a publish mid-flight has fresh mtimes,
+        so even a vacuum racing it against the documented contract won't
+        eat its dirs)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         versions = self.versions()
@@ -329,12 +349,14 @@ class BucketedParquetStore:
         # Version dirs from a batch that crashed mid-publish (moved into
         # place but manifest not yet swapped) are referenced by NO manifest
         # — but already_done() will finish their publish on replay, so they
-        # must survive vacuum. Spare every dir newer than the live commit
-        # point, plus anything pending.json names explicitly.
+        # must survive vacuum while pending.json still names them. One
+        # pending.json does NOT name is unreachable forever (the round-5
+        # advice's leak): removed once older than the orphan TTL.
         committed = self.committed_batch_id()
         pending = self._read_json("pending.json") or {}
         pending_batch = int(pending.get("batch_id", -1))
         pending_entries = set(pending.get("entries") or [])
+        now = time.time()
         removed = 0
         if os.path.isdir(self.data_dir):
             for entry in os.listdir(self.data_dir):
@@ -345,10 +367,19 @@ class BucketedParquetStore:
                     if not d.startswith(_VERSION_PREFIX):
                         continue
                     v = int(d[len(_VERSION_PREFIX):])
-                    if v > committed:
-                        continue  # uncommitted batch awaiting replay
                     if v == pending_batch and entry in pending_entries:
-                        continue
+                        continue  # crashed publish awaiting replay
+                    if v > committed:
+                        # Above the commit point but NOT replayable from
+                        # pending.json: an orphan. Spare it only within the
+                        # TTL window (in-flight publishes have fresh mtimes).
+                        try:
+                            age = now - os.path.getmtime(
+                                os.path.join(bucket_dir, d))
+                        except OSError:
+                            continue
+                        if age <= orphan_ttl_s:
+                            continue
                     if (entry, v) not in live:
                         shutil.rmtree(os.path.join(bucket_dir, d),
                                       ignore_errors=True)

@@ -60,15 +60,43 @@ def test_semantic_dedup_keeps_one_per_blob(spark):
     assert all(r["keeper_dist"] < 1.0 for r in out)
 
 
-def test_kmeans_broadcasts_centroids(spark):
-    """The corpus must never shuffle for assignment: the centroid side of
-    the per-round cross join is a broadcast (the 100 TB contract)."""
+def test_kmeans_assignment_is_pure_projection(spark):
+    """The corpus must never shuffle for assignment: the trained centroids
+    are plan literals and the argmin a per-row expression, so the final
+    assignment plan is scan + project — NO join, NO exchange of any kind
+    (the 100 TB contract, tightened from round 4's broadcast-join shape)."""
     plan = (
         kmeans(_blobs(spark), k=3, n_rounds=1)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_keeper_is_partial_aggregate(spark):
+    """The keeper pass is ONE partial-aggregable groupBy — no window and no
+    corpus-to-k-reducers funnel (the round-5 fix): a ``partial_min_by``
+    runs BEFORE the exchange, so each map partition emits ≤k rows and the
+    exchange moves O(k·maps), never the corpus. (min_by's struct ordering
+    key makes Spark pick SortAggregate — acceptable: the pre-partial sort
+    is partition-local over a k-valued key, near-linear, and unlike the old
+    window it never concentrates the corpus on k reducers.)"""
+    from hierarchical_graph_db_spark.operators.clustering import (
+        semantic_dedup,
+    )
+
+    plan = (
+        semantic_dedup(_blobs(spark), k=3, n_rounds=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_min_by" in plan          # map-side partials
+    assert plan.count("Exchange") == 1       # the O(k)-row agg exchange
+    # the exchange must sit ABOVE the partial aggregate (corpus never
+    # crosses it un-aggregated)
+    assert plan.index("partial_min_by") > plan.index("Exchange")
 
 
 def test_seeding_constant_corpus_work_independent_of_k(spark):

@@ -113,8 +113,14 @@ def test_hits_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_semantic_dedup_no_cartesian(spark, sf_dir):
-    """Semantic dedup = the kmeans pipeline + one window; centroid sides
-    broadcast, never cartesian."""
+def test_semantic_dedup_no_cartesian_no_window(spark, sf_dir):
+    """Semantic dedup = the literal-centroid kmeans assignment + ONE
+    partial-aggregable groupBy over cluster: no cartesian, no join, and —
+    the round-5 fix — no Window funneling the corpus into k reducer
+    partitions; map-side partial_min_by runs below the only exchange."""
     plan = _plan(spark, sf_dir, "semantic_dedup_keepers")
     assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_min_by" in plan
+    assert plan.index("partial_min_by") > plan.index("Exchange")

@@ -31,3 +31,20 @@ def test_entry_contract(spark):
     assert set(oracles) <= set(qs)
     assert len(qs) >= 67
     assert len(oracles) >= 60
+
+
+def test_coverage_header_matches_registry():
+    """COVERAGE.md is the coverage contract — its headline counts must
+    track the live registry exactly (round-5 verdict item 5)."""
+    import re
+
+    import __spark_entry__ as e
+
+    with open("/root/repo/COVERAGE.md") as f:
+        head = f.read(600)
+    m = re.search(r"\*\*(\d+)\s*\nqueries, (\d+) with DuckDB oracles\*\*",
+                  head) or re.search(
+        r"\*\*(\d+)\s+queries, (\d+) with DuckDB oracles\*\*", head)
+    assert m, "COVERAGE.md headline count sentence not found"
+    assert int(m.group(1)) == len(e.queries())
+    assert int(m.group(2)) == len(e.oracle_sql())

@@ -606,3 +606,75 @@ def test_dedup_sink_empty_first_batch_does_not_poison_store(spark, tmp_path):
     sink(batch, batch_id=1)
     rows = read_dedup_store(spark, store).collect()
     assert [(r["dedupe_key"], r["payload"]) for r in rows] == [("k1", "p")]
+
+
+def test_store_read_schema_evolution_null_fills(spark, tmp_path):
+    """A later commit pins a schema with a column older untouched buckets'
+    files lack: read() must surface the union — real values from buckets
+    that have the column, nulls (not a KeyError) from those that don't
+    (round-5 advice, low)."""
+    from hierarchical_graph_db_spark.streaming.store import BucketedParquetStore
+
+    store = BucketedParquetStore(spark, str(tmp_path / "st"))
+    store.commit(0, spark.createDataFrame(
+        [(0, "a"), (1, "b")], "bucket_id int, val string"))
+    # batch 1 evolves the schema but touches only bucket 1
+    store.commit(1, spark.createDataFrame(
+        [(1, "b2", "x")], "bucket_id int, val string, extra string"))
+    rows = {(r["bucket_id"], r["val"], r["extra"])
+            for r in store.read().collect()}
+    assert rows == {(0, "a", None), (1, "b2", "x")}
+    assert [f.name for f in store.read().schema.fields] == \
+        ["bucket_id", "val", "extra"]
+
+
+def test_store_vacuum_reaps_expired_orphans(spark, tmp_path, monkeypatch):
+    """Version dirs above the commit point that pending.json does NOT name
+    can never be replayed (already_done needs pending entries + scratch
+    _SUCCESS): vacuum keeps them within the orphan TTL (in-flight safety)
+    but reaps them once expired — no permanent leak (round-5 advice, low)."""
+    import os
+
+    import pytest
+
+    from hierarchical_graph_db_spark.streaming.store import BucketedParquetStore
+
+    path = str(tmp_path / "st")
+    store = BucketedParquetStore(spark, path)
+    store.commit(0, spark.createDataFrame(
+        [(0, "a"), (1, "b")], "bucket_id int, val string"))
+
+    orig = BucketedParquetStore._write_json
+
+    def crash_before_archive(self, name, payload):
+        # dirs already moved, but neither the b1 archive nor the live
+        # manifest gets written — v=1 is referenced by nothing
+        if name.startswith("manifest"):
+            raise RuntimeError("killed before the swap")
+        return orig(self, name, payload)
+
+    monkeypatch.setattr(BucketedParquetStore, "_write_json",
+                        crash_before_archive)
+    with pytest.raises(RuntimeError, match="killed"):
+        store.commit(1, spark.createDataFrame(
+            [(0, "a2"), (1, "b2")], "bucket_id int, val string"))
+    monkeypatch.setattr(BucketedParquetStore, "_write_json", orig)
+
+    # the crash's replay state is lost (checkpoint deleted / pending gone)
+    os.remove(os.path.join(path, "_meta", "pending.json"))
+    fresh = BucketedParquetStore(spark, path)
+    orphans = [d for b in ("bucket_id=0", "bucket_id=1")
+               for d in os.listdir(os.path.join(path, "data", b))
+               if d.endswith("__v=1") or d == "__v=1"]
+
+    fresh.vacuum(keep_last=1)  # default TTL: fresh orphans survive
+    assert any(
+        os.path.isdir(os.path.join(path, "data", b, d))
+        for b in ("bucket_id=0", "bucket_id=1")
+        for d in os.listdir(os.path.join(path, "data", b))) or orphans
+
+    reaped = fresh.vacuum(keep_last=1, orphan_ttl_s=0.0)
+    assert reaped >= 2  # both buckets' v1 orphans gone
+    # committed contents untouched
+    assert {(r["bucket_id"], r["val"]) for r in fresh.read().collect()} == \
+        {(0, "a"), (1, "b")}
