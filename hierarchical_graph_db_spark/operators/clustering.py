@@ -104,8 +104,18 @@ def _greedy_seeds(cands: list[tuple], k: int) -> list[tuple]:
 
 
 def _lit_vec(v) -> F.Column:
-    """A vector as an array-of-double literals (plan constant)."""
-    return F.array(*[F.lit(float(x)) for x in v])
+    """A vector as ONE array<double> literal node (plan constant). A single
+    Literal beats a CreateArray of dim Literal expressions: the expression
+    tree stays O(1), so per-round codegen cost doesn't scale with dim."""
+    return F.lit([float(x) for x in v])
+
+
+# NOTE on the distance kernel: an unrolled k×dim arithmetic expression
+# (codegen-friendly on paper) was measured 3× SLOWER than the zip_with/
+# aggregate fold over literal arrays here — the 1280-node tree blows the
+# whole-stage-codegen method budget and falls back to per-node interpreted
+# eval with duplicated element_at work, plus a fresh Janino compile per
+# Lloyd round. The fold keeps the tree O(1): two array literals, one lambda.
 
 
 def _seed_rows(pts: DataFrame, k: int,
@@ -143,7 +153,7 @@ def _seed_rows(pts: DataFrame, k: int,
     ]
     if not a_rows:
         return []
-    pool_a = F.array(*[_lit_vec(v) for _, v in a_rows])
+    pool_a = F.lit([[float(x) for x in v] for _, v in a_rows])
     mind = F.array_min(
         F.transform(pool_a, lambda c: F.round(_sq_dist(F.col("v"), c), 6)))
     b_rows = [
@@ -189,13 +199,18 @@ def _argmin_literal(cents: list[tuple], cid_type) -> F.Column:
     fold-distances picks the lexicographic min (dist 6dp asc, cid asc) —
     the exact total order of the former struct-min and of the oracle's
     ``ORDER BY d, cid``. Assignment therefore runs inside the scan's
-    project: no join, no exchange, ever."""
-    arr = F.array(*[
-        F.struct(F.round(_sq_dist(F.col("v"), _lit_vec(c)), 6).alias("d"),
-                 F.lit(cid).cast(cid_type).alias("cid"))
-        for cid, c in cents
-    ])
-    return F.array_sort(arr)[0]
+    project: no join, no exchange, ever. The k centroids and their ids ride
+    as TWO literal array nodes zip_with'd together — the expression tree is
+    O(1) in k and dim, so analysis/codegen stay cheap however the literals
+    change between rounds (see the distance-kernel NOTE above)."""
+    cent_arr = F.lit([[float(x) for x in c] for _, c in cents])
+    cid_arr = F.lit([cid for cid, _ in cents])
+    scored = F.zip_with(
+        cent_arr, cid_arr,
+        lambda c, cid: F.struct(
+            F.round(_sq_dist(F.col("v"), c), 6).alias("d"),
+            cid.cast(cid_type).alias("cid")))
+    return F.array_sort(scored)[0]
 
 
 def _train(pts: DataFrame, k: int, n_rounds: int,
@@ -251,10 +266,15 @@ def kmeans_centroid_rows(vectors: DataFrame, id_col: str = "vec_id",
     corpus."""
     pts = _project(vectors, id_col, vec_col)
     if train_sample is not None:
+        # GlobalLimit squeezes the sample into ONE partition — repartition
+        # before checkpointing so the constant number of training passes
+        # keeps the executors busy (a ≤N-row shuffle, once).
+        par = vectors.sparkSession.sparkContext.defaultParallelism
         pts = (
             pts.orderBy(F.sha2(F.col("pid").cast("string"), 256),
                         F.col("pid"))
             .limit(train_sample)
+            .repartition(par)
             .localCheckpoint(eager=True)
         )
     return _train(pts, k, n_rounds)

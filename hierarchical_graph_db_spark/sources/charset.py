@@ -13,25 +13,29 @@ chardet — only its *verdicts* on well-formed text are the parity target
 
 Detection ladder (first confident verdict wins):
 
-1. strict UTF-8 probe — valid UTF-8 (incl. pure ASCII) is UTF-8; random
+1. ISO-2022-JP escape probe (round-5 "long tail") — JIS designator escape
+   sequences + a strict decode. Runs BEFORE the UTF-8 probe because
+   ISO-2022-JP is pure 7-bit and would otherwise be claimed as UTF-8
+   (chardet's ESCCharSetProber has the same priority).
+2. strict UTF-8 probe — valid UTF-8 (incl. pure ASCII) is UTF-8; random
    8-bit single-byte text is astronomically unlikely to pass.
-2. Cyrillic frequency scoring — decode under each Cyrillic candidate and
+3. Cyrillic frequency scoring — decode under each Cyrillic candidate and
    score how much the result looks like Russian (share of high bytes that
    map to Cyrillic letters × how well those letters match the Russian
    letter-frequency top set). Needs a high density of 8-bit bytes, so
    accented western text (mostly ASCII + a few accents) never trips it.
-3. East-Asian double-byte scoring (euc-kr / gb2312 / big5 — the round-4
-   "long tail") — strict decode under each candidate, then the same
-   coverage × common-character formula: the byte *structure* of the EUC
-   family is shared (pairs ≥ 0xA1), so what separates Korean euc-kr from
-   simplified-Chinese gb2312 is whether the decode lands on frequent
-   Hangul syllables or frequent hanzi — exactly the signal chardet's
-   language models encode.
-4. Shift-JIS structural probe — lead/trail byte ranges must parse end to
-   end AND the decode must actually yield CJK text. Runs after steps 2-3
+4. East-Asian double-byte scoring (euc-kr / gb2312 / big5 from round 4,
+   euc-jp from round 5) — strict decode under each candidate, then the
+   same coverage × common-character formula: the byte *structure* of the
+   EUC family is shared (pairs ≥ 0xA1), so what separates Korean euc-kr
+   from simplified-Chinese gb2312 from Japanese euc-jp is whether the
+   decode lands on frequent Hangul syllables, frequent hanzi, or kana —
+   exactly the signal chardet's language models encode.
+5. Shift-JIS structural probe — lead/trail byte ranges must parse end to
+   end AND the decode must actually yield CJK text. Runs after steps 3-4
    because dense Cyrillic/EUC text can be structurally valid Shift-JIS,
    while Japanese text scores ~0 on the preceding scorers.
-5. otherwise ``None`` → caller falls back (utf-8 → latin-1), same terminal
+6. otherwise ``None`` → caller falls back (utf-8 → latin-1), same terminal
    behavior as the reference chain when chardet returns nothing usable.
 """
 
@@ -42,12 +46,16 @@ from __future__ import annotations
 _RU_COMMON = set("оеаинтсрвлкмдпуя")
 _CYRILLIC_CANDIDATES = ("koi8-r", "windows-1251")
 
-# Most frequent Hangul syllables / hanzi — public corpus-frequency data
-# (top grammatical particles + pronouns dominate running text in each
+# Most frequent Hangul syllables / hanzi / kana — public corpus-frequency
+# data (top grammatical particles + pronouns dominate running text in each
 # language, the same discrimination chardet's CJK language models use).
 _KO_COMMON = set("이다는의에하고지를은가기한으로서사아요니시")
 _ZH_SIMP_COMMON = set("的一是不了在人有我他这中大来上国个到说们为子和你地出道")
 _ZH_TRAD_COMMON = set("的一是不了在人有我他這中大來上國個到說們為子和你地出道")
+# Japanese running text is dominated by kana particles/inflections — a
+# wrong-family decode landing on euc-jp yields kanji-ish noise with ~0 kana
+# frequency, which is exactly chardet's EUCJPDistributionAnalysis signal.
+_JA_COMMON = set("のにはをたがでてとしなれさるいうんかまっすこれそれん今日")
 
 
 def _hangul(c: str) -> bool:
@@ -58,12 +66,26 @@ def _ideograph(c: str) -> bool:
     return "一" <= c <= "鿿"
 
 
-# (codec, script predicate, frequent-character set)
+def _japanese(c: str) -> bool:
+    # kana (incl. punctuation-adjacent prolonged mark) or kanji
+    return "ぁ" <= c <= "ヿ" or _ideograph(c)
+
+
+# (codec, script predicate, frequent-character set); euc-jp sits in the
+# same EUC byte grammar as euc-kr/gb2312 — the round-5 "long tail" item —
+# so the frequency term (kana density) is what separates it.
 _DBCS_CANDIDATES = (
     ("euc-kr", _hangul, _KO_COMMON),
     ("gb2312", _ideograph, _ZH_SIMP_COMMON),
     ("big5", _ideograph, _ZH_TRAD_COMMON),
+    ("euc-jp", _japanese, _JA_COMMON),
 )
+
+# ISO-2022-JP is 7-bit with explicit JIS designator escapes — detectable
+# from the escape sequence alone (chardet's ESCCharSetProber does the
+# same). Must be probed BEFORE the utf-8 check: pure 7-bit bytes are also
+# trivially valid UTF-8.
+_ISO2022_JP_MARKS = (b"\x1b$B", b"\x1b$@", b"\x1b(J")
 
 
 def _dbcs_score(data: bytes, codec: str, script, common: set[str]) -> float:
@@ -148,6 +170,12 @@ def detect(data: bytes) -> str | None:
     confident (caller then walks the reference's utf-8 → latin-1 chain)."""
     if not data:
         return None
+    if any(m in data for m in _ISO2022_JP_MARKS):
+        try:
+            data.decode("iso-2022-jp")
+            return "iso-2022-jp"
+        except (UnicodeDecodeError, LookupError):
+            pass  # stray ESC in non-JIS data: fall through the ladder
     try:
         data.decode("utf-8")
         return "utf-8"

