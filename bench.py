@@ -117,8 +117,10 @@ HEADLINE = [
     "embedding_kmeans_clusters",
     # IVF ANN end-to-end (deterministic quantizer train + probe + score).
     "ann_ivf_topk",
-    # semantic dedup: the kmeans pipeline + keeper window composition.
+    # semantic dedup: the kmeans pipeline + keeper aggregation, flat and
+    # per-shard (the latter exercises the broadcast-join assignment path).
     "semantic_dedup_keepers",
+    "semantic_dedup_sharded",
 ]
 
 

@@ -350,3 +350,150 @@ def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
              F.min("dist").alias("keeper_dist"))
         .select("cluster", "keeper_id", "n_members", "keeper_dist")
     )
+
+
+# --- sharded semantic dedup (round-5 verdict item 7) ------------------------
+
+def _sharded_project(vectors: DataFrame, shard_col: str, id_col: str,
+                     vec_col: str) -> DataFrame:
+    return vectors.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("pid"),
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _sharded_seed_state(pts: DataFrame, k: int,
+                        oversample: int) -> list[tuple]:
+    """Per-shard seeding in ONE pass: the L smallest-``sha256(pid)`` rows of
+    EVERY shard via a rank-limited window — Spark's WindowGroupLimit pushes
+    the ``rn ≤ L`` filter below the shuffle, so each map partition forwards
+    at most L rows per shard, never whole shards. The collected pool is
+    n_shards × L rows (bounded); k-center greedy then runs per shard on the
+    driver exactly as in :func:`_seed_rows` (the sharded variant trades the
+    farthest-point pass B for the sharding itself — shards ARE the coarse
+    structure a uniform draw can miss)."""
+    from pyspark.sql.window import Window
+
+    n_cand = oversample * k
+    w = Window.partitionBy("shard").orderBy(
+        F.sha2(F.col("pid").cast("string"), 256), F.col("pid"))
+    cand = (
+        pts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n_cand)
+        .select("shard", "pid", "v")
+        .collect()
+    )
+    pools: dict = {}
+    for r in cand:
+        pools.setdefault(r["shard"], []).append((r["pid"], list(r["v"])))
+    return [(shard, _greedy_seeds(pool, k))
+            for shard, pool in sorted(pools.items())]
+
+
+def _shard_centroid_df(pts: DataFrame, state: list[tuple]) -> DataFrame:
+    """state [(shard, [(cid, c)])] → a small (shard, cents) DataFrame whose
+    ``cents`` packs the shard's k centroids into one array<struct> column —
+    ONE broadcast-joinable row per shard (n_shards × k × dim doubles
+    total, megabytes for thousands of shards)."""
+    schema = StructType([
+        StructField("shard", pts.schema["shard"].dataType, False),
+        StructField("cents", ArrayType(StructType([
+            StructField("cid", pts.schema["pid"].dataType, False),
+            StructField("c", ArrayType(DoubleType()), False),
+        ])), False),
+    ])
+    rows = [(shard, [(cid, list(c)) for cid, c in cents])
+            for shard, cents in state]
+    return pts.sparkSession.createDataFrame(rows, schema)
+
+
+def _assign_sharded(pts: DataFrame, cent_df: DataFrame) -> DataFrame:
+    """Per-row argmin against the row's OWN shard's centroids: one
+    broadcast hash join on ``shard`` brings the k-centroid array alongside,
+    then the argmin is a pure expression over that column — the corpus
+    never shuffles (the literal-argmin trick, broadcast-keyed so k_total
+    can scale with the shard count instead of living in one expression)."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            F.round(_sq_dist(F.col("v"), s["c"]), 6).alias("d"),
+            s["cid"].alias("cid")))
+    best = F.array_sort(scored)[0]
+    return (
+        pts.join(F.broadcast(cent_df), on="shard")
+        .select("shard", "pid", "v",
+                best["cid"].alias("cid"), best["d"].alias("d"))
+    )
+
+
+def sharded_kmeans_state(pts: DataFrame, k: int, n_rounds: int,
+                         oversample: int = 8) -> list[tuple]:
+    """Per-shard Lloyd training, every round ONE distributed plan over all
+    shards at once: broadcast-join assignment (no corpus shuffle) + a
+    (shard, cid, pos) fixed-point hash aggregate whose partials collapse
+    map-side — shuffle O(n_shards × k × dim) cells regardless of corpus
+    size. Centroid state lives driver-side between rounds (bounded:
+    n_shards × k × dim; stores with very large shard counts would keep it
+    in a table and swap the broadcast join's small side accordingly)."""
+    state = _sharded_seed_state(pts, k, oversample)
+    if not state:
+        return []
+    for _ in range(n_rounds):
+        assigned = _assign_sharded(pts, _shard_centroid_df(pts, state))
+        upd = (
+            assigned.select("shard", "cid", "v")
+            .select("shard", "cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("shard", "cid", "pos")
+            .agg(F.sum(F.round(F.col("x") * 1000000).cast("bigint"))
+                 .alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("shard", "cid", "pos",
+                    F.round((F.col("s") / F.lit(1000000.0)) / F.col("n"), 6)
+                    .alias("c"))
+            .collect()
+        )
+        by_shard: dict = {}
+        for r in upd:
+            by_shard.setdefault(r["shard"], {}).setdefault(
+                r["cid"], {})[r["pos"]] = r["c"]
+        state = [
+            (shard, [(cid, [comp[p] for p in sorted(comp)])
+                     for cid, comp in sorted(by_cid.items())])
+            for shard, by_cid in sorted(by_shard.items())
+        ]
+    return state
+
+
+def semantic_dedup_sharded(vectors: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           shard_col: str = "label", k: int = 2,
+                           n_rounds: int = 2,
+                           oversample: int = 8) -> DataFrame:
+    """SemDeDup run independently per shard (language / topic / hash
+    bucket) in one plan — the production shape the flat :func:`semantic_dedup`
+    docstring promised: k_total = k × n_shards grows with the corpus while
+    every stage stays broadcast-joined or partial-aggregated (no giant
+    single centroid broadcast, no corpus shuffle). Returns one keeper row
+    per (shard, cluster): (shard, cluster, keeper_id, n_members,
+    keeper_dist) with the same deterministic (dist, id) keeper order as the
+    flat operator. Abbas et al. 2023 (public method), sharded per its §4
+    scale recipe."""
+    pts = _sharded_project(vectors, shard_col, id_col, vec_col)
+    state = sharded_kmeans_state(pts, k, n_rounds, oversample)
+    if not state:
+        return pts.where(F.lit(False)).select(
+            F.col("shard"), F.col("pid").alias("cluster"),
+            F.col("pid").alias("keeper_id"),
+            F.lit(0).cast("long").alias("n_members"),
+            F.lit(0.0).alias("keeper_dist"))
+    assigned = _assign_sharded(pts, _shard_centroid_df(pts, state))
+    order_key = F.struct(F.col("d"), F.col("pid"))
+    return (
+        assigned.groupBy("shard", F.col("cid").alias("cluster"))
+        .agg(F.min_by(F.col("pid"), order_key).alias("keeper_id"),
+             F.count(F.lit(1)).alias("n_members"),
+             F.min("d").alias("keeper_dist"))
+        .select("shard", "cluster", "keeper_id", "n_members", "keeper_dist")
+    )

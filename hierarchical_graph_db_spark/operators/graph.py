@@ -189,6 +189,12 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     each half-step (deterministic and SQL-replayable, unlike an L2 norm's
     order-dependent sum-of-squares), state rounded to 6dp per half-step —
     the PageRank treatment applied to the two-score mutual recursion.
+    The mass sums are fixed-point bigints (state is 6dp-quantized, so
+    ``round(x·1e6)`` is an exact integerization): integer addition commutes
+    under partial aggregation, making every half-step bit-reproducible
+    across partitionings and engines — the round-5 advice's upgrade from
+    order-dependent double sums, same pattern as the k-means centroid
+    update and BM25.
 
     Per iteration: two keyed joins + two hash aggregates (authority from
     current hubs, then hubs from new authorities); the max is a broadcast
@@ -206,7 +212,8 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
         a_raw = (
             edges.join(hubs.withColumnRenamed("id", "src"), on="src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("s"))
+            .agg((F.sum(F.round(F.col("hub") * 1000000).cast("bigint"))
+                  / F.lit(1000000.0)).alias("s"))
         )
         amax = a_raw.agg(F.max("s").alias("m"))
         auths = (
@@ -219,7 +226,8 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
         h_raw = (
             edges.join(auths.withColumnRenamed("id", "dst"), on="dst")
             .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("auth").alias("s"))
+            .agg((F.sum(F.round(F.col("auth") * 1000000).cast("bigint"))
+                  / F.lit(1000000.0)).alias("s"))
         )
         hmax = h_raw.agg(F.max("s").alias("m"))
         hubs = (

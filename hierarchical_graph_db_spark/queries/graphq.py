@@ -181,14 +181,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hits_oracle(n_iter: int = 8) -> str:
     """DuckDB twin of ``operators.graph.hits``: each iteration's authority
     and hub half-steps unroll into chained MATERIALIZED CTEs with the same
-    max-normalization and 6dp rounding — mutual recursion, differential-
-    tested like PageRank."""
+    max-normalization, 6dp rounding, and order-independent fixed-point
+    bigint mass sums — mutual recursion, differential-tested like
+    PageRank."""
     iters = []
     prev_h = "h0"
     for i in range(1, n_iter + 1):
         iters.append(f"""
     ar{i} AS MATERIALIZED (
-        SELECT e.dst AS id, sum(h.hub) AS s
+        SELECT e.dst AS id,
+               sum(CAST(round(h.hub * 1000000) AS BIGINT)) / 1000000.0 AS s
         FROM edges e JOIN {prev_h} h ON e.src = h.id GROUP BY e.dst
     )""")
         iters.append(f"""
@@ -199,7 +201,8 @@ def _hits_oracle(n_iter: int = 8) -> str:
     )""")
         iters.append(f"""
     hr{i} AS MATERIALIZED (
-        SELECT e.src AS id, sum(a.auth) AS s
+        SELECT e.src AS id,
+               sum(CAST(round(a.auth * 1000000) AS BIGINT)) / 1000000.0 AS s
         FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src
     )""")
         iters.append(f"""

@@ -119,3 +119,47 @@ def test_seeding_constant_corpus_work_independent_of_k(spark):
     plan = seeds._jdf.queryExecution().executedPlan().toString()
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_semantic_dedup_sharded_blobs(spark):
+    """Per-shard dedup on two shards of separable blobs: every (shard,
+    cluster) pair keeps exactly one representative, shards never mix, and
+    populations are preserved."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_graph_db_spark.operators.clustering import (
+        semantic_dedup_sharded,
+    )
+
+    df = _blobs(spark).withColumn(
+        "shard", (F.col("vec_id") % 2).cast("int"))
+    out = semantic_dedup_sharded(df, id_col="vec_id",
+                                 vec_col="embedding", shard_col="shard",
+                                 k=2, n_rounds=2).collect()
+    assert {r["shard"] for r in out} == {0, 1}
+    assert sum(r["n_members"] for r in out) == 90
+    # keepers belong to their own shard (vec_id parity == shard)
+    assert all(r["keeper_id"] % 2 == r["shard"] for r in out)
+    # at most k keepers per shard
+    from collections import Counter
+
+    per_shard = Counter(r["shard"] for r in out)
+    assert all(c <= 2 for c in per_shard.values())
+
+
+def test_semantic_dedup_sharded_plan_shape(spark, sf_dir):
+    """The sharded plan's only joins are broadcast hash joins on shard
+    (assignment), and the keeper pass partial-aggregates below its
+    exchange — no cartesian, no sort-merge join, no window over the
+    corpus output path."""
+    from hierarchical_graph_db_spark.queries import load
+
+    plan = (
+        load()["semantic_dedup_sharded"].run(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min_by" in plan
+    assert plan.index("partial_min_by") > plan.index("Exchange")
