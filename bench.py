@@ -117,6 +117,8 @@ HEADLINE = [
     "embedding_kmeans_clusters",
     # IVF ANN end-to-end (deterministic quantizer train + probe + score).
     "ann_ivf_topk",
+    # PQ ANN: sharded codebook training + code-only ADC scoring.
+    "ann_pq_adc_topk",
     # semantic dedup: the kmeans pipeline + keeper aggregation, flat and
     # per-shard (the latter exercises the broadcast-join assignment path).
     "semantic_dedup_keepers",

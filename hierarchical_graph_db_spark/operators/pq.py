@@ -1,0 +1,174 @@
+"""Product quantization (PQ) for approximate nearest neighbor — the
+memory-bounded scale path beside IVF (``operators/ivf.py``) and hyperplane
+LSH (``operators/similarity.py``); SURVEY.md §2.11's similarity family.
+
+Public method: Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search" (TPAMI 2011). The vector space is split into ``m``
+subspaces; each subspace gets its own small codebook (k-means over the
+subvectors); a vector is stored as ``m`` small codes (here m × 3-4 bits vs
+64 × 32-bit floats — a ~50× compression, which is what makes billion-vector
+corpora fit in memory at 100 TB scale); queries score candidates with the
+Asymmetric Distance Computation (ADC): per-subspace distance tables from the
+*uncompressed* query to every codeword, candidate distance = the sum of m
+table lookups.
+
+Spark-first shape:
+
+* **train** — one call to the engine's sharded deterministic k-means
+  (``operators/clustering.sharded_kmeans_state``) with *shard = subspace*:
+  every subspace's codebook trains concurrently in the SAME distributed
+  plan (broadcast-join assignment, shard-keyed fixed-point centroid
+  aggregates), on a bounded smallest-``sha256(pid)`` sample — training cost
+  constant in corpus size, like IVF's quantizer;
+* **encode** — per-row argmin per subspace over the codebook literals
+  (zip_with over two literal arrays — no join, no shuffle; the clustering
+  module's literal-argmin trick per subspace);
+* **search** — the tiny query side carries its m×ksub ADC tables as an
+  expression-computed column and broadcasts; the corpus side streams codes
+  only. Scoring is m array lookups + a fixed-order sum per candidate.
+
+Determinism / oracle parity: codebooks come from the deterministic sharded
+k-means (no RNG, 6dp-quantized state, fixed-point sums); encode distances
+round to 6dp before the argmin (ties → lowest code); ADC sums the m table
+entries in subspace order (left-to-right) and rounds to 6dp — a SQL engine
+replays training, encoding, and scoring bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.operators.clustering import (
+    _sq_dist,
+    sharded_kmeans_state,
+)
+
+M_SUBSPACES = 4
+KSUB = 8
+TRAIN_SAMPLE = 10_000
+PQ_ROUNDS = 2
+PQ_OVERSAMPLE = 4
+
+
+def _subvec(col, s: int, dsub: int):
+    return F.slice(col, s * dsub + 1, dsub)
+
+
+def pq_codebooks(corpus: DataFrame, dim: int, m: int = M_SUBSPACES,
+                 ksub: int = KSUB, id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_rounds: int = PQ_ROUNDS,
+                 oversample: int = PQ_OVERSAMPLE,
+                 train_sample: int | None = TRAIN_SAMPLE) -> list[list[list[float]]]:
+    """``books[s][j]`` = codeword j of subspace s, trained as ONE sharded
+    k-means run over the exploded (subspace, pid, subvector) rows — all m
+    codebooks learn concurrently; no per-subspace job trains alone. The
+    bounded sample keeps training cost independent of corpus size.
+    Codewords are ordered by seed id, so code j is reproducible
+    cross-engine (the IVF centroid-ordering trick)."""
+    dsub = dim // m
+    pts = corpus.select(
+        F.col(id_col).alias("pid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    if train_sample is not None:
+        par = corpus.sparkSession.sparkContext.defaultParallelism
+        pts = (
+            pts.orderBy(F.sha2(F.col("pid").cast("string"), 256),
+                        F.col("pid"))
+            .limit(train_sample)
+            .repartition(par)
+            .localCheckpoint(eager=True)
+        )
+    sub = (
+        pts.select(
+            "pid",
+            F.explode(F.array(*[
+                F.struct(F.lit(s).alias("shard"),
+                         _subvec(F.col("v"), s, dsub).alias("sv"))
+                for s in range(m)
+            ])).alias("e"),
+        )
+        .select(F.col("e.shard").alias("shard"), "pid",
+                F.col("e.sv").alias("v"))
+    )
+    state = sharded_kmeans_state(sub, k=ksub, n_rounds=n_rounds,
+                                 oversample=oversample)
+    by_shard = dict(state)
+    return [
+        [c for _, c in sorted(by_shard.get(s, []), key=lambda r: r[0])]
+        for s in range(m)
+    ]
+
+
+def _code_expr(vec, book: list[list[float]]) -> F.Column:
+    """argmin codeword index for one subspace: distances to the codebook
+    literal rounded to 6dp, ties → lowest code (lexicographic struct
+    min)."""
+    cents = F.lit([[float(x) for x in c] for c in book])
+    idxs = F.lit(list(range(len(book))))
+    scored = F.zip_with(
+        cents, idxs,
+        lambda c, j: F.struct(F.round(_sq_dist(vec, c), 6).alias("d"),
+                              j.alias("j")))
+    return F.array_sort(scored)[0]["j"]
+
+
+def pq_encode(df: DataFrame, books: list[list[list[float]]], dim: int,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes): the m-byte compressed form — what a 100 TB deployment
+    persists instead of raw vectors. Pure projection: no join, no
+    shuffle."""
+    m = len(books)
+    dsub = dim // m
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = F.array(*[
+        _code_expr(_subvec(v, s, dsub), books[s]) for s in range(m)
+    ])
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def pq_adc_topk(queries: DataFrame, corpus: DataFrame,
+                books: list[list[list[float]]], dim: int, k: int = 5,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """ADC top-k: per query, the k corpus vectors with the smallest
+    approximate (table-summed) squared distance. The query side computes
+    its m×ksub distance tables as an expression column and broadcasts; the
+    corpus side contributes ONLY its codes — at scale the scan reads the
+    m-byte code column, never the raw vectors (column pruning does the
+    50× I/O cut)."""
+    from pyspark.sql.window import Window
+
+    m = len(books)
+    dsub = dim // m
+    qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    tabs = F.array(*[
+        F.transform(
+            F.lit([[float(x) for x in c] for c in books[s]]),
+            lambda c: F.round(_sq_dist(_subvec(qv, s, dsub), c), 6))
+        for s in range(m)
+    ])
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       tabs.alias("tabs"))
+    encoded = pq_encode(corpus, books, dim, id_col, vec_col)
+    # fixed subspace order: t₀ + t₁ + … left-to-right, then one 6dp round —
+    # the oracle lists the per-subspace lookups in the same order
+    adc = None
+    for s in range(m):
+        t = F.element_at(F.element_at("tabs", s + 1),
+                         F.element_at("codes", s + 1) + 1)
+        adc = t if adc is None else adc + t
+    scored = (
+        encoded.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"),
+                F.round(adc, 6).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

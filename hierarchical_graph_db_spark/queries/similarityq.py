@@ -592,6 +592,178 @@ def semantic_dedup_sharded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   oversample=_SH_OVERSAMPLE)
 
 
+# --- product quantization (operators/pq.py) ---------------------------------
+
+_PQ_M, _PQ_DSUB, _PQ_KSUB = 4, 16, 8
+_PQ_ROUNDS, _PQ_OVERSAMPLE, _PQ_TOPK = 2, 4, 5
+
+
+def _sql_pq_adc() -> str:
+    """Replay of the full PQ pipeline: bounded sha256 training sample →
+    per-subspace (shard) k-means with per-shard seeding/greedy/Lloyd (the
+    sharded oracle pattern at k=8) → codeword indexing → per-row encode
+    argmin over the FULL corpus → query ADC tables → fixed-order table-sum
+    scoring → top-k. Every stage quantized exactly as the operator."""
+    from hierarchical_graph_db_spark.operators.pq import TRAIN_SAMPLE
+
+    d_ps = _SQL_SQDIST.format(a="p.v", b="s.c")
+    d_pc = _SQL_SQDIST.format(a="p.v", b="c.c")
+    d_pb = _SQL_SQDIST.format(a="p.v", b="b.c")
+    n_cand = _PQ_OVERSAMPLE * _PQ_KSUB
+    slices = "\n            UNION ALL ".join(
+        f"SELECT {s} AS shard, pid, v[{s * _PQ_DSUB + 1}:"
+        f"{(s + 1) * _PQ_DSUB}] AS v FROM {{src}}"
+        for s in range(_PQ_M))
+    ctes = [
+        """pqpts AS MATERIALIZED (
+        SELECT vec_id AS pid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )""",
+        f"""pqtr AS MATERIALIZED (
+        SELECT pid, v FROM pqpts
+        ORDER BY sha256(CAST(pid AS VARCHAR)), pid
+        LIMIT {TRAIN_SAMPLE}
+    )""",
+        f"""pqsub AS MATERIALIZED (
+        {slices.format(src='pqtr')}
+    )""",
+        f"""pqsuball AS MATERIALIZED (
+        {slices.format(src='pqpts')}
+    )""",
+        f"""pqcand AS MATERIALIZED (
+        SELECT shard, pid, v FROM (
+            SELECT shard, pid, v,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY sha256(CAST(pid AS VARCHAR)),
+                                               pid) AS rn
+            FROM pqsub
+        ) WHERE rn <= {n_cand}
+    )""",
+        """pqseeds1 AS MATERIALIZED (
+        SELECT shard, pid AS cid, list_transform(v, x -> round(x, 6)) AS c
+        FROM (
+            SELECT shard, pid, v,
+                   row_number() OVER (PARTITION BY shard ORDER BY pid) AS rn
+            FROM pqcand
+        ) WHERE rn = 1
+    )""",
+    ]
+    for j in range(2, _PQ_KSUB + 1):
+        prev = f"pqseeds{j - 1}"
+        ctes.append(f"""
+    pqpick{j} AS MATERIALIZED (
+        SELECT shard, pid AS cid, list_transform(v, x -> round(x, 6)) AS c
+        FROM (
+            SELECT shard, pid, v,
+                   row_number() OVER (PARTITION BY shard
+                                      ORDER BY mind DESC, pid) AS rn
+            FROM (
+                SELECT p.shard, p.pid, p.v, min({d_ps}) AS mind
+                FROM pqcand p JOIN {prev} s ON p.shard = s.shard
+                WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                                  WHERE x.shard = p.shard
+                                    AND x.cid = p.pid)
+                GROUP BY p.shard, p.pid, p.v
+            )
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""
+    pqseeds{j} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM pqpick{j}
+    )""")
+    ctes.append(f"""pqc0 AS MATERIALIZED (
+        SELECT * FROM pqseeds{_PQ_KSUB}
+    )""")
+    for i in range(1, _PQ_ROUNDS + 1):
+        ctes.append(f"""
+    pqa{i} AS MATERIALIZED (
+        SELECT shard, pid, v, cid FROM (
+            SELECT p.shard, p.pid, p.v, c.cid,
+                   row_number() OVER (PARTITION BY p.shard, p.pid
+                                      ORDER BY {d_pc}, c.cid) AS rn
+            FROM pqsub p JOIN pqc{i - 1} c ON p.shard = c.shard
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""
+    pqc{i} AS MATERIALIZED (
+        SELECT shard, cid, list(c ORDER BY pos) AS c FROM (
+            SELECT shard, cid, pos,
+                   round((sum(CAST(round(x * 1000000) AS BIGINT))
+                          / 1000000.0) / count(*), 6) AS c FROM (
+                SELECT shard, cid,
+                       unnest(generate_series(1, len(v))) AS pos,
+                       unnest(v) AS x
+                FROM pqa{i}
+            ) GROUP BY shard, cid, pos
+        ) GROUP BY shard, cid
+    )""")
+    ctes.append(f"""pqbooks AS MATERIALIZED (
+        SELECT shard,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY cid) - 1
+                    AS INTEGER) AS j,
+               c
+        FROM pqc{_PQ_ROUNDS}
+    )""")
+    ctes.append(f"""pqcodes AS MATERIALIZED (
+        SELECT shard, pid, j AS code FROM (
+            SELECT p.shard, p.pid, b.j,
+                   row_number() OVER (PARTITION BY p.shard, p.pid
+                                      ORDER BY {d_pb}, b.j) AS rn
+            FROM pqsuball p JOIN pqbooks b ON p.shard = b.shard
+        ) WHERE rn = 1
+    )""")
+    ctes.append(f"""pqqd AS MATERIALIZED (
+        SELECT p.shard, p.pid AS query_id, b.j, {d_pb} AS d
+        FROM pqsuball p JOIN pqbooks b ON p.shard = b.shard
+        WHERE p.pid < 8
+    )""")
+    adc_sum = " + ".join(f"ds[{s + 1}]" for s in range(_PQ_M))
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT query_id, neighbor_id, adc, rank FROM (
+        SELECT query_id, neighbor_id, adc,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc, neighbor_id)
+                    AS BIGINT) AS rank
+        FROM (
+            SELECT query_id, pid AS neighbor_id,
+                   round({adc_sum}, 6) AS adc
+            FROM (
+                SELECT q.query_id, c.pid, list(q.d ORDER BY c.shard) AS ds
+                FROM pqcodes c
+                JOIN pqqd q ON q.shard = c.shard AND q.j = c.code
+                GROUP BY q.query_id, c.pid
+            ) WHERE pid <> query_id
+        )
+    ) WHERE rank <= {_PQ_TOPK}
+    """
+
+
+@query("ann_pq_adc_topk", _sql_pq_adc())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, public method): m=4
+    subspace codebooks (k=8 each) trained concurrently by the sharded
+    deterministic k-means (shard = subspace) on a bounded sample; vectors
+    compress to 4 codes; queries broadcast their ADC distance tables and
+    candidates are scored with m table lookups — at scale the corpus scan
+    reads the code column only (~50× less I/O than raw vectors). Fully
+    hash-checked: the oracle replays training, encoding, tables, and the
+    fixed-order table-sum (operators/pq.py)."""
+    from hierarchical_graph_db_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    books = pq_codebooks(emb, dim=64, m=_PQ_M, ksub=_PQ_KSUB,
+                         n_rounds=_PQ_ROUNDS, oversample=_PQ_OVERSAMPLE)
+    out = pq_adc_topk(emb.where(F.col("vec_id") < 8), emb, books, dim=64,
+                      k=_PQ_TOPK)
+    return out.select("query_id", "neighbor_id", "adc",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 # --- IVF ANN (operators/ivf.py) — needs the k-means CTE builders above ---
 
 _IVF_LISTS, _IVF_ROUNDS, _IVF_NPROBE, _IVF_TOPK = 10, 2, 2, 5

@@ -151,3 +151,48 @@ def test_multiprobe_recall_at_least_single_probe(spark):
         f"multi {r_multi:.2f}"
     )
     assert r_multi >= 0.8, f"multi-probe recall {r_multi:.2f}"
+
+
+def test_pq_adc_separates_blobs(spark):
+    """PQ quality gate on separable data: with per-subspace codebooks the
+    ADC top-1 neighbor of every blob member is another member of the SAME
+    blob (inter-blob distances dwarf quantization error)."""
+    from pyspark.sql import functions as F
+
+    from hierarchical_graph_db_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks,
+    )
+
+    rows = []
+    for b, center in enumerate(((0.0, 0.0, 0.0, 0.0),
+                                (10.0, 10.0, 0.0, 0.0),
+                                (0.0, 0.0, 10.0, 10.0))):
+        for i in range(30):
+            jit = ((i * 7 % 19) - 9) / 50.0
+            rows.append((b * 30 + i,
+                         [c + jit * (j + 1) / 4.0
+                          for j, c in enumerate(center)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(df, dim=4, m=2, ksub=3, n_rounds=2,
+                         train_sample=None)
+    out = pq_adc_topk(df.where(F.col("vec_id") < 6), df, books, dim=4,
+                      k=1).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["neighbor_id"] // 30 == r["query_id"] // 30
+
+
+def test_pq_corpus_side_reads_codes_only(spark, sf_dir):
+    """The PQ scoring plan broadcasts the tiny query side and streams the
+    corpus through a pure encode projection — no cartesian product, no
+    shuffle of the corpus before the top-k window."""
+    from hierarchical_graph_db_spark.queries import load
+
+    plan = (
+        load()["ann_pq_adc_topk"].run(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
