@@ -156,6 +156,37 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     )
 
 
+def domain_quota_cap(docs: DataFrame, cap: int,
+                     domain_col: str = "source",
+                     key_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``cap`` documents per domain — the C4/RefinedWeb-style
+    hot-domain guard (public method: per-host caps in Raffel et al. 2020
+    §2.2, Penedo et al. 2023): without it a handful of mega-domains
+    dominate the training mixture.
+
+    The draw is pseudo-uniform and deterministic: per domain, the ``cap``
+    docs with the smallest ``sha256(key)`` win (data-independent order —
+    the same reproducibility contract as :func:`stratified_sample`, and
+    re-running on a grown corpus only swaps docs whose hash displaces a
+    prior winner). Returns the survivors with their ``draw_rank``.
+
+    100 TB shape: ``row_number ≤ cap`` over (domain) is rewritten by
+    Spark's WindowGroupLimit — each map partition pre-truncates to its
+    local top-``cap`` per domain BEFORE the exchange, so a mega-domain
+    ships O(cap · maps) rows, never its whole contents, and the per-domain
+    sort after the shuffle is over ≤ cap·maps rows (this rank-limited form
+    is the safe way to window over a skewed key; a bare window is not).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.sha2(F.col(key_col).cast("string"), 256), F.col(key_col))
+    return (
+        docs.withColumn("draw_rank", F.row_number().over(w))
+        .where(F.col("draw_rank") <= cap)
+    )
+
+
 def domain_mixture(docs: DataFrame, weights: dict[str, float],
                    domain_col: str = "source",
                    text_col: str = "text") -> DataFrame:

@@ -683,3 +683,30 @@ def repetition_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     share — the boilerplate/spam gates a quality pipeline thresholds on.
     Explode + two-level hash aggregate; partials combine map-side."""
     return repetition_metrics(Catalog(spark, sf_dir).documents, n=3)
+
+
+@query(
+    "domain_quota_sample",
+    """
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS draw_rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 15
+    """,
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (≤15 docs per source, smallest-sha256 draw) —
+    the C4/RefinedWeb hot-domain guard. The rank-limited window rewrites to
+    WindowGroupLimit (map-side pre-truncation, plan-pinned in
+    tests/test_plans.py), so a mega-domain ships O(cap·maps) rows instead
+    of flooding one reducer (operators/training.py:domain_quota_cap)."""
+    from hierarchical_graph_db_spark.operators.training import (
+        domain_quota_cap,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    return domain_quota_cap(docs, cap=15).select(
+        "doc_id", "source", F.col("draw_rank").cast("long").alias("draw_rank"))

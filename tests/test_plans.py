@@ -124,3 +124,15 @@ def test_semantic_dedup_no_cartesian_no_window(spark, sf_dir):
     assert "Join" not in plan
     assert "partial_min_by" in plan
     assert plan.index("partial_min_by") > plan.index("Exchange")
+
+
+def test_domain_quota_partial_group_limit(spark, sf_dir):
+    """The per-domain cap must pre-truncate map-side: a Partial
+    WindowGroupLimit sits BELOW the exchange (each map ships ≤cap rows per
+    domain — the hot-domain guard's own skew guard), and the scan prunes to
+    the two needed columns."""
+    plan = _plan(spark, sf_dir, "domain_quota_sample")
+    assert "WindowGroupLimit" in plan
+    part = plan.index("row_number(), 15, Partial")
+    assert part > plan.index("Exchange")
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan

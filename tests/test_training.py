@@ -323,3 +323,28 @@ def test_packing_invariants_random_corpus(spark):
         assert r["pack_offset"] == cum % ctx
         assert r["spans_boundary"] == ((cum % ctx) + est > ctx)
         cums[row["source"]] = cum + est
+
+
+def test_domain_quota_cap_semantics(spark):
+    """Cap respected per domain; draw is deterministic; raising the cap
+    only ADDS survivors (prefix property of the sha256 rank order — the
+    reproducibility contract shared with stratified_sample)."""
+    from hierarchical_graph_db_spark.operators.training import (
+        domain_quota_cap,
+    )
+
+    rows = [(i, f"d{i % 3}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    small = {(r["doc_id"], r["source"])
+             for r in domain_quota_cap(docs, cap=5).collect()}
+    again = {(r["doc_id"], r["source"])
+             for r in domain_quota_cap(docs, cap=5).collect()}
+    big = {(r["doc_id"], r["source"])
+           for r in domain_quota_cap(docs, cap=9).collect()}
+    assert small == again
+    assert len(small) == 15 and len(big) == 27
+    assert small < big
+    from collections import Counter
+
+    per = Counter(s for _, s in big)
+    assert all(c == 9 for c in per.values())
