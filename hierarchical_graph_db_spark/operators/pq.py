@@ -172,3 +172,73 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(queries: DataFrame, corpus: DataFrame,
+               centers: list[list[float]],
+               books: list[list[list[float]]], dim: int, k: int = 5,
+               nprobe: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 §V): the coarse quantizer prunes to
+    ``nprobe`` inverted lists per query, PQ-ADC scores only those lists'
+    candidates — the billion-vector architecture (FAISS's default): probe
+    pruning cuts candidates to |corpus|·nprobe/n_lists AND each candidate
+    costs m table lookups on its m-byte code instead of a dim-float scan.
+
+    One fused corpus projection computes (list_id, codes) — at scale this
+    is the indexing write, bucketed by list_id so probes prune files; the
+    query side broadcasts (probe lists + ADC tables). Deterministic end to
+    end: both quantizers come from the deterministic sharded/flat k-means,
+    every argmin is 6dp-quantized with id tie-breaks, the table-sum order
+    is fixed."""
+    from pyspark.sql.window import Window
+
+    from hierarchical_graph_db_spark.operators.clustering import _lit_vec
+
+    m = len(books)
+    dsub = dim // m
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cdists = F.array(*[
+        F.struct(F.round(_sq_dist(v, _lit_vec(c)), 6).alias("d"),
+                 F.lit(i).alias("i"))
+        for i, c in enumerate(centers)
+    ])
+    codes = F.array(*[
+        _code_expr(_subvec(v, s, dsub), books[s]) for s in range(m)
+    ])
+    indexed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.array_sort(cdists)[0]["i"].alias("list_id"),
+        codes.alias("codes"),
+    )
+    tabs = F.array(*[
+        F.transform(
+            F.lit([[float(x) for x in c] for c in books[s]]),
+            lambda c: F.round(_sq_dist(_subvec(v, s, dsub), c), 6))
+        for s in range(m)
+    ])
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        tabs.alias("tabs"),
+        F.explode(
+            F.slice(F.transform(F.array_sort(cdists), lambda s: s["i"]),
+                    1, nprobe)
+        ).alias("list_id"),
+    )
+    adc = None
+    for s in range(m):
+        t = F.element_at(F.element_at("tabs", s + 1),
+                         F.element_at("codes", s + 1) + 1)
+        adc = t if adc is None else adc + t
+    scored = (
+        indexed.join(F.broadcast(probes), on="list_id")
+        .where(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"),
+                F.round(adc, 6).alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

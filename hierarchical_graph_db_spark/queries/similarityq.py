@@ -598,14 +598,11 @@ _PQ_M, _PQ_DSUB, _PQ_KSUB = 4, 16, 8
 _PQ_ROUNDS, _PQ_OVERSAMPLE, _PQ_TOPK = 2, 4, 5
 
 
-def _sql_pq_adc() -> str:
-    """Replay of the full PQ pipeline: bounded sha256 training sample →
-    per-subspace (shard) k-means with per-shard seeding/greedy/Lloyd (the
-    sharded oracle pattern at k=8) → codeword indexing → per-row encode
-    argmin over the FULL corpus → query ADC tables → fixed-order table-sum
-    scoring → top-k. Every stage quantized exactly as the operator."""
-    from hierarchical_graph_db_spark.operators.pq import TRAIN_SAMPLE
-
+def _pq_ctes(pts: str, tr: str) -> list[str]:
+    """The PQ training/encode/table CTEs (everything between the corpus
+    projection and the scorer), parameterized by the full-corpus (``pts``)
+    and training-sample (``tr``) CTE names so the standalone PQ oracle and
+    the fused IVF-PQ oracle share one replay."""
     d_ps = _SQL_SQDIST.format(a="p.v", b="s.c")
     d_pc = _SQL_SQDIST.format(a="p.v", b="c.c")
     d_pb = _SQL_SQDIST.format(a="p.v", b="b.c")
@@ -615,21 +612,11 @@ def _sql_pq_adc() -> str:
         f"{(s + 1) * _PQ_DSUB}] AS v FROM {{src}}"
         for s in range(_PQ_M))
     ctes = [
-        """pqpts AS MATERIALIZED (
-        SELECT vec_id AS pid,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings
-    )""",
-        f"""pqtr AS MATERIALIZED (
-        SELECT pid, v FROM pqpts
-        ORDER BY sha256(CAST(pid AS VARCHAR)), pid
-        LIMIT {TRAIN_SAMPLE}
-    )""",
         f"""pqsub AS MATERIALIZED (
-        {slices.format(src='pqtr')}
+        {slices.format(src=tr)}
     )""",
         f"""pqsuball AS MATERIALIZED (
-        {slices.format(src='pqpts')}
+        {slices.format(src=pts)}
     )""",
         f"""pqcand AS MATERIALIZED (
         SELECT shard, pid, v FROM (
@@ -718,6 +705,30 @@ def _sql_pq_adc() -> str:
         FROM pqsuball p JOIN pqbooks b ON p.shard = b.shard
         WHERE p.pid < 8
     )""")
+    return ctes
+
+
+def _sql_pq_adc() -> str:
+    """Replay of the full PQ pipeline: bounded sha256 training sample →
+    per-subspace (shard) k-means with per-shard seeding/greedy/Lloyd (the
+    sharded oracle pattern at k=8) → codeword indexing → per-row encode
+    argmin over the FULL corpus → query ADC tables → fixed-order table-sum
+    scoring → top-k. Every stage quantized exactly as the operator."""
+    from hierarchical_graph_db_spark.operators.pq import TRAIN_SAMPLE
+
+    ctes = [
+        """pqpts AS MATERIALIZED (
+        SELECT vec_id AS pid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    )""",
+        f"""pqtr AS MATERIALIZED (
+        SELECT pid, v FROM pqpts
+        ORDER BY sha256(CAST(pid AS VARCHAR)), pid
+        LIMIT {TRAIN_SAMPLE}
+    )""",
+        *_pq_ctes(pts="pqpts", tr="pqtr"),
+    ]
     adc_sum = " + ".join(f"ds[{s + 1}]" for s in range(_PQ_M))
     return f"""
     WITH {', '.join(ctes)}
@@ -769,14 +780,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_LISTS, _IVF_ROUNDS, _IVF_NPROBE, _IVF_TOPK = 10, 2, 2, 5
 
 
-def _sql_ivf() -> str:
-    """Unrolled IVF-Flat: the coarse quantizer is the deterministic k-means
-    pipeline (seeding + Lloyd rounds, same CTEs as the k-means oracle at
-    k=n_lists) trained on the bounded smallest-sha256(pid) sample ``tr``
-    (replaying operators/ivf.deterministic_centroids' constant-cost
-    training), then list assignment, probe selection and bucket-local
-    cosine scoring over the FULL corpus replay the operator's quantized
-    argmins exactly."""
+def _ivf_ctes() -> list[str]:
+    """IVF CTEs shared by the IVF-Flat and IVF-PQ oracles: corpus
+    projection ``pts``, bounded training sample ``tr``, the k-means
+    pipeline at k=n_lists over the sample, codeword indexing ``cent``,
+    full-corpus list assignment ``assigned``, per-query probe selection
+    ``probes``."""
     from hierarchical_graph_db_spark.operators.ivf import TRAIN_SAMPLE
 
     ctes = [
@@ -821,8 +830,19 @@ def _sql_ivf() -> str:
             WHERE p.pid < 8
         ) WHERE rn <= {_IVF_NPROBE}
     )""")
+    return ctes
+
+
+def _sql_ivf() -> str:
+    """Unrolled IVF-Flat: the coarse quantizer is the deterministic k-means
+    pipeline (seeding + Lloyd rounds, same CTEs as the k-means oracle at
+    k=n_lists) trained on the bounded smallest-sha256(pid) sample ``tr``
+    (replaying operators/ivf.deterministic_centroids' constant-cost
+    training), then list assignment, probe selection and bucket-local
+    cosine scoring over the FULL corpus replay the operator's quantized
+    argmins exactly."""
     return f"""
-    WITH {', '.join(ctes)}
+    WITH {', '.join(_ivf_ctes())}
     SELECT query_id, neighbor_id, score, rank FROM (
         SELECT query_id, neighbor_id, score,
                CAST(row_number() OVER (PARTITION BY query_id
@@ -858,4 +878,67 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_topk(emb.where(F.col("vec_id") < 8), emb, centers,
                    k=_IVF_TOPK, nprobe=_IVF_NPROBE)
     return out.select("query_id", "neighbor_id", "score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_ivfpq() -> str:
+    """Fused IVF-PQ replay: the IVF CTEs (coarse training on ``tr``, list
+    assignment, probe selection) + the PQ CTEs (subspace codebooks on the
+    SAME sample, corpus codes, query ADC tables) + list-pruned ADC scoring.
+    IVF and PQ train on one shared bounded sample, exactly like the
+    operator."""
+    adc_sum = " + ".join(f"ds[{s + 1}]" for s in range(_PQ_M))
+    ctes = [*_ivf_ctes(), *_pq_ctes(pts="pts", tr="tr")]
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT query_id, neighbor_id, adc, rank FROM (
+        SELECT query_id, neighbor_id, adc,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc, neighbor_id)
+                    AS BIGINT) AS rank
+        FROM (
+            SELECT query_id, pid AS neighbor_id,
+                   round({adc_sum}, 6) AS adc
+            FROM (
+                SELECT q.query_id, c.pid, list(qd.d ORDER BY c.shard) AS ds
+                FROM probes q
+                JOIN assigned a ON a.list_id = q.list_id
+                               AND a.id <> q.query_id
+                JOIN pqcodes c ON c.pid = a.id
+                JOIN pqqd qd ON qd.query_id = q.query_id
+                            AND qd.shard = c.shard AND qd.j = c.code
+                GROUP BY q.query_id, c.pid
+            )
+        )
+    ) WHERE rank <= {_IVF_TOPK}
+    """
+
+
+@query("ann_ivfpq_topk", _sql_ivfpq())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Jégou et al. 2011 §V, the FAISS-default billion-scale
+    architecture): the coarse quantizer prunes each query to nprobe=2 of 10
+    inverted lists AND candidates are scored by PQ-ADC on their m-byte
+    codes — candidate count and per-candidate cost both collapse. Both
+    quantizers train on one shared bounded sample; one fused corpus
+    projection emits (list_id, codes), which at scale is the bucketed
+    index write. Fully hash-checked: coarse training, codebooks, codes,
+    probe selection, tables, and the fixed-order table-sum all replay in
+    the oracle (operators/pq.py:ivfpq_topk)."""
+    from hierarchical_graph_db_spark.operators.ivf import (
+        deterministic_centroids,
+    )
+    from hierarchical_graph_db_spark.operators.pq import (
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    centers = deterministic_centroids(emb, n_lists=_IVF_LISTS,
+                                      n_rounds=_IVF_ROUNDS)
+    books = pq_codebooks(emb, dim=64, m=_PQ_M, ksub=_PQ_KSUB,
+                         n_rounds=_PQ_ROUNDS, oversample=_PQ_OVERSAMPLE)
+    out = ivfpq_topk(emb.where(F.col("vec_id") < 8), emb, centers, books,
+                     dim=64, k=_IVF_TOPK, nprobe=_IVF_NPROBE)
+    return out.select("query_id", "neighbor_id", "adc",
                       F.col("rank").cast("long").alias("rank"))

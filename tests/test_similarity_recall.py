@@ -196,3 +196,19 @@ def test_pq_corpus_side_reads_codes_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivfpq_prunes_and_scores(spark, sf_dir):
+    """IVF-PQ returns k ranked candidates per query from probed lists
+    only, and its plan has no cartesian product — the corpus side is one
+    fused (list_id, codes) projection joined to the broadcast probe set."""
+    from hierarchical_graph_db_spark.queries import load
+
+    df = load()["ann_ivfpq_topk"].run(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    rows = df.collect()
+    assert {r["query_id"] for r in rows} == set(range(8))
+    for r in rows:
+        assert 1 <= r["rank"] <= 5 and r["neighbor_id"] != r["query_id"]
