@@ -242,3 +242,32 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def scalar_quantize_int8(df: DataFrame, dim: int, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension int8 scalar quantization (the standard vector-store
+    storage format, e.g. FAISS SQ8 — public method): pass 1 computes each
+    dimension's [min, max] with ONE posexplode + hash aggregate (partials
+    collapse map-side; O(dim) rows cross the exchange regardless of corpus
+    size); pass 2 maps every component to ``round((x-min)/(max-min)·255)``
+    as a pure projection with the dim-bounded stats riding as two array
+    literals. A constant dimension (max == min) codes to 0. 4× smaller
+    than float32 columns at scale; deterministic (min/max are
+    order-independent aggregates, rounding is HALF_UP on both engines)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    stats = (
+        df.select(F.posexplode(v).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in stats}
+    mins = [by_pos[p][0] for p in range(dim)]
+    spans = [by_pos[p][1] - by_pos[p][0] for p in range(dim)]
+    centered = F.zip_with(v, F.lit(mins), lambda x, m: x - m)
+    codes = F.zip_with(
+        centered, F.lit(spans),
+        lambda d, s: F.when(s == 0.0, F.lit(0)).otherwise(
+            F.round(d / s * 255).cast("int")))
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))

@@ -942,3 +942,37 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      dim=64, k=_IVF_TOPK, nprobe=_IVF_NPROBE)
     return out.select("query_id", "neighbor_id", "adc",
                       F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "embedding_int8_quantize",
+    """
+    WITH comp AS (
+        SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM comp GROUP BY pos),
+    codes AS (
+        SELECT c.vec_id, c.pos,
+               CASE WHEN s.mx - s.mn = 0 THEN 0
+                    ELSE CAST(round((c.x - s.mn) / (s.mx - s.mn) * 255)
+                              AS INTEGER) END AS code
+        FROM comp c JOIN st s USING (pos)
+    )
+    SELECT vec_id, array_to_string(list(code ORDER BY pos), ',') AS codes
+    FROM codes GROUP BY vec_id
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (FAISS-SQ8-style
+    per-dimension min/max codes — 4× smaller storage): one O(dim)-row
+    stats aggregate + a pure quantize projection
+    (operators/pq.py:scalar_quantize_int8). Codes joined to a string for
+    engine-portable hashing; fully oracle-replayed."""
+    from hierarchical_graph_db_spark.operators.pq import scalar_quantize_int8
+
+    emb = Catalog(spark, sf_dir).embeddings
+    out = scalar_quantize_int8(emb, dim=64)
+    return out.select(F.col("id").alias("vec_id"),
+                      F.array_join("codes", ",").alias("codes"))

@@ -212,3 +212,24 @@ def test_ivfpq_prunes_and_scores(spark, sf_dir):
     assert {r["query_id"] for r in rows} == set(range(8))
     for r in rows:
         assert 1 <= r["rank"] <= 5 and r["neighbor_id"] != r["query_id"]
+
+
+def test_int8_quantize_roundtrip_error_bounded(spark):
+    """SQ8 reconstruction error is bounded by half a quantization step per
+    dimension: dequantized components differ from the original by at most
+    span/255/2 (+ float noise)."""
+    from hierarchical_graph_db_spark.operators.pq import scalar_quantize_int8
+
+    rows = [(i, [((i * 7 + j * 13) % 101) / 101.0 * 4.0 - 2.0
+                 for j in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = {r["id"]: list(r["codes"])
+             for r in scalar_quantize_int8(df, dim=8).collect()}
+    comps = [v for _, vec in rows for v in vec]
+    mins = [min(vec[j] for _, vec in rows) for j in range(8)]
+    spans = [max(vec[j] for _, vec in rows) - mins[j] for j in range(8)]
+    for i, vec in rows:
+        for j, x in enumerate(vec):
+            deq = mins[j] + codes[i][j] / 255.0 * spans[j]
+            assert abs(deq - x) <= spans[j] / 255.0 / 2 + 1e-9
+    assert comps  # sanity: non-empty fixture
