@@ -271,3 +271,63 @@ def scalar_quantize_int8(df: DataFrame, dim: int, id_col: str = "vec_id",
         lambda d, s: F.when(s == 0.0, F.lit(0)).otherwise(
             F.round(d / s * 255).cast("int")))
     return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def binary_signature(vec_col, dim: int) -> list[F.Column]:
+    """Sign-bit binary code of a vector, packed as ⌈dim/32⌉ bigint words
+    (component ≥ 0 → bit set; bit i of word w = dimension w·32+i). 32-bit
+    words keep every shift well inside bigint range on BOTH engines
+    (DuckDB's ``<<`` errors on a 63-bit overflow where Spark wraps — the
+    cross-engine reason not to pack 64 bits into one signed word)."""
+    words = []
+    for w in range((dim + 31) // 32):
+        bits = None
+        for i in range(min(32, dim - w * 32)):
+            b = F.when(F.element_at(vec_col, w * 32 + i + 1).cast("double")
+                       >= 0.0,
+                       F.lit(1).cast("bigint") * (1 << i)).otherwise(
+                F.lit(0).cast("bigint"))
+            bits = b if bits is None else bits + b
+        words.append(bits)
+    return words
+
+
+def hamming_topk(queries: DataFrame, corpus: DataFrame, dim: int,
+                 k: int = 5, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Binary-quantized ANN (Charikar 2002 sign-random-projection family,
+    identity projection): 1 bit per dimension — a 32× compression — and
+    candidate distance = popcount of the XOR of the packed words, integer
+    arithmetic end to end (bit-exact cross-engine, no rounding contract
+    needed at all). Query side broadcasts; corpus contributes only its
+    ⌈dim/32⌉ code words, so the scan at scale reads 8-16 bytes per vector.
+    Ties break on (hamming, neighbor id)."""
+    from pyspark.sql.window import Window
+
+    n_words = (dim + 31) // 32
+    def coded(df, prefix):
+        words = binary_signature(F.col(vec_col), dim)
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            *[w.alias(f"{prefix}_w{i}") for i, w in enumerate(words)])
+
+    q = coded(queries, "q")
+    c = coded(corpus, "c")
+    ham = None
+    for i in range(n_words):
+        t = F.bit_count(
+            F.col(f"q_w{i}").bitwiseXOR(F.col(f"c_w{i}"))).cast("long")
+        ham = t if ham is None else ham + t
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                ham.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

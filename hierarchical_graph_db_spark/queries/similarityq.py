@@ -976,3 +976,54 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scalar_quantize_int8(emb, dim=64)
     return out.select(F.col("id").alias("vec_id"),
                       F.array_join("codes", ",").alias("codes"))
+
+
+def _sql_binary_word(col: str, w: int, dim: int = 64) -> str:
+    """Packed sign-bit word w of a vector column: an explicit 32-term sum
+    of CASE bits × 2^i literals — the exact integer the Spark side
+    builds."""
+    terms = " + ".join(
+        f"(CASE WHEN CAST({col}[{w * 32 + i + 1}] AS DOUBLE) >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(min(32, dim - w * 32)))
+    return f"({terms})"
+
+
+@query(
+    "ann_hamming_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id,
+                      {_sql_binary_word('embedding', 0)} AS w0,
+                      {_sql_binary_word('embedding', 1)} AS w1
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id,
+                 {_sql_binary_word('embedding', 0)} AS w0,
+                 {_sql_binary_word('embedding', 1)} AS w1
+          FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.neighbor_id,
+               CAST(bit_count(xor(q.w0, c.w0))
+                    + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+        FROM q CROSS JOIN c
+        WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                          ORDER BY hamming, neighbor_id)
+                       AS BIGINT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 1 sign bit per dimension packed into two
+    32-bit words (32× compression), candidates ranked by popcount of the
+    XOR — integer arithmetic end to end, so cross-engine parity needs no
+    rounding contract at all. Queries broadcast; the corpus contributes 16
+    bytes per vector (operators/pq.py:hamming_topk)."""
+    from hierarchical_graph_db_spark.operators.pq import hamming_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    out = hamming_topk(emb.where(F.col("vec_id") < 8), emb, dim=64, k=5)
+    return out.select("query_id", "neighbor_id", "hamming",
+                      F.col("rank").cast("long").alias("rank"))
