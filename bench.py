@@ -117,8 +117,13 @@ HEADLINE = [
     "embedding_kmeans_clusters",
     # IVF ANN end-to-end (deterministic quantizer train + probe + score).
     "ann_ivf_topk",
-    # PQ ANN: sharded codebook training + code-only ADC scoring.
+    # PQ ANN: sharded codebook training + code-only ADC scoring; plus the
+    # cheap quantization/ranking and curation-decision entries.
     "ann_pq_adc_topk",
+    "ann_hamming_topk",
+    "embedding_int8_quantize",
+    "embedding_dedup_resolution",
+    "domain_quota_sample",
     # semantic dedup: the kmeans pipeline + keeper aggregation, flat and
     # per-shard (the latter exercises the broadcast-join assignment path).
     "semantic_dedup_keepers",

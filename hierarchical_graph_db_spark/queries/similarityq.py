@@ -1027,3 +1027,70 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hamming_topk(emb.where(F.col("vec_id") < 8), emb, dim=64, k=5)
     return out.select("query_id", "neighbor_id", "hamming",
                       F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "embedding_dedup_resolution",
+    f"""
+    WITH RECURSIVE banded AS (
+{_banded_sql()}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    pairs AS MATERIALIZED (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN embeddings va ON va.vec_id = id_a
+        JOIN embeddings vb ON vb.vec_id = id_b
+        WHERE {_sql_cosine('va.embedding', 'vb.embedding')} >= 0.45
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+    ),
+    comp AS (SELECT node AS id, min(r) AS keep_id FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           coalesce(comp.keep_id, e.vec_id) AS keep_id,
+           coalesce(comp.keep_id, e.vec_id) <> e.vec_id AS is_duplicate
+    FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
+    """,
+)
+def embedding_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the embedding-dedup pipeline: banded-LSH near-dup pairs
+    (cosine ≥ 0.45 after exact rescore) → connected components → a
+    per-vector keep/drop decision (keeper = min vec_id per duplicate
+    cluster) — the embedding twin of ``fuzzy_dedup_resolution``, i.e. the
+    table a curation pipeline actually consumes. Candidate generation is
+    the linear banded equi-join (no cartesian), CC is the pointer-jumping
+    operator, and the whole composition is hash-checked via the recursive
+    oracle."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        connected_components,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    pairs = near_duplicate_pairs(emb, threshold=0.45, dim=64, n_bands=8,
+                                 band_planes=2)
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    cc = connected_components(
+        pairs.select(pad(F.col("id_a")).alias("src"),
+                     pad(F.col("id_b")).alias("dst"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(cc.select(F.col("id").cast("long").alias("vec_id"),
+                        F.col("component").cast("long").alias("keep_id")),
+              on="vec_id", how="left")
+        .select(
+            "vec_id",
+            F.coalesce("keep_id", F.col("vec_id")).alias("keep_id"),
+            (F.coalesce("keep_id", F.col("vec_id")) != F.col("vec_id"))
+            .alias("is_duplicate"),
+        )
+    )
