@@ -233,3 +233,53 @@ def test_int8_quantize_roundtrip_error_bounded(spark):
             deq = mins[j] + codes[i][j] / 255.0 * spans[j]
             assert abs(deq - x) <= spans[j] / 255.0 / 2 + 1e-9
     assert comps  # sanity: non-empty fixture
+
+
+def test_hamming_and_ivfpq_separate_blobs(spark):
+    """Quality gates for the binary and IVF-PQ variants on SEPARABLE data:
+    top-1 neighbors stay within the query's blob. (Fixture-overlap floors
+    vs brute force are deliberately NOT pinned: the synthetic embeddings
+    are uniform-random 64-d vectors, where all pairwise cosines sit at
+    0.5±ε and quantized methods measure ~0.1-0.25 overlap@5 by
+    construction — a floor there would gate noise, not quality. Where the
+    data has structure, the gates below must hold exactly.)"""
+    from pyspark.sql import functions as F
+
+    from hierarchical_graph_db_spark.operators.ivf import (
+        deterministic_centroids,
+    )
+    from hierarchical_graph_db_spark.operators.pq import (
+        hamming_topk,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    rows = []
+    for b, center in enumerate(((-2.0, -2.0, -2.0, -2.0),
+                                (2.0, 2.0, -2.0, -2.0),
+                                (-2.0, -2.0, 2.0, 2.0))):
+        for i in range(30):
+            jit = ((i * 7 % 19) - 9) / 50.0
+            rows.append((b * 30 + i,
+                         [c + jit * (j + 1) / 4.0
+                          for j, c in enumerate(center)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    ham = hamming_topk(df.where(F.col("vec_id") < 6), df, dim=4,
+                       k=1).collect()
+    assert len(ham) == 6
+    # sign bits: blob 0 = ----, blob 1 = ++--, blob 2 = --++ (jitter < 2
+    # never flips a sign) → hamming-nearest is always same-blob
+    for r in ham:
+        assert r["neighbor_id"] // 30 == r["query_id"] // 30
+
+    centers = deterministic_centroids(df, n_lists=3, id_col="vec_id",
+                                      vec_col="embedding", n_rounds=2,
+                                      train_sample=None)
+    books = pq_codebooks(df, dim=4, m=2, ksub=3, n_rounds=2,
+                         train_sample=None)
+    out = ivfpq_topk(df.where(F.col("vec_id") < 6), df, centers, books,
+                     dim=4, k=1, nprobe=1).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["neighbor_id"] // 30 == r["query_id"] // 30
