@@ -312,3 +312,61 @@ def repetition_metrics(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         .alias("dup_ngram_ratio"),
         F.round(F.col("max_repeat") / total_d, 6).alias("top_ngram_share"),
     )
+
+
+def span_corrupt(docs: DataFrame, rate: float = 0.15,
+                 salt: str = "t5span", id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4, public method):
+    deterministically mask ~``rate`` of each document's tokens, collapse
+    each contiguous masked run to a sentinel ``<Xk>`` in the encoder input,
+    and emit the masked spans (prefixed by their sentinels) as the decoder
+    target — the denoising training pair generator.
+
+    Determinism: a token is masked iff ``uniform16(doc_id:pos, salt) <
+    rate·65536`` (the engine's salted-sha256 draw — bit-exact cross-engine
+    and reproducible across runs); runs and sentinel numbering follow from
+    position order alone. Per-doc windows only (docs are bounded; the
+    partition key is the high-cardinality doc id, so no hot reducer), one
+    keyed aggregate to re-assemble the two strings.
+    """
+    from pyspark.sql.window import Window
+
+    from hierarchical_graph_db_spark.functions.hashing import normalized_text
+    from hierarchical_graph_db_spark.functions.text import tokens
+
+    thr = int(rate * 65536)
+    t = (
+        docs.select(F.col(id_col).alias("id"),
+                    tokens(normalized_text(F.col(text_col))).alias("toks"))
+        .select("id", F.posexplode("toks").alias("pos", "tok"))
+    )
+    masked = uniform16(
+        F.concat_ws(":", F.col("id"), F.col("pos")), salt) < thr
+    w = Window.partitionBy("id").orderBy("pos")
+    t = t.withColumn("masked", masked)
+    # materialize the window results as plain columns BEFORE the aggregate
+    # (window functions are not allowed inside aggregate expressions)
+    t = t.withColumn(
+        "run_start",
+        F.col("masked") & ~F.coalesce(F.lag("masked").over(w), F.lit(False)))
+    t = t.withColumn("k", F.sum(F.col("run_start").cast("int")).over(w))
+    sent = F.concat(F.lit("<X"), (F.col("k") - 1).cast("string"), F.lit(">"))
+    piece_in = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("run_start"), sent)  # a run collapses to its sentinel
+    )
+    piece_tgt = F.when(
+        F.col("masked"),
+        F.when(F.col("run_start"), F.concat(sent, F.lit(" "), F.col("tok")))
+        .otherwise(F.col("tok")))
+    t = t.withColumn("p_in", piece_in).withColumn("p_tgt", piece_tgt)
+    joined = lambda name: F.array_join(F.transform(F.filter(  # noqa: E731
+        F.array_sort(F.collect_list(F.struct("pos", F.col(name).alias("p")))),
+        lambda s: s["p"].isNotNull()), lambda s: s["p"]), " ")
+    return (
+        t.groupBy("id")
+        .agg(joined("p_in").alias("inputs"),
+             joined("p_tgt").alias("targets"))
+        .select(F.col("id").alias(id_col), "inputs", "targets")
+    )

@@ -710,3 +710,58 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents
     return domain_quota_cap(docs, cap=15).select(
         "doc_id", "source", F.col("draw_rank").cast("long").alias("draw_rank"))
+
+
+_SPAN_SALT, _SPAN_THR = "t5span", int(0.15 * 65536)
+
+
+@query(
+    "span_corruption_pairs",
+    f"""
+    WITH {_TOKS_CTE},
+    m AS (
+        SELECT id, pos, tok,
+               {_sql_u16(f"sha256('{_SPAN_SALT}|' || CAST(id AS VARCHAR) || ':' || CAST(pos AS VARCHAR))")}
+                   < {_SPAN_THR} AS masked
+        FROM toks
+    ),
+    r AS (
+        SELECT *, masked AND NOT coalesce(
+                   lag(masked) OVER (PARTITION BY id ORDER BY pos), false)
+                   AS run_start
+        FROM m
+    ),
+    kk AS (
+        SELECT *, sum(CASE WHEN run_start THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY id ORDER BY pos) AS k
+        FROM r
+    ),
+    p AS (
+        SELECT id, pos,
+               CASE WHEN NOT masked THEN tok
+                    WHEN run_start THEN '<X' || CAST(k - 1 AS VARCHAR) || '>'
+                    END AS p_in,
+               CASE WHEN masked AND run_start
+                        THEN '<X' || CAST(k - 1 AS VARCHAR) || '> ' || tok
+                    WHEN masked THEN tok END AS p_tgt
+        FROM kk
+    )
+    SELECT id AS doc_id,
+           coalesce(string_agg(p_in, ' ' ORDER BY pos)
+                        FILTER (WHERE p_in IS NOT NULL), '') AS inputs,
+           coalesce(string_agg(p_tgt, ' ' ORDER BY pos)
+                        FILTER (WHERE p_tgt IS NOT NULL), '') AS targets
+    FROM p GROUP BY id
+    """,
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style denoising pairs: ~15% of tokens masked by the salted-sha256
+    draw, contiguous runs collapsed to <Xk> sentinels in the input, masked
+    spans emitted sentinel-prefixed as the target — the training-example
+    generator, deterministic and fully oracle-replayed (runs, sentinel
+    numbering, and both reassembled strings)
+    (operators/training.py:span_corrupt)."""
+    from hierarchical_graph_db_spark.operators.training import span_corrupt
+
+    return span_corrupt(Catalog(spark, sf_dir).documents, rate=0.15,
+                        salt=_SPAN_SALT)

@@ -348,3 +348,33 @@ def test_domain_quota_cap_semantics(spark):
 
     per = Counter(s for _, s in big)
     assert all(c == 9 for c in per.values())
+
+
+def test_span_corruption_roundtrip(spark):
+    """Denoising-pair invariant: substituting each <Xk> sentinel in the
+    inputs with its span from the targets reconstructs the normalized
+    token stream exactly, and masked fraction is near the configured
+    rate."""
+    import re
+
+    from hierarchical_graph_db_spark.operators.training import span_corrupt
+
+    rows = [(i, " ".join(f"w{(i * 31 + j * 7) % 97}" for j in range(40)))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["inputs"], r["targets"])
+           for r in span_corrupt(docs, rate=0.2).collect()}
+    masked_total = 0
+    for doc_id, text in rows:
+        inputs, targets = out[doc_id]
+        spans = {}
+        chunks = re.split(r"<X(\d+)> ?", targets)
+        for idx in range(1, len(chunks), 2):
+            spans[int(chunks[idx])] = chunks[idx + 1].strip()
+        rebuilt = re.sub(r"<X(\d+)>",
+                         lambda m: spans[int(m.group(1))], inputs)
+        rebuilt = re.sub(r"\s+", " ", rebuilt).strip()
+        assert rebuilt == text.lower().strip(), doc_id
+        masked_total += sum(len(s.split()) for s in spans.values())
+    frac = masked_total / (30 * 40)
+    assert 0.1 < frac < 0.3  # salted draw concentrates near rate=0.2
