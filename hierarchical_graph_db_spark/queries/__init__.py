@@ -64,6 +64,7 @@ def load() -> dict[str, QuerySpec]:
         textq,
         tfidfq,
         timeseriesq,
+        tokenizerq,
         tpchq,
         trainingq,
         windowsq,

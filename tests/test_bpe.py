@@ -1,0 +1,81 @@
+"""Unit tests for distributed BPE training (operators/bpe.py): merge
+selection order, greedy non-overlapping merge application (the `` a a a ``
+case that must match DuckDB's literal replace), and encode consistency.
+Oracle parity is covered by the registry queries (bpe_train_merges,
+bpe_encode_token_counts); these pin the SEMANTICS on crafted fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from hierarchical_graph_db_spark.operators.bpe import (
+    bpe_token_counts,
+    bpe_train,
+    initial_vocab,
+    word_frequencies,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_word_frequencies_lowercase_alpha_only(spark):
+    docs = _docs(spark, ["The cat, the CAT! 42 cats"])
+    got = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
+    assert got == {"the": 2, "cat": 2, "cats": 1}
+
+
+def test_initial_seq_shape(spark):
+    docs = _docs(spark, ["the"])
+    [row] = initial_vocab(word_frequencies(docs)).collect()
+    assert row["seq"] == " t h e </w> "
+
+
+def test_first_merge_is_most_frequent_pair(spark):
+    # "ab" ×3 → pair (a, b) count 3 dominates; second merge then glues the
+    # new "ab" symbol to </w> (count 3) ahead of anything from "cd".
+    docs = _docs(spark, ["ab ab ab cd"])
+    merges, vocab = bpe_train(docs, n_merges=2)
+    assert merges[0][1:] == ("a", "b", "ab", 3)
+    assert merges[1][1:] == ("ab", "</w>", "ab</w>", 3)
+    seqs = {r["word"]: r["seq"] for r in vocab.collect()}
+    assert seqs["ab"] == " ab</w> "
+    assert seqs["cd"] == " c d </w> "
+
+
+def test_tie_breaks_lexicographic(spark):
+    # pairs (a,</w>) and (b,</w>) etc. all count 1; with every pair tied the
+    # lexicographically smallest (left, right) must win deterministically.
+    docs = _docs(spark, ["xy za"])
+    merges, _ = bpe_train(docs, n_merges=1)
+    # candidate pairs: (x,y) (y,</w>) (z,a) (a,</w>) — all count 1.
+    assert merges[0][1:3] == ("a", "</w>")
+
+
+def test_greedy_nonoverlapping_repeat_merge(spark):
+    # "aaa" → " a a a </w> "; merging (a,a) left-to-right non-overlapping
+    # must give " aa a </w> ", exactly like DuckDB's literal replace.
+    docs = _docs(spark, ["aa aa aaa"])
+    merges, vocab = bpe_train(docs, n_merges=1)
+    assert merges[0][1:3] == ("a", "a")
+    seqs = {r["word"]: r["seq"] for r in vocab.collect()}
+    assert seqs["aaa"] == " aa a </w> "
+    assert seqs["aa"] == " aa </w> "
+
+
+def test_encode_counts_match_final_vocab(spark):
+    docs = _docs(spark, ["ab ab cd", "ab"])
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in bpe_token_counts(docs, n_merges=2).collect()}
+    # merges: (a,b)→ab ×3, then (ab,</w>) ×3. "ab" → 1 token; "cd" →
+    # c d </w> = 3 tokens.
+    assert got == {0: 1 + 1 + 3, 1: 1}
+
+
+def test_merge_rounds_stop_when_no_pairs(spark):
+    docs = _docs(spark, ["a"])  # " a </w> " → one pair, then none mergeable
+    merges, _ = bpe_train(docs, n_merges=5)
+    # round 1 merges (a, </w>); later rounds still see zero pairs and stop.
+    assert [m[1:3] for m in merges] == [("a", "</w>")]
