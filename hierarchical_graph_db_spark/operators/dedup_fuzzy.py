@@ -305,3 +305,113 @@ def simhash_band_candidates(docs: DataFrame, n_bits: int = 64, bands: int = 4,
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — public method, token-gram granularity)
+# ---------------------------------------------------------------------------
+
+def positioned_shingles(docs: DataFrame, n: int, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(id, pos, shingle): every word n-gram occurrence WITH its start token
+    position — the positional twin of :func:`shingles` (which collapses to a
+    set). One narrow projection + one explode; no shuffle."""
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        tokens(normalized_text(F.col(text_col))).alias("toks"),
+    )
+    toks = F.col("toks")
+    sh = F.when(
+        F.size(toks) < n,
+        F.array().cast("array<struct<pos:int,shingle:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.concat_ws(" ", *[
+                    F.element_at(toks, (i + j + 1).cast("int"))
+                    for j in range(n)
+                ]).alias("shingle"),
+            ),
+        )
+    )
+    return (
+        toked.select("id", F.explode(sh).alias("s"))
+        .select("id", F.col("s.pos").alias("pos"),
+                F.col("s.shingle").alias("shingle"))
+    )
+
+
+def duplicate_spans(docs: DataFrame, n: int = 6, min_occ: int = 2,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """ExactSubstr-style dedup at token-gram granularity: per document, the
+    maximal token spans covered by word ``n``-grams that occur ≥ ``min_occ``
+    times ANYWHERE in the corpus (other docs or repeats within the same doc
+    — Lee et al. count any second occurrence). Returns one row per doc:
+    (doc_id, n_tokens, n_dup_spans, dup_tokens, dup_fraction 6dp) — docs
+    shorter than ``n`` tokens report zero spans.
+
+    Scale shape (the suffix-array of the paper re-expressed relationally):
+
+    1. positioned n-gram occurrences — narrow explode, no shuffle;
+    2. global occurrence count per shingle string — ONE hash aggregate,
+       partials collapse map-side (the count side is one row per distinct
+       shingle, so a stopword mega-shingle is 1 row there);
+    3. occurrences ⋈ duplicated shingles — shuffle hash join keyed on the
+       shingle (AQE skew-split handles hot shingles; at 100 TB the join key
+       would be a 128-bit shingle hash to cut shuffle width — kept as the
+       raw string here for exact oracle parity);
+    4. span merge — per-doc gaps-and-islands over start positions (two
+       spans merge iff ``pos - prev_pos ≤ n``, i.e. overlap or adjacency;
+       with fixed-length intervals sorted by start, the running max end IS
+       the previous end, so a single ``lag`` suffices): windows partition by
+       doc — document-sized state, no global sort.
+    """
+    occ = positioned_shingles(docs, n, id_col, text_col)
+    dup = (
+        occ.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= min_occ)
+        .select("shingle")
+    )
+    marked = occ.join(dup, on="shingle").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = (
+        marked.withColumn(
+            "new_island",
+            F.when(F.col("pos") - F.lag("pos").over(w) <= n, 0).otherwise(1))
+        .withColumn("island", F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    spans = (
+        islands.groupBy("id", "island")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + n - 1).alias("span_end"))
+    )
+    per_doc = (
+        spans.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"),
+             F.sum(F.col("span_end") - F.col("span_start") + 1)
+             .alias("dup_tokens"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(normalized_text(F.col(text_col))))
+        .cast("bigint").alias("n_tokens"))
+    return (
+        base.join(per_doc, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
+            .alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+            .alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) /
+                F.greatest(F.col("n_tokens"), F.lit(1)), 6)
+            .alias("dup_fraction"),
+        )
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from hierarchical_graph_db_spark.io import Catalog
 from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+    duplicate_spans,
     exact_duplicates,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -321,3 +322,73 @@ def fuzzy_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_duplicate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (Lee et al. 2022 — ExactSubstr at
+# token-gram granularity; see operators/dedup_fuzzy.py:duplicate_spans)
+# ---------------------------------------------------------------------------
+
+SPAN_NGRAM = 6
+SPAN_MIN_OCC = 2
+
+
+@query(
+    "dedup_substring_spans",
+    f"""
+    WITH t AS (
+        SELECT doc_id AS id, string_split_regex({_NORM}, '\\s+') AS toks
+        FROM documents
+    ),
+    occ AS (
+        SELECT id, i - 1 AS pos,
+               array_to_string(list_slice(toks, i, i + {SPAN_NGRAM - 1}), ' ')
+               AS shingle
+        FROM (SELECT id, toks,
+                     unnest(range(1, len(toks) - {SPAN_NGRAM} + 2)) AS i
+              FROM t WHERE len(toks) >= {SPAN_NGRAM}) u
+    ),
+    dup AS (
+        SELECT shingle FROM occ GROUP BY shingle
+        HAVING count(*) >= {SPAN_MIN_OCC}
+    ),
+    marked AS (SELECT id, pos FROM occ JOIN dup USING (shingle)),
+    isl AS (
+        SELECT id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos)
+                         <= {SPAN_NGRAM}
+                    THEN 0 ELSE 1 END AS new_island
+        FROM marked
+    ),
+    num AS (
+        SELECT id, pos,
+               sum(new_island) OVER (PARTITION BY id ORDER BY pos) AS island
+        FROM isl
+    ),
+    spans AS (
+        SELECT id, island, min(pos) AS span_start,
+               max(pos) + {SPAN_NGRAM - 1} AS span_end
+        FROM num GROUP BY id, island
+    ),
+    per_doc AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+               CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY id
+    )
+    SELECT t.id AS doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(coalesce(p.dup_tokens, 0) / greatest(len(t.toks), 1), 6)
+           AS dup_fraction
+    FROM t LEFT JOIN per_doc p ON p.id = t.id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, token-gram form): per doc,
+    the maximal token spans covered by word 6-grams occurring ≥2 times
+    corpus-wide, merged by overlap-or-adjacency gaps-and-islands. The global
+    shingle count partial-aggregates map-side; the only corpus shuffle keys
+    on the shingle; span windows are document-local."""
+    return duplicate_spans(Catalog(spark, sf_dir).documents,
+                           n=SPAN_NGRAM, min_occ=SPAN_MIN_OCC)

@@ -127,3 +127,76 @@ def test_simhash_properties(spark):
     def ham(a: str, b: str) -> int:
         return sum(x != y for x, y in zip(a, b))
     assert ham(fps[1], fps[2]) < ham(fps[1], fps[3])
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans
+# ---------------------------------------------------------------------------
+
+
+def _span_docs(spark, texts):
+    from pyspark.sql import Row
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+
+
+def test_duplicate_spans_cross_doc(spark):
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        duplicate_spans,
+    )
+    shared = "one two three four five six"          # a 6-token shared run
+    docs = _span_docs(spark, [
+        f"{shared} tail words here",                # dup span at pos 0..5
+        f"head {shared}",                           # dup span at pos 1..6
+        "totally different words with no overlap at all",
+        "short doc",                                # < 6 tokens → no shingles
+    ])
+    got = {r["doc_id"]: r for r in duplicate_spans(docs, n=6).collect()}
+    assert got[0]["n_dup_spans"] == 1 and got[0]["dup_tokens"] == 6
+    assert got[1]["n_dup_spans"] == 1 and got[1]["dup_tokens"] == 6
+    assert got[2]["n_dup_spans"] == 0 and got[2]["dup_tokens"] == 0
+    assert got[3]["n_dup_spans"] == 0 and got[3]["n_tokens"] == 2
+    assert got[0]["dup_fraction"] == round(6 / 9, 6)
+
+
+def test_duplicate_spans_merge_overlapping(spark):
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        duplicate_spans,
+    )
+    # a 7-token shared run → two overlapping 6-gram hits (pos 0 and 1) that
+    # must merge into ONE span of 7 tokens.
+    run = "a b c d e f g"
+    docs = _span_docs(spark, [f"{run} x y z", f"p q {run}"])
+    got = {r["doc_id"]: r for r in duplicate_spans(docs, n=6).collect()}
+    assert got[0]["n_dup_spans"] == 1 and got[0]["dup_tokens"] == 7
+    assert got[1]["n_dup_spans"] == 1 and got[1]["dup_tokens"] == 7
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        duplicate_spans,
+    )
+    # the same 6-gram twice INSIDE one doc counts as duplicated (Lee et al.
+    # count any second occurrence), and the two far-apart hits stay two spans.
+    run = "u v w x y z"
+    docs = _span_docs(spark, [f"{run} filler words between here {run}"])
+    [row] = duplicate_spans(docs, n=6).collect()
+    assert row["n_dup_spans"] == 2 and row["dup_tokens"] == 12
+
+
+def test_duplicate_spans_adjacency_boundary(spark):
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        duplicate_spans,
+    )
+    # hits at pos 0 and pos n=6 are ADJACENT (span 0..5 then 6..11) → one
+    # merged span of 12 tokens; at pos 7 they'd stay separate.
+    a = "a1 a2 a3 a4 a5 a6"
+    b = "b1 b2 b3 b4 b5 b6"
+    docs = _span_docs(spark, [
+        f"{a} {b}",            # hits at 0 and 6 → merge
+        f"{a} gap {b}",        # hits at 0 and 7 → two spans
+        f"{a} x", f"{b} y",    # make both runs corpus-duplicated
+    ])
+    got = {r["doc_id"]: r for r in duplicate_spans(docs, n=6).collect()}
+    assert got[0]["n_dup_spans"] == 1 and got[0]["dup_tokens"] == 12
+    assert got[1]["n_dup_spans"] == 2 and got[1]["dup_tokens"] == 12
