@@ -166,3 +166,45 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
             *[F.col(f"new_{c}") for c in compare_cols],
         )
     )
+
+
+def scd2_history(events: DataFrame, key_col: str = "user_id",
+                 attr_col: str = "event_type", ts_col: str = "ts",
+                 tiebreak_col: str = "event_id") -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 history build (Kimball's public
+    warehouse pattern): collapse each key's attribute timeline into
+    versioned validity ranges — one row per consecutive run of equal
+    ``attr_col`` values: (key, version, attr, valid_from, valid_to,
+    is_current, n_events). ``valid_to`` is the next version's
+    ``valid_from`` (half-open ranges, the standard SCD2 contract); the
+    open-ended run has ``valid_to = NULL`` and ``is_current = true``.
+
+    Scale shape: gaps-and-islands over a (key)-partitioned window ordered
+    by (ts, tiebreak) — per-key state only, no global sort — then one hash
+    aggregate per (key, version) whose partials collapse map-side, and a
+    second per-key window for the ``lead``. All three stages share the one
+    key-hash shuffle (co-partitioned); deterministic because the tiebreak
+    column makes the within-key order total."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(attr_col).over(w)
+    runs = (
+        events.select(key_col, attr_col, ts_col, tiebreak_col)
+        .withColumn(
+            "chg",
+            F.when(prev.isNull() | (prev != F.col(attr_col)), 1).otherwise(0))
+        .withColumn("version", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    grouped = (
+        runs.groupBy(key_col, "version")
+        .agg(F.min(attr_col).alias(attr_col),
+             F.min(ts_col).alias("valid_from"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy("version")
+    return (
+        grouped.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key_col, "version", attr_col, "valid_from", "valid_to",
+                "is_current", "n_events")
+    )

@@ -16,6 +16,7 @@ from hierarchical_graph_db_spark.operators.asof import asof_join, range_join
 from hierarchical_graph_db_spark.operators.temporal import (
     funnel,
     resample_gapfill,
+    scd2_history,
     snapshot_diff,
 )
 from hierarchical_graph_db_spark.queries import query
@@ -420,3 +421,46 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "purchase_ts", "click_id", "click_ts",
                 dist.cast("long").alias("dist_us"))
     )
+
+
+@query(
+    "scd2_user_type_history",
+    """
+    WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, event_type, ts,
+               sum(CASE WHEN prev IS NULL OR prev <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+        FROM o
+    ),
+    g AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version,
+               min(event_type) AS event_type, min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM r GROUP BY user_id, version
+    )
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           IS NULL AS is_current,
+           n_events
+    FROM g
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history of each user's event_type timeline: versioned
+    half-open validity ranges with an open current row — the Kimball
+    dimension-versioning pattern as one co-partitioned plan (islands window
+    + map-side-partial run aggregate + lead window, all on the user_id
+    shuffle)."""
+    ev = Catalog(spark, sf_dir).events
+    return scd2_history(ev, key_col="user_id", attr_col="event_type",
+                        ts_col="ts", tiebreak_col="event_id")

@@ -109,3 +109,53 @@ def test_resample_gapfill_rejects_subunit_step(spark):
         resample_gapfill(ev, step="30 minutes")
     with pytest.raises(ValueError, match="whole unit"):
         resample_gapfill(ev, step="hour")
+
+
+# ---------------------------------------------------------------------------
+# SCD Type 2 history build
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_collapses_runs_into_versions(spark):
+    from datetime import datetime
+    from pyspark.sql import Row
+    from hierarchical_graph_db_spark.operators.temporal import scd2_history
+
+    t = lambda h: datetime(2026, 1, 1, h)
+    ev = spark.createDataFrame([
+        Row(user_id=1, event_type="view", ts=t(0), event_id=1),
+        Row(user_id=1, event_type="view", ts=t(1), event_id=2),
+        Row(user_id=1, event_type="click", ts=t(2), event_id=3),
+        Row(user_id=1, event_type="view", ts=t(3), event_id=4),
+        Row(user_id=2, event_type="buy", ts=t(0), event_id=5),
+    ])
+    rows = {(r["user_id"], r["version"]): r
+            for r in scd2_history(ev).collect()}
+    assert len(rows) == 4  # user 1: view,click,view; user 2: buy
+    v1 = rows[(1, 1)]
+    assert (v1["event_type"], v1["n_events"]) == ("view", 2)
+    assert v1["valid_from"] == t(0) and v1["valid_to"] == t(2)
+    assert not v1["is_current"]
+    v2 = rows[(1, 2)]
+    assert v2["event_type"] == "click" and v2["valid_to"] == t(3)
+    v3 = rows[(1, 3)]
+    # the re-appearance of "view" is a NEW version (SCD2, not a dedup)
+    assert v3["event_type"] == "view" and v3["is_current"]
+    assert v3["valid_to"] is None
+    assert rows[(2, 1)]["is_current"]
+
+
+def test_scd2_tiebreak_makes_equal_ts_deterministic(spark):
+    from datetime import datetime
+    from pyspark.sql import Row
+    from hierarchical_graph_db_spark.operators.temporal import scd2_history
+
+    ts = datetime(2026, 1, 1)
+    ev = spark.createDataFrame([
+        Row(user_id=1, event_type="b", ts=ts, event_id=2),
+        Row(user_id=1, event_type="a", ts=ts, event_id=1),
+    ])
+    rows = sorted(scd2_history(ev).collect(), key=lambda r: r["version"])
+    # event_id breaks the ts tie: "a" (id 1) precedes "b" (id 2)
+    assert [r["event_type"] for r in rows] == ["a", "b"]
+    assert rows[0]["valid_to"] == ts and rows[1]["is_current"]
