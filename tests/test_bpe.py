@@ -79,3 +79,21 @@ def test_merge_rounds_stop_when_no_pairs(spark):
     merges, _ = bpe_train(docs, n_merges=5)
     # round 1 merges (a, </w>); later rounds still see zero pairs and stop.
     assert [m[1:3] for m in merges] == [("a", "</w>")]
+
+
+def test_pair_count_aggregate_is_two_phase(spark):
+    """Each merge round's pair count must partial-aggregate map-side (the
+    bigint sums commute), and the vocab-side plan must stay join-free —
+    the merge-round cost is vocabulary-sized, never corpus-sized."""
+    from hierarchical_graph_db_spark.operators.bpe import (
+        _pair_counts,
+        initial_vocab,
+        word_frequencies,
+    )
+    docs = _docs(spark, ["ab ab ab cd", "cd ab"])
+    counts = _pair_counts(initial_vocab(word_frequencies(docs)))
+    plan = counts._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan and "CartesianProduct" not in plan

@@ -136,3 +136,32 @@ def test_domain_quota_partial_group_limit(spark, sf_dir):
     part = plan.index("row_number(), 15, Partial")
     assert part > plan.index("Exchange")
     assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+
+
+def test_substring_spans_no_cartesian_two_phase_count(spark, sf_dir):
+    """The global shingle count must partial-aggregate map-side and the
+    occurrence⋈dup join must be a hash join — a nested-loop here would be
+    quadratic in corpus size."""
+    plan = _plan(spark, sf_dir, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_scd2_single_key_shuffle(spark, sf_dir):
+    """Islands window, (key, version) aggregate, and the lead window must
+    all reuse ONE user_id hash exchange: HashPartitioning(user_id)
+    satisfies the aggregate's ClusteredDistribution(user_id, version)
+    because the partitioning keys are a subset of the grouping keys."""
+    plan = _plan(spark, sf_dir, "scd2_user_type_history")
+    # "Exchange (" counts tree nodes only (the detail section repeats the
+    # bare node name, which would double-count).
+    assert plan.count("Exchange (") == 1, plan[:2000]
+
+
+def test_bpe_encode_hash_join_no_cartesian(spark, sf_dir):
+    """The encode path joins doc word counts to the vocabulary-sized
+    word table — must stay an equi hash join (shuffled or broadcast)."""
+    plan = _plan(spark, sf_dir, "bpe_encode_token_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
