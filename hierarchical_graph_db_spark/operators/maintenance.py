@@ -136,3 +136,62 @@ def zorder_compact(
         .write.mode("overwrite").parquet(dst_path)
     )
     return n_files
+
+
+def file_skipping_stats(df: DataFrame, x: F.Column, y: F.Column,
+                        box: tuple[int, int, int, int],
+                        bits: int = 6) -> DataFrame:
+    """Min/max file-skipping selectivity of a 2-D box predicate under two
+    storage layouts — the measurable WHY behind :func:`zorder_compact`:
+
+    * ``linear`` — files clustered by ``x`` alone (one file per x cell):
+      perfect pruning on x, none on y;
+    * ``zorder`` — files = contiguous Z-curve ranges of ``2^bits`` cells
+      (each file an aligned 2^(bits/2) × 2^(bits/2) tile), so every file
+      has a tight bounding box in BOTH dimensions.
+
+    For each layout: assign every row its file id (pure arithmetic — no
+    sort, no window; the real write path is ``repartitionByRange`` on the
+    same keys), aggregate per-file min/max of x and y (the parquet
+    footer stats a reader would consult), then count the files whose
+    bounding box intersects ``box = (x_lo, x_hi, y_lo, y_hi)``. Returns one
+    row per layout: (layout, n_files, n_candidate_files, rows_total,
+    rows_candidate, skip_fraction 6dp). Both passes are two-phase hash
+    aggregates over ≤2^(2·bits) file groups — stats collection at 100 TB
+    is one map-side-collapsing scan, and the skip decision touches only
+    the file-stats table."""
+    cells = F.lit(2 ** bits)
+    x_lo, x_hi, y_lo, y_hi = box
+    assigned = df.select(
+        x.cast("long").alias("x"), y.cast("long").alias("y"),
+        x.cast("long").alias("file_lin"),
+        F.floor(zorder_value(x.cast("long"), y.cast("long"), bits=bits)
+                / cells).alias("file_z"),
+    )
+
+    def _layout(file_col: str, name: str) -> DataFrame:
+        stats = (
+            assigned.groupBy(F.col(file_col).alias("file_id"))
+            .agg(F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                 F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+                 F.count(F.lit(1)).alias("n_rows"))
+        )
+        cand = (
+            (F.col("min_x") <= x_hi) & (F.col("max_x") >= x_lo)
+            & (F.col("min_y") <= y_hi) & (F.col("max_y") >= y_lo)
+        )
+        return stats.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(cand.cast("long")).alias("n_candidate_files"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.when(cand, F.col("n_rows")).otherwise(0))
+            .alias("rows_candidate"),
+        ).select(
+            "layout", "n_files", "n_candidate_files", "rows_total",
+            "rows_candidate",
+            F.round(1 - F.col("rows_candidate") / F.col("rows_total"), 6)
+            .alias("skip_fraction"),
+        )
+
+    return _layout("file_lin", "linear").unionAll(_layout("file_z", "zorder"))

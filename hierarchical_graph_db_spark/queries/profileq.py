@@ -191,3 +191,78 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order vs linear file skipping (the measurable case for zorder_compact)
+# ---------------------------------------------------------------------------
+
+_ZBITS = 6
+_ZBOX = (8, 15, 8, 15)  # x_lo, x_hi, y_lo, y_hi
+
+#: Bit-interleave of the low 6 bits of (x, y) in portable arithmetic —
+#: the SQL twin of operators/maintenance.py:zorder_value (x on odd bits).
+_Z_EXPR = " + ".join(
+    f"(((x // {2 ** i}) % 2) * {2 ** (2 * i + 1)})"
+    f" + (((y // {2 ** i}) % 2) * {2 ** (2 * i)})"
+    for i in range(_ZBITS)
+)
+
+
+def _layout_cte(src: str, label: str) -> str:
+    x_lo, x_hi, y_lo, y_hi = _ZBOX
+    cand = (f"min_x <= {x_hi} AND max_x >= {x_lo} "
+            f"AND min_y <= {y_hi} AND max_y >= {y_lo}")
+    return f"""
+        SELECT '{label}' AS layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN {cand} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidate_files,
+               CAST(sum(n_rows) AS BIGINT) AS rows_total,
+               CAST(sum(CASE WHEN {cand} THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_candidate
+        FROM {src}
+    """
+
+
+@query(
+    "zorder_file_skipping",
+    f"""
+    WITH pts AS (
+        SELECT user_id % 64 AS x, day(ts) AS y FROM events
+    ),
+    a AS (
+        SELECT x, y, x AS file_lin, ({_Z_EXPR}) // 64 AS file_z FROM pts
+    ),
+    lin AS (
+        SELECT file_lin AS file_id, min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y, count(*) AS n_rows
+        FROM a GROUP BY file_lin
+    ),
+    zst AS (
+        SELECT file_z AS file_id, min(x) AS min_x, max(x) AS max_x,
+               min(y) AS min_y, max(y) AS max_y, count(*) AS n_rows
+        FROM a GROUP BY file_z
+    ),
+    ls AS ({_layout_cte("lin", "linear")}),
+    zs AS ({_layout_cte("zst", "zorder")})
+    SELECT layout, n_files, n_candidate_files, rows_total, rows_candidate,
+           round(1 - rows_candidate / rows_total, 6) AS skip_fraction
+    FROM (SELECT * FROM ls UNION ALL SELECT * FROM zs) u
+    """,
+)
+def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max file-skipping selectivity of the box predicate
+    (user_id%64, day-of-month) ∈ [8,15]² under linear vs Z-order file
+    layouts — the stats pass a reader's footer pruning would do, showing
+    why the Z-ordered write (operators/maintenance.py:zorder_compact)
+    skips what 1-D clustering can't. Pure arithmetic file assignment +
+    two map-side-collapsing aggregates; no sort, no window."""
+    from hierarchical_graph_db_spark.operators.maintenance import (
+        file_skipping_stats,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    return file_skipping_stats(
+        ev, x=F.col("user_id") % 64, y=F.dayofmonth("ts"),
+        box=_ZBOX, bits=_ZBITS)

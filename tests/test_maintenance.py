@@ -92,3 +92,27 @@ def test_zorder_tightens_both_dimensions(spark, sf_dir, tmp_path):
     assert avg_u < 0.75 * g["du"], (avg_u, g["du"])
     assert avg_v < 0.75 * g["dv"], (avg_v, g["dv"])
     assert spark.read.parquet(dst).count() == full.count()
+
+
+def test_file_skipping_stats_zorder_beats_linear(spark):
+    """On a uniform 2-D grid, a box constrained in BOTH dims prunes far
+    better under Z-tiles than under x-only clustering: the linear layout
+    must scan every x-matching file across all y, the Z layout only the
+    tiles intersecting the box."""
+    from pyspark.sql import functions as F
+    from hierarchical_graph_db_spark.operators.maintenance import (
+        file_skipping_stats,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("gx"), (F.col("id") / 64).cast("long").alias("gy"))
+    out = {r["layout"]: r for r in file_skipping_stats(
+        grid, x=F.col("gx"), y=F.col("gy"), box=(8, 15, 8, 15),
+        bits=6).collect()}
+    lin, z = out["linear"], out["zorder"]
+    assert lin["n_files"] == 64 and z["n_files"] == 64
+    # linear: the 8 files x∈[8,15] all contain full y range → all candidates
+    assert lin["n_candidate_files"] == 8 and lin["rows_candidate"] == 8 * 64
+    # zorder: the aligned 8×8 box is exactly ONE 64-cell tile
+    assert z["n_candidate_files"] == 1 and z["rows_candidate"] == 64
+    assert z["skip_fraction"] > lin["skip_fraction"]
