@@ -13,6 +13,11 @@ chardet — only its *verdicts* on well-formed text are the parity target
 
 Detection ladder (first confident verdict wins):
 
+0. BOM probe (round-6 tranche) — UTF-32/16/8 byte-order marks, longest
+   first (the UTF-32-LE BOM contains the UTF-16-LE BOM as a prefix), each
+   confirmed by a strict decode; then BOM-less UTF-16 via the
+   alternating-NUL pattern (mostly-ASCII wide text has a NUL every other
+   byte — chardet's null-pattern signal).
 1. ISO-2022-JP escape probe (round-5 "long tail") — JIS designator escape
    sequences + a strict decode. Runs BEFORE the UTF-8 probe because
    ISO-2022-JP is pure 7-bit and would otherwise be claimed as UTF-8
@@ -86,6 +91,39 @@ _DBCS_CANDIDATES = (
 # same). Must be probed BEFORE the utf-8 check: pure 7-bit bytes are also
 # trivially valid UTF-8.
 _ISO2022_JP_MARKS = (b"\x1b$B", b"\x1b$@", b"\x1b(J")
+
+# Byte-order marks, longest first: the UTF-32-LE BOM (ff fe 00 00) has the
+# UTF-16-LE BOM as a prefix, so order is load-bearing (chardet's BOM check
+# has the same ordering). utf-8-sig so the decode strips the BOM, matching
+# chardet's UTF-8-SIG verdict.
+_BOMS = (
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+)
+
+
+def _utf16_null_pattern(data: bytes) -> str | None:
+    """BOM-less UTF-16 heuristic (chardet's null-pattern signal): mostly-
+    ASCII text encoded as UTF-16 has a NUL in every other byte — even
+    positions for BE, odd for LE. Requires even length, a dominant
+    one-sided NUL pattern, and a strict decode."""
+    if len(data) < 8 or len(data) % 2:
+        return None
+    even = sum(1 for b in data[0::2] if b == 0)
+    odd = sum(1 for b in data[1::2] if b == 0)
+    half = len(data) // 2
+    for nulls, codec in ((even, "utf-16-be"), (odd, "utf-16-le")):
+        other = odd if codec == "utf-16-be" else even
+        if nulls >= 0.7 * half and other <= 0.1 * half:
+            try:
+                data.decode(codec)
+                return codec
+            except UnicodeDecodeError:
+                return None
+    return None
 
 
 def _dbcs_score(data: bytes, codec: str, script, common: set[str]) -> float:
@@ -170,6 +208,16 @@ def detect(data: bytes) -> str | None:
     confident (caller then walks the reference's utf-8 → latin-1 chain)."""
     if not data:
         return None
+    for bom, codec in _BOMS:
+        if data.startswith(bom):
+            try:
+                data.decode(codec)
+                return codec
+            except (UnicodeDecodeError, LookupError):
+                break  # BOM-shaped prefix on non-Unicode data: fall through
+    wide = _utf16_null_pattern(data)
+    if wide:
+        return wide
     if any(m in data for m in _ISO2022_JP_MARKS):
         try:
             data.decode("iso-2022-jp")

@@ -207,3 +207,31 @@ def test_quarantine_never_fails_task(spark, tmp_path):
     parsed = parse_emails(scan_maildir(spark, str(base))).collect()
     assert [r["error"] for r in parsed] == [None]
     assert parsed[0]["subject"] == "fine"
+
+def test_smart_decode_utf16_32_family():
+    """Round-6 long-tail tranche: BOM-marked UTF-16/32 (and BOM-stripped
+    utf-8-sig) plus BOM-less UTF-16 via the null-byte pattern — chardet
+    names all of these; the latin-1 fallback would shred them into NUL
+    soup. Round-tripping the original text is the parity check."""
+    from hierarchical_graph_db_spark.sources.charset import detect
+    from hierarchical_graph_db_spark.sources.maildir import _smart_decode
+
+    msg = "Meeting at 3pm — bring the café notes."
+    for codec in ("utf-16-le", "utf-16-be", "utf-32-le", "utf-32-be"):
+        raw = "﻿".encode(codec) + msg.encode(codec)  # explicit BOM
+        assert detect(raw) == codec
+        # the explicit-endianness codecs keep U+FEFF as a character
+        assert _smart_decode(raw) == "﻿" + msg
+    # utf-8 BOM → utf-8-sig (BOM stripped, like chardet's UTF-8-SIG)
+    raw = b"\xef\xbb\xbf" + msg.encode("utf-8")
+    assert detect(raw) == "utf-8-sig"
+    assert _smart_decode(raw) == msg
+    # BOM-less UTF-16: the alternating-NUL pattern decides the endianness
+    ascii_msg = "Status report for the quarterly review meeting agenda."
+    for codec in ("utf-16-le", "utf-16-be"):
+        raw = ascii_msg.encode(codec)  # explicit-endian codecs add no BOM
+        assert detect(raw) == codec
+        assert _smart_decode(raw) == ascii_msg
+    # odd length can't be BOM-less UTF-16 — falls down the ladder (NUL
+    # bytes are valid UTF-8 code points, so the UTF-8 probe claims it)
+    assert detect(ascii_msg.encode("utf-16-le") + b"x") == "utf-8"
