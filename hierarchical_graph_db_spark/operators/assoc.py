@@ -1,0 +1,79 @@
+"""Association-rule mining over item co-occurrence (A-priori pair level).
+
+The warehouse staple (Agrawal & Srikant 1994, public method) at the
+pair-rule level: baskets → item supports → pair supports → rules with
+support / confidence / lift. The reference has no analytics at all; this
+is SURVEY.md §2.11 north-star scope (behavioral co-occurrence is also how
+curation pipelines mine correlated document tags/sources).
+
+Scale shape:
+
+* baskets — one distinct (dedup shuffle keyed on basket+item);
+* pair counting — a self-join CO-PARTITIONED on the basket key (both
+  sides are the same distinct output, so AQE reuses the exchange), then
+  one hash aggregate to the pair-support table. Per-basket cost is
+  quadratic in the basket's DISTINCT item count — fine for bounded
+  vocabularies (event types, tags); wide-open item domains first prune to
+  frequent items (classic A-priori), which is one broadcast semi-join;
+* rules — the pair table joins two broadcast copies of the (tiny) item
+  support table plus a 1-row basket count; all ratio math happens on
+  integer counts, rounded 6dp, so the SQL replay is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_association_rules(events: DataFrame,
+                           basket_cols: list[str] | None = None,
+                           item_col: str = "event_type",
+                           min_pair_support: int = 2) -> DataFrame:
+    """Ordered pair rules (antecedent → consequent) over per-basket
+    distinct items: (antecedent, consequent, pair_count, support,
+    confidence, lift), support/confidence/lift rounded 6dp."""
+    if basket_cols is None:
+        basket_cols = ["user_id", "day"]
+        events = events.withColumn("day", F.to_date("ts"))
+    bk = [F.col(c) for c in basket_cols]
+    baskets = events.select(*bk, F.col(item_col).alias("item")).distinct()
+    n_baskets = (
+        baskets.select(*bk).distinct()
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    item_supp = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).alias("item_count"))
+    a = baskets
+    b = baskets.select(
+        *[F.col(c).alias(c) for c in basket_cols],
+        F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, on=basket_cols)
+        .where(F.col("item") != F.col("item_b"))
+        .groupBy(F.col("item").alias("antecedent"),
+                 F.col("item_b").alias("consequent"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_support)
+    )
+    ant = F.broadcast(item_supp.select(
+        F.col("item").alias("antecedent"),
+        F.col("item_count").alias("ant_count")))
+    cons = F.broadcast(item_supp.select(
+        F.col("item").alias("consequent"),
+        F.col("item_count").alias("cons_count")))
+    return (
+        pairs.join(ant, on="antecedent")
+        .join(cons, on="consequent")
+        .join(F.broadcast(n_baskets))
+        .select(
+            "antecedent", "consequent", "pair_count",
+            F.round(F.col("pair_count") / F.col("n_baskets"), 6)
+            .alias("support"),
+            F.round(F.col("pair_count") / F.col("ant_count"), 6)
+            .alias("confidence"),
+            F.round((F.col("pair_count") * F.col("n_baskets"))
+                    / (F.col("ant_count") * F.col("cons_count")), 6)
+            .alias("lift"),
+        )
+    )

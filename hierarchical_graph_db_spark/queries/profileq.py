@@ -266,3 +266,57 @@ def zorder_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_skipping_stats(
         ev, x=F.col("user_id") % 64, y=F.dayofmonth("ts"),
         box=_ZBOX, bits=_ZBITS)
+
+
+# ---------------------------------------------------------------------------
+# Association rules (A-priori pair level) over daily user baskets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "assoc_rules_event_pairs",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+               event_type AS item
+        FROM events
+    ),
+    nb AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_baskets
+        FROM (SELECT DISTINCT user_id, day FROM baskets) t
+    ),
+    supp AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS item_count
+        FROM baskets GROUP BY item
+    ),
+    pairs AS (
+        SELECT a.item AS antecedent, b.item AS consequent,
+               CAST(count(*) AS BIGINT) AS pair_count
+        FROM baskets a
+        JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                      AND a.item <> b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT antecedent, consequent, pair_count,
+           round(pair_count / n_baskets, 6) AS support,
+           round(pair_count / sa.item_count, 6) AS confidence,
+           round((pair_count * n_baskets)
+                 / (sa.item_count * sc.item_count), 6) AS lift
+    FROM pairs
+    JOIN supp sa ON sa.item = antecedent
+    JOIN supp sc ON sc.item = consequent
+    CROSS JOIN nb
+    """,
+)
+def assoc_rules_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-level association rules (Agrawal & Srikant 1994) over daily
+    (user, day) event-type baskets: support / confidence / lift per ordered
+    pair. The pair self-join is co-partitioned on the basket key; the
+    support sides broadcast — see operators/assoc.py for the 100 TB
+    shape."""
+    from hierarchical_graph_db_spark.operators.assoc import (
+        pair_association_rules,
+    )
+
+    return pair_association_rules(Catalog(spark, sf_dir).events)
