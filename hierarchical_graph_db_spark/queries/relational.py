@@ -562,3 +562,48 @@ def hierarchy_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-level maildir walk base/<user>/<folder>/<file> re-expressed)."""
     c = Catalog(spark, sf_dir)
     return hierarchy_paths(c.region, c.nation, c.customer)
+
+
+@query(
+    "bloom_prune_join",
+    """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 450000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join reduced by an explicit Bloom-filter semi-join
+    (``operators/bloom.py``): high-value orders' keys fold into an 8 KiB
+    bitmap literal, every lineitem row tests its l_orderkey against it
+    inside the scan's project, and only survivors reach the join shuffle.
+    The oracle is the PLAIN join — the equivalence proof that Bloom
+    pruning drops nothing (no false negatives), same oracle style as
+    ``window_topk_salted``. At 100 TB this is the shape for build sides too
+    big to broadcast as rows but whose key set fits a bitmap: the probe
+    exchange shrinks by the filter's selectivity, the build pass shuffles
+    O(m/64) words, and the bitmap collect is 8 KiB regardless of scale.
+    Revenue sums cents as bigints (order-independent) before one division.
+    """
+    from hierarchical_graph_db_spark.operators.bloom import bloom_prune
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.where(F.col("o_totalprice") > 450000) \
+        .select("o_orderkey", "o_orderpriority")
+    li = cat.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    pruned = bloom_prune(li, "l_orderkey", o, "o_orderkey")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 100).cast("bigint")
+    return (
+        pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum(cents) / F.lit(100.0), 2).alias("revenue"))
+        .select("o_orderpriority", "n_items", "revenue")
+    )

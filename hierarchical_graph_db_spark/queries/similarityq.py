@@ -18,6 +18,7 @@ from hierarchical_graph_db_spark.operators.similarity import (
     near_duplicate_pairs,
 )
 from hierarchical_graph_db_spark.queries import query
+from hierarchical_graph_db_spark.queries.tfidfq import _SQL_BM25_SCORES
 
 # Cosine in the oracle mirrors functions/vectors.py exactly: cast-to-double
 # products, zero-guarded denominator, round(. , 5) BEFORE ranking so the rank
@@ -1093,4 +1094,112 @@ def embedding_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("keep_id", F.col("vec_id")) != F.col("vec_id"))
             .alias("is_duplicate"),
         )
+    )
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    f"""
+    WITH {_SQL_BM25_SCORES},
+    lex AS (
+        SELECT doc_id, lex_rnk FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS lex_rnk
+            FROM s
+        ) WHERE lex_rnk <= 20
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sem_scored AS (
+        SELECT vec_id AS doc_id, {_sql_cosine('embedding', 'qv')} AS score
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id <> 0
+    ),
+    sem AS (
+        SELECT doc_id, sem_rnk FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS sem_rnk
+            FROM sem_scored
+        ) WHERE sem_rnk <= 20
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+               coalesce(CAST(round(1000000.0 / (60 + l.lex_rnk)) AS BIGINT), 0)
+               + coalesce(CAST(round(1000000.0 / (60 + m.sem_rnk)) AS BIGINT), 0)
+                   AS fp,
+               l.lex_rnk AS lex_rnk, m.sem_rnk AS sem_rnk
+        FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id
+    )
+    SELECT doc_id, rrf_score, rnk, lex_rnk, sem_rnk FROM (
+        SELECT doc_id, round(fp / 1000000.0, 6) AS rrf_score,
+               CAST(row_number() OVER (ORDER BY fp DESC, doc_id) AS BIGINT)
+                   AS rnk,
+               lex_rnk, sem_rnk
+        FROM fused
+    ) WHERE rnk <= 10
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion
+    (Cormack, Clarke & Büttcher 2009, public method; the standard RAG
+    retrieval pattern): BM25 ranks the corpus for the 3 highest-df terms
+    (the shared scorer in ``tfidfq.bm25_scores``), cosine similarity ranks
+    it against a query embedding (vec_id 0's vector, riding the plan as a
+    literal — the bounded one-row collect class), and each document's fused
+    score is Σ 1/(60+rank) over the lists it appears in (top-20 each).
+
+    Determinism: both ranks tie-break on doc_id; the RRF terms are
+    round-to-1e-6 fixed-point bigints summed in coalesce order, and the
+    final rank orders by the bigint sum, so no float-summation order can
+    flip the hash. Scale shape: each leg is its own linear scan + agg (BM25:
+    matched postings only; semantic: one fold per row against a literal —
+    no join, no exchange); the fusion joins two k-row rankings (k=20), i.e.
+    bounded intermediates regardless of corpus size. The global top-k
+    windows rank post-aggregation score tables (|docs-with-score| rows at
+    most; the salted variant in ``operators/skew.py`` is the hot-key form).
+    """
+    from pyspark.sql import Window
+
+    from hierarchical_graph_db_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from hierarchical_graph_db_spark.queries.tfidfq import bm25_scores
+
+    emb = Catalog(spark, sf_dir).embeddings
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (
+        bm25_scores(spark, sf_dir)
+        .withColumn("lex_rnk", F.row_number().over(wl).cast("long"))
+        .where(F.col("lex_rnk") <= 20)
+        .select("doc_id", "lex_rnk")
+    )
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qlit = F.lit([float(x) for x in qv])
+    sem_scored = (
+        emb.where(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.round(cosine_similarity(F.col("embedding"), qlit), 5)
+                .alias("score"))
+    )
+    sem = (
+        sem_scored.withColumn("sem_rnk", F.row_number().over(wl).cast("long"))
+        .where(F.col("sem_rnk") <= 20)
+        .select("doc_id", "sem_rnk")
+    )
+    rrf_term = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1000000.0) / (F.lit(60) + F.col(r))).cast("bigint"),
+        F.lit(0).cast("bigint"))
+    fused = (
+        lex.join(sem, on="doc_id", how="full_outer")
+        .select("doc_id", (rrf_term("lex_rnk") + rrf_term("sem_rnk"))
+                .alias("fp"), "lex_rnk", "sem_rnk")
+    )
+    wf = Window.orderBy(F.col("fp").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("long"))
+        .where(F.col("rnk") <= 10)
+        .select("doc_id",
+                F.round(F.col("fp") / F.lit(1000000.0), 6).alias("rrf_score"),
+                "rnk", "lex_rnk", "sem_rnk")
     )

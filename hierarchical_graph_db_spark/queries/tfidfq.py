@@ -83,8 +83,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1e-6 → bigint → sum → one division) so partial-aggregation order can never
 # flip the 5dp-rounded hash.
 
-_SQL_BM25 = """
-    WITH terms AS (
+# CTE chain ending in s(doc_id, score) — shared verbatim by the BM25 oracle
+# here and the hybrid-RRF oracle in similarityq.py so both engines replay
+# the exact same lexical scoring.
+_SQL_BM25_SCORES = """terms AS (
         SELECT doc_id, t.term AS term, CAST(count(*) AS BIGINT) AS tf
         FROM documents,
              unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
@@ -120,7 +122,10 @@ _SQL_BM25 = """
         SELECT doc_id,
                round(CAST(sum(fp) AS BIGINT) / 1000000.0, 5) AS score
         FROM w GROUP BY doc_id
-    )
+    )"""
+
+_SQL_BM25 = f"""
+    WITH {_SQL_BM25_SCORES}
     SELECT doc_id, score, rnk FROM (
         SELECT doc_id, score,
                CAST(row_number() OVER (ORDER BY score DESC, doc_id)
@@ -130,17 +135,12 @@ _SQL_BM25 = """
 """
 
 
-@query("text_bm25_topk", _SQL_BM25)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 documents for the corpus's 3 highest-df terms — the
-    ranked-retrieval stage over the inverted-index family (same
-    tokenization as ``inverted_index_postings``/``text_tfidf_topk``).
-    Plan shape: one explode + two hash aggs build tf/df/dl; the 3-term
-    query table and the 1-row (N, avgdl) aggregates broadcast; scoring is
-    a per-(doc, matched-term) projection followed by one fixed-point
-    hash agg per doc — no shuffle grows with vocabulary size, and the
-    corpus-side work is linear in matched postings (the inverted-list
-    contract at 100 TB, where qt comes from the user, not df)."""
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 scores (doc_id, score) for the corpus's 3
+    highest-df terms — the scoring stage shared by :func:`text_bm25_topk`
+    (which ranks it) and ``hybrid_retrieval_rrf`` in ``similarityq.py``
+    (which fuses it with a semantic ranking). Identical arithmetic either
+    way, so the DuckDB CTE replay covers both callers."""
     docs = Catalog(spark, sf_dir).documents.where(F.length(F.trim("text")) > 0)
     terms = (
         docs.select("doc_id",
@@ -171,8 +171,22 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(idf * ((F.col("tf") * F.lit(2.2)) / denom)
                         * F.lit(1000000)).cast("bigint").alias("fp"))
     )
-    s = w.groupBy("doc_id").agg(
+    return w.groupBy("doc_id").agg(
         F.round(F.sum("fp") / F.lit(1000000.0), 5).alias("score"))
+
+
+@query("text_bm25_topk", _SQL_BM25)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the corpus's 3 highest-df terms — the
+    ranked-retrieval stage over the inverted-index family (same
+    tokenization as ``inverted_index_postings``/``text_tfidf_topk``).
+    Plan shape: one explode + two hash aggs build tf/df/dl; the 3-term
+    query table and the 1-row (N, avgdl) aggregates broadcast; scoring is
+    a per-(doc, matched-term) projection followed by one fixed-point
+    hash agg per doc — no shuffle grows with vocabulary size, and the
+    corpus-side work is linear in matched postings (the inverted-list
+    contract at 100 TB, where qt comes from the user, not df)."""
+    s = bm25_scores(spark, sf_dir)
     win = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         s.withColumn("rnk", F.row_number().over(win).cast("long"))
