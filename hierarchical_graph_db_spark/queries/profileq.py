@@ -320,3 +320,87 @@ def assoc_rules_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return pair_association_rules(Catalog(spark, sf_dir).events)
+
+
+# ---------------------------------------------------------------------------
+# Declarative constraint suite (Deequ / Great Expectations pattern)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_constraint_suite",
+    """
+    WITH agg AS (
+        SELECT count(*)                  AS n,
+               count(event_id)           AS n_eid,
+               count(value)              AS n_val,
+               count(DISTINCT event_id)  AS d_eid,
+               sum(CASE WHEN event_type IN
+                   ('click','error','purchase','signup','view')
+                   THEN 1 ELSE 0 END)    AS n_inset,
+               sum(CASE WHEN value BETWEEN 0 AND 300
+                   THEN 1 ELSE 0 END)    AS n_rng,
+               sum(CASE WHEN regexp_matches(props, '^\\{.*\\}$')
+                   THEN 1 ELSE 0 END)    AS n_re
+        FROM events
+    ),
+    ri AS (
+        SELECT count(*) AS n, count(c.c_custkey) AS n_m
+        FROM events e
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+               ON e.user_id = c.c_custkey
+    )
+    SELECT 'completeness' AS "check", 'event_id' AS "column",
+           coalesce(round(n_eid / n, 6), 1.0) AS observed,
+           CAST(1.0 AS DOUBLE) AS threshold,
+           coalesce(round(n_eid / n, 6), 1.0) >= 1.0 AS passed FROM agg
+    UNION ALL
+    SELECT 'completeness', 'value', coalesce(round(n_val / n, 6), 1.0), CAST(0.99 AS DOUBLE),
+           coalesce(round(n_val / n, 6), 1.0) >= 0.99 FROM agg
+    UNION ALL
+    SELECT 'uniqueness', 'event_id', coalesce(round(d_eid / n_eid, 6), 1.0),
+           CAST(1.0 AS DOUBLE), coalesce(round(d_eid / n_eid, 6), 1.0) >= 1.0 FROM agg
+    UNION ALL
+    SELECT 'in_set', 'event_type', coalesce(round(n_inset / n, 6), 1.0), CAST(1.0 AS DOUBLE),
+           coalesce(round(n_inset / n, 6), 1.0) >= 1.0 FROM agg
+    UNION ALL
+    SELECT 'in_range', 'value', coalesce(round(n_rng / n, 6), 1.0), CAST(0.999 AS DOUBLE),
+           coalesce(round(n_rng / n, 6), 1.0) >= 0.999 FROM agg
+    UNION ALL
+    SELECT 'matches', 'props', coalesce(round(n_re / n, 6), 1.0), CAST(1.0 AS DOUBLE),
+           coalesce(round(n_re / n, 6), 1.0) >= 1.0 FROM agg
+    UNION ALL
+    SELECT 'ref_integrity', 'user_id', coalesce(round(n_m / n, 6), 1.0), CAST(1.0 AS DOUBLE),
+           coalesce(round(n_m / n, 6), 1.0) >= 1.0 FROM ri
+    """,
+)
+def quality_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the events batch (the Deequ /
+    Great Expectations pattern, Schelter et al. VLDB 2018 — public method):
+    seven declared constraints, six of which evaluate in ONE scan + ONE
+    aggregation (completeness ×2, key uniqueness, value-set membership,
+    range compliance, regex shape), plus a referential-integrity pass
+    joining the fact's user_id against the customer key set (broadcast —
+    it's a key set, not the dim). The in_range threshold (0.999) is
+    deliberately above the data's compliance so the report exercises the
+    fail branch. Every observed metric is a ratio of bigint counts rounded
+    to 6 dp — no float-order sensitivity. At 100 TB: the per-table suite is
+    a single map-side-combining aggregation regardless of check count; see
+    operators/checks.py for the uniqueness-via-sketch swap."""
+    from hierarchical_graph_db_spark.operators import checks as C
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    suite = [
+        C.completeness("event_id", 1.0),
+        C.completeness("value", 0.99),
+        C.uniqueness("event_id", 1.0),
+        C.in_set("event_type",
+                 ["click", "error", "purchase", "signup", "view"], 1.0),
+        C.in_range("value", 0.0, 300.0, 0.999),
+        C.matches("props", "^\\{.*\\}$", 1.0),
+    ]
+    report = C.run_checks(ev, suite)
+    ri = C.referential_integrity(
+        ev, "user_id", cat.customer, "c_custkey", 1.0)
+    return report.unionByName(ri)
