@@ -302,3 +302,95 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return idx.join(tf, "token").select("token", "df", "tf", "postings")
+
+
+@query(
+    "text_pmi_collocations",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    big AS (
+        SELECT q.p.a AS w1, q.p.b AS w2,
+               CAST(count(*) AS BIGINT) AS pair_count
+        FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> {'a': t[i], 'b': t[i + 1]})) AS p
+            FROM toks WHERE len(t) >= 2
+        ) q
+        GROUP BY q.p.a, q.p.b
+    ),
+    tot AS (
+        SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_uni,
+               (SELECT CAST(sum(pair_count) AS BIGINT) FROM big) AS n_pairs
+    )
+    SELECT w1, w2, pair_count, pmi, rnk FROM (
+        SELECT w1, w2, pair_count,
+               round(ln((pair_count / CAST(n_pairs AS DOUBLE))
+                        / ((u1.c / CAST(n_uni AS DOUBLE))
+                           * (u2.c / CAST(n_uni AS DOUBLE)))), 5) AS pmi,
+               CAST(row_number() OVER (
+                   ORDER BY round(ln((pair_count / CAST(n_pairs AS DOUBLE))
+                            / ((u1.c / CAST(n_uni AS DOUBLE))
+                               * (u2.c / CAST(n_uni AS DOUBLE)))), 5) DESC,
+                            w1, w2) AS BIGINT) AS rnk
+        FROM big
+        JOIN uni u1 ON big.w1 = u1.w
+        JOIN uni u2 ON big.w2 = u2.w
+        CROSS JOIN tot
+        WHERE pair_count >= 5
+    ) WHERE rnk <= 25
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 bigram collocations by pointwise mutual information (Church &
+    Hanks 1990, public method) — the phrase-mining stage of a corpus
+    pipeline (multi-word expressions for tokenizer vocab / stopword-phrase
+    lists). Adjacent pairs come from a row-local slice/zip of the token
+    array (no positional self-join); unigram and bigram counts are one hash
+    aggregate each; the two unigram lookups join on the word key (AQE
+    handles stopword skew) with the 1-row totals broadcast; PMI compares
+    the bigram's probability against independence. Support floor
+    pair_count >= 5 kills the long random tail, rank ties break on the
+    words so the hash is stable. The global top-25 window ranks the
+    post-aggregation surviving-pairs table, not the corpus."""
+    docs = Catalog(spark, sf_dir).documents \
+        .where(F.length(F.trim("text")) > 0)
+    toks = docs.select(
+        F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        toks.where(F.size("t") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> struct(t[i - 1] AS w1, t[i] AS w2))")).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    n_pairs = big.agg(F.sum("pair_count").alias("n_pairs"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(F.log(
+        (F.col("pair_count") / F.col("n_pairs").cast("double"))
+        / ((F.col("c1") / F.col("n_uni").cast("double"))
+           * (F.col("c2") / F.col("n_uni").cast("double")))), 5)
+    from pyspark.sql import Window
+    win = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return (
+        big.where(F.col("pair_count") >= 5)
+        .join(u1, "w1").join(u2, "w2")
+        .join(F.broadcast(n_uni)).join(F.broadcast(n_pairs))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .withColumn("rnk", F.row_number().over(win).cast("long"))
+        .where(F.col("rnk") <= 25)
+    )
