@@ -625,3 +625,49 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").cast("string").alias("dst"),
     )
     return local_clustering(edges)
+
+
+@query(
+    "graph_harmonic_centrality",
+    f"""
+    WITH RECURSIVE eu AS (
+        SELECT src, dst FROM ({_SQL_EDGES})
+        UNION
+        SELECT dst AS src, src AS dst FROM ({_SQL_EDGES})
+    ),
+    bfs(source, id, distance) AS (
+        SELECT s, s, 0
+        FROM (VALUES ('1'), ('2'), ('3'), ('4')) seeds(s)
+        UNION
+        SELECT bfs.source, eu.dst, bfs.distance + 1
+        FROM bfs JOIN eu ON bfs.id = eu.src
+        WHERE bfs.distance < 6
+    ),
+    d AS (
+        SELECT source, id, min(distance) AS dist
+        FROM bfs GROUP BY source, id
+    )
+    SELECT id, CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(dist) AS BIGINT) AS sum_dist,
+           round(CAST(sum(CAST(round(1000000.0 / dist) AS BIGINT)) AS BIGINT)
+                 / 1000000.0, 6) AS harmonic
+    FROM d WHERE dist > 0 GROUP BY id
+    """,
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled harmonic centrality over the undirected interaction graph:
+    Σ 1/d(s, v) from 4 landmark users, one multi-source BFS (see
+    operators/graph.py:harmonic_centrality) vs the oracle's recursive CTE
+    seeded with all 4 landmarks at once. Both engines cap at 6 hops and
+    take min-distance per (source, vertex) before the fixed-point 1/d
+    fold."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return harmonic_centrality(edges, ["1", "2", "3", "4"], max_hops=6)
