@@ -289,3 +289,34 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = drain_to_dataframe(agg)
     return out.select("c_mktsegment", "event_type", "n_events", "total_value")
+
+
+def _hll_oracle() -> str:
+    from hierarchical_graph_db_spark.queries.sketchq import _sql_hll
+
+    return _sql_hll(1024)
+
+
+@query("streaming_hll_distinct", _hll_oracle())
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous distinct-count: the portable HLL register table
+    (operators/sketches.py) maintained AS STREAMING STATE — ``groupBy(
+    event_type, reg).max(rho)`` is an ordinary streaming aggregation, so
+    the engine's state store carries at most groups × m register rows no
+    matter how long the stream runs (contrast ``dropDuplicates``, whose
+    state grows with the number of distinct keys). The drained registers
+    fold to estimates batch-side (chained streaming aggregations aren't a
+    thing; the fold input is ≤ groups × m rows). Register max is
+    associative and commutative, so incremental micro-batch merging gives
+    BIT-IDENTICAL registers to the batch sketch — the oracle is the same
+    register replay as ``sketch_hll_distinct``, and the multi-batch
+    incremental path is pinned in tests/test_streaming.py."""
+    from hierarchical_graph_db_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    stream = fixture_event_stream(spark, sf_dir)
+    regs = drain_to_dataframe(
+        hll_registers(stream, "user_id", ["event_type"], m=1024))
+    return hll_estimate(regs, ["event_type"], m=1024)

@@ -11,6 +11,7 @@ from hierarchical_graph_db_spark.operators.sessionize import tumbling_rollup
 from hierarchical_graph_db_spark.schemas import FIXTURES
 from hierarchical_graph_db_spark.streaming.ingest import (
     DedupParquetSink,
+    drain_to_dataframe,
     read_dedup_store,
     run_available_now,
     stream_events,
@@ -678,3 +679,51 @@ def test_store_vacuum_reaps_expired_orphans(spark, tmp_path, monkeypatch):
     # committed contents untouched
     assert {(r["bucket_id"], r["val"]) for r in fresh.read().collect()} == \
         {(0, "a"), (1, "b")}
+
+
+def test_streaming_hll_registers_incremental_equals_batch(spark, tmp_path):
+    """Three micro-batches of disjoint-ish users must leave the streaming
+    state store with registers BIT-IDENTICAL to the batch sketch over the
+    union (register max is associative) — the bounded-state continuous
+    distinct-count contract behind streaming_hll_distinct."""
+    import os
+
+    from hierarchical_graph_db_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    mk = lambda i, u, t: Row(
+        event_id=i, ts=dt.datetime(2024, 1, 1, 9, i % 60), user_id=u,
+        event_type=t, value=1.0, props="{}")
+    rows = [mk(i, (i * 7) % 40, "click" if i % 3 else "view")
+            for i in range(120)]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    now = 1_700_000_000
+    for b in range(3):
+        d = str(landing / f"b{b}")
+        spark.createDataFrame(rows[b * 40:(b + 1) * 40], FIXTURES["events"]) \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        for root, _, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + b * 100, now + b * 100))
+
+    stream = (
+        spark.readStream.schema(FIXTURES["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(landing) + "/*")
+    )
+    streamed = drain_to_dataframe(
+        hll_registers(stream, "user_id", ["event_type"], m=256))
+    batch = spark.createDataFrame(rows, FIXTURES["events"])
+    expected = hll_registers(batch, "user_id", ["event_type"], m=256)
+    got = {(r["event_type"], r["reg"]): r["m_j"] for r in streamed.collect()}
+    want = {(r["event_type"], r["reg"]): r["m_j"] for r in expected.collect()}
+    assert got == want
+    # and the folded estimates agree bit-for-bit too
+    est_s = {r["event_type"]: r["est_users"]
+             for r in hll_estimate(streamed, ["event_type"], m=256).collect()}
+    est_b = {r["event_type"]: r["est_users"]
+             for r in hll_estimate(expected, ["event_type"], m=256).collect()}
+    assert est_s == est_b
