@@ -392,3 +392,46 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the shingle; span windows are document-local."""
     return duplicate_spans(Catalog(spark, sf_dir).documents,
                            n=SPAN_NGRAM, min_occ=SPAN_MIN_OCC)
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    """
+    WITH d AS (
+        SELECT doc_id AS id,
+               substring(trim(lower(text)), 1, 16) AS k,
+               list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
+                   AS toks
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    r AS (
+        SELECT id, toks,
+               CAST(row_number() OVER (ORDER BY k, id) AS BIGINT) AS rnk
+        FROM d
+    )
+    SELECT least(a.id, b.id) AS doc1, greatest(a.id, b.id) AS doc2,
+           CAST(b.rnk - a.rnk AS BIGINT) AS dist,
+           round(len(list_intersect(a.toks, b.toks))
+                 / CAST(len(list_distinct(list_concat(a.toks, b.toks)))
+                        AS DOUBLE), 6) AS jaccard
+    FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995) — the
+    classic alternative to LSH candidate generation: sort by a 16-char
+    normalized-text key, score each record against its 3 successors with
+    token-set Jaccard. The operator computes the global sort rank WITHOUT
+    a corpus-wide single-partition window (per-prefix row_number + tiny
+    broadcast cumulative offsets — see
+    operators/dedup_fuzzy.py:sorted_neighborhood_pairs); the oracle uses
+    DuckDB's plain global row_number, proving the two-level rank equals
+    the total order. Neighbor pairs equi-join on rank+j, co-partitioned;
+    Jaccard is row-local set arithmetic."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        Catalog(spark, sf_dir).documents, window=4, key_len=16,
+        prefix_len=2)

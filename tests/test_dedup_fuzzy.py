@@ -200,3 +200,48 @@ def test_duplicate_spans_adjacency_boundary(spark):
     got = {r["doc_id"]: r for r in duplicate_spans(docs, n=6).collect()}
     assert got[0]["n_dup_spans"] == 1 and got[0]["dup_tokens"] == 12
     assert got[1]["n_dup_spans"] == 2 and got[1]["dup_tokens"] == 12
+
+
+def test_sorted_neighborhood_rank_matches_global_order(spark):
+    """The two-level rank (per-prefix row_number + broadcast offsets) must
+    produce exactly the pairs a single global sort would — including across
+    prefix boundaries and under prefix skew (one hot prefix, singletons)."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    texts = (
+        [(i, f"aa common text number {i:03d}") for i in range(20)]  # hot pfx
+        + [(100, "zz outlier one"), (101, "mm outlier two"),
+           (102, ""), (103, "   ")]                 # blanks must drop
+    )
+    docs = spark.createDataFrame(texts, "doc_id: bigint, text: string")
+    got = {
+        (r["doc1"], r["doc2"], r["dist"])
+        for r in sorted_neighborhood_pairs(docs, window=3).collect()
+    }
+    # replicate with a plain global sort in python
+    keep = sorted(
+        ((t.strip().lower()[:16], i) for i, t in texts
+         if t.strip()),
+    )
+    want = set()
+    for a in range(len(keep)):
+        for j in (1, 2):
+            if a + j < len(keep):
+                x, y = keep[a][1], keep[a + j][1]
+                want.add((min(x, y), max(x, y), j))
+    assert got == want
+
+
+def test_sorted_neighborhood_jaccard_is_token_set_jaccard(spark):
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x"), (3, "q r s t")],
+        "doc_id: bigint, text: string")
+    rows = {(r["doc1"], r["doc2"]): r["jaccard"]
+            for r in sorted_neighborhood_pairs(docs, window=2).collect()}
+    assert rows[(1, 2)] == 0.6  # |{a,b,c}| / |{a,b,c,d,x}|
