@@ -727,3 +727,36 @@ def test_streaming_hll_registers_incremental_equals_batch(spark, tmp_path):
     est_b = {r["event_type"]: r["est_users"]
              for r in hll_estimate(expected, ["event_type"], m=256).collect()}
     assert est_s == est_b
+
+
+def test_store_time_travel_reads_archived_snapshots(spark, tmp_path):
+    """read(as_of=batch_id) resolves the archived manifest of that commit:
+    each committed batch stays a readable snapshot (Delta-style time
+    travel) until vacuumed, and an uncommitted id raises."""
+    import pytest
+
+    from hierarchical_graph_db_spark.streaming.store import (
+        BucketedParquetStore,
+    )
+
+    store = BucketedParquetStore(spark, str(tmp_path / "st"), "b")
+    df1 = spark.createDataFrame([(0, "k1", "v1"), (1, "k2", "v1")],
+                                "b: int, k: string, payload: string")
+    store.commit(0, df1)
+    df2 = spark.createDataFrame([(0, "k1", "v2")],
+                                "b: int, k: string, payload: string")
+    store.commit(1, df2)
+
+    live = {(r["k"], r["payload"]) for r in store.read().collect()}
+    assert live == {("k1", "v2"), ("k2", "v1")}
+    old = {(r["k"], r["payload"]) for r in store.read(as_of=0).collect()}
+    assert old == {("k1", "v1"), ("k2", "v1")}
+    assert {(r["k"], r["payload"])
+            for r in store.read(as_of=1).collect()} == live
+    with pytest.raises(ValueError):
+        store.read(as_of=7)
+    # vacuum keeping only the latest snapshot retires batch 0's dirs;
+    # the live read is untouched
+    store.vacuum(keep_last=1)
+    assert {(r["k"], r["payload"])
+            for r in store.read().collect()} == live
