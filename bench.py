@@ -128,6 +128,15 @@ HEADLINE = [
     # per-shard (the latter exercises the broadcast-join assignment path).
     "semantic_dedup_keepers",
     "semantic_dedup_sharded",
+    # round-6 representatives: Bloom-pruned fact-fact join (bitmap build +
+    # pre-shuffle probe filter), hybrid BM25+cosine RRF retrieval, the
+    # one-aggregation constraint suite, and the two-level sort-rank
+    # sorted-neighborhood dedup (a regression to a global single-partition
+    # window shows up as wall-time here).
+    "bloom_prune_join",
+    "hybrid_retrieval_rrf",
+    "quality_constraint_suite",
+    "dedup_sorted_neighborhood",
 ]
 
 

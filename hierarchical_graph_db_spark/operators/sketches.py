@@ -179,3 +179,36 @@ def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
     """
     return hll_estimate(hll_registers(df, key_col, group_cols, m),
                         group_cols, m)
+
+
+def sample_quantiles(df: DataFrame, value_col: str, group_cols: list[str],
+                     key_col: str, rate: float = 0.25,
+                     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                     salt: str = "squant") -> DataFrame:
+    """Quantile estimation over a DETERMINISTIC hash sample — the
+    bounded-state alternative to an exact per-group sort (sample-based
+    quantile estimation is classic; rank error concentrates as
+    O(1/sqrt(rate·n)) by DKW). Keep iff ``uniform16(key) < floor(rate·
+    65536)`` — the repo's bit-exact salted-u16 reproducibility contract
+    (same corpus + salt ⇒ same sample on any engine, any partitioning), so
+    unlike ``percentile_approx`` (engine-private t-digest, rows-only
+    checkable) the whole estimate hash-replays in SQL.
+
+    Scale shape: the sample predicate evaluates inside the scan (the
+    filter is a pure projection of the key — no shuffle, no state), the
+    exact interpolated percentile then sorts rate·|group| rows per group
+    instead of |group|. Samples are trivially mergeable (union), so
+    per-shard samples roll up like the HLL register tables. Accuracy vs
+    the full-data exact quantiles is bounded in tests/test_sketches.py.
+    """
+    from hierarchical_graph_db_spark.operators.training import uniform16
+
+    thresh = int(rate * 65536)
+    sample = df.where(uniform16(F.col(key_col), salt) < F.lit(thresh))
+    aggs = [F.count(F.lit(1)).alias("n_sample")]
+    for q in qs:
+        pct = int(round(q * 100))
+        aggs.append(
+            F.round(F.expr(f"percentile({value_col}, CAST({q} AS DOUBLE))"),
+                    4).alias(f"p{pct}"))
+    return sample.groupBy(*group_cols).agg(*aggs)

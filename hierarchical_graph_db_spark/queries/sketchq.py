@@ -239,3 +239,46 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = hll_registers(ev, "user_id", ["day", "event_type"], m=1024)
     merged = hll_merge(daily, ["event_type"])
     return hll_estimate(merged, ["event_type"], m=1024)
+
+
+def _sql_sample_quantiles() -> str:
+    from hierarchical_graph_db_spark.queries.trainingq import _sql_u16
+
+    return f"""
+    WITH h AS (
+        SELECT event_type, value,
+               sha256('squant|' || CAST(event_id AS VARCHAR)) AS hx
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, value FROM h
+        WHERE {_sql_u16("hx")} < {int(0.25 * 65536)}
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM s GROUP BY event_type
+    """
+
+
+@query("sketch_sample_quantiles", _sql_sample_quantiles())
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value quantiles off a deterministic 25% hash sample
+    (operators/sketches.py:sample_quantiles): the sample predicate is a
+    pure projection of event_id (evaluates inside the scan — no shuffle,
+    no sketch state), the per-group sort shrinks by the rate, and because
+    the sample is the salted-u16 contract rather than rand(), the DuckDB
+    oracle replays the membership decision nibble-for-nibble and the
+    estimate is hash-checked — the sample-based counterpart to
+    ``agg_exact_percentiles`` the way ``sketch_hll_distinct`` pairs with
+    ``agg_hll_distinct``. Rank-error vs the full-data quantiles is bounded
+    in tests/test_sketches.py."""
+    from hierarchical_graph_db_spark.operators.sketches import (
+        sample_quantiles,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    return sample_quantiles(ev, "value", ["event_type"], key_col="event_id",
+                            rate=0.25)

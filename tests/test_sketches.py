@@ -148,3 +148,31 @@ def test_hll_partials_merge_losslessly(spark, sf_dir):
               for r in load()["sketch_hll_mergeable_rollup"]
               .run(spark, sf_dir).collect()}
     assert merged == direct
+
+
+def test_sample_quantiles_rank_error_bounded(spark, sf_dir):
+    """25% hash-sample quantiles must land within a small rank error of the
+    full-data exact quantiles (DKW-style concentration at n≈500/group)."""
+    from hierarchical_graph_db_spark.io import Catalog
+    from hierarchical_graph_db_spark.operators.sketches import (
+        sample_quantiles,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    est = {r["event_type"]: r for r in sample_quantiles(
+        ev, "value", ["event_type"], key_col="event_id", rate=0.25
+    ).collect()}
+    exact = {r["event_type"]: r for r in ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()}
+    for t, e in exact.items():
+        # convert value error to rank error via the empirical CDF
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            v_est = est[t][col]
+            rank = (ev.where(F.col("event_type") == t)
+                    .where(F.col("value") <= v_est).count()) / e["n"]
+            assert abs(rank - q) < 0.08, (t, col, rank)
+        # sample size is governed by the rate
+        assert 0.1 * e["n"] < est[t]["n_sample"] < 0.45 * e["n"]
