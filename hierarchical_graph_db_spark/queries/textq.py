@@ -394,3 +394,76 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(win).cast("long"))
         .where(F.col("rnk") <= 25)
     )
+
+
+@query(
+    "quality_perplexity_buckets",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lower(unnest({_SQL_TOKENS})) AS token
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT count(*) AS n FROM tok),
+    scored AS (
+        SELECT t.doc_id,
+               round(avg(ln(CAST(v.c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 5)
+                   AS avg_logprob
+        FROM tok t JOIN vocab v ON t.token = v.token CROSS JOIN tot
+        GROUP BY t.doc_id
+    ),
+    cuts AS (
+        SELECT round(quantile_cont(avg_logprob, 1.0/3), 6) AS t_low,
+               round(quantile_cont(avg_logprob, 2.0/3), 6) AS t_high
+        FROM scored
+    )
+    SELECT doc_id, avg_logprob,
+           CASE WHEN avg_logprob >= t_high THEN 'head'
+                WHEN avg_logprob >= t_low  THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           avg_logprob >= t_low AS keep
+    FROM scored CROSS JOIN cuts
+    """,
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019, public
+    method): score every document under the corpus-fit unigram LM (the
+    ``doc_unigram_logprob`` scorer), split the corpus into head / middle /
+    tail at the score tertiles, keep head+middle — the standard LM-driven
+    quality filter for web-scale pretraining data. The tertile cuts are a
+    1-row aggregate broadcast back over the score table (never the raw
+    corpus); scores are 5-dp and the cuts 6-dp, so boundary comparisons
+    agree cross-engine. At 100 TB the exact tertiles over the per-doc
+    score table would swap for ``sample_quantiles`` on the same salted
+    contract — one bounded-state pass, same report schema."""
+    docs = Catalog(spark, sf_dir).documents \
+        .where(F.length(F.trim("text")) > 0)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("_raw")
+    ).select("doc_id", F.lower("_raw").alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tok.join(vocab, "token")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(
+            F.avg(F.log(F.col("c").cast("double") / F.col("n").cast("double"))),
+            5).alias("avg_logprob"))
+    )
+    cuts = scored.agg(
+        F.round(F.expr("percentile(avg_logprob, CAST(1.0/3 AS DOUBLE))"), 6)
+        .alias("t_low"),
+        F.round(F.expr("percentile(avg_logprob, CAST(2.0/3 AS DOUBLE))"), 6)
+        .alias("t_high"),
+    )
+    return (
+        scored.join(F.broadcast(cuts))
+        .select(
+            "doc_id", "avg_logprob",
+            F.when(F.col("avg_logprob") >= F.col("t_high"), "head")
+            .when(F.col("avg_logprob") >= F.col("t_low"), "middle")
+            .otherwise("tail").alias("bucket"),
+            (F.col("avg_logprob") >= F.col("t_low")).alias("keep"),
+        )
+    )
