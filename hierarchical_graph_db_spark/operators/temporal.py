@@ -208,3 +208,36 @@ def scd2_history(events: DataFrame, key_col: str = "user_id",
         .select(key_col, "version", attr_col, "valid_from", "valid_to",
                 "is_current", "n_events")
     )
+
+
+def point_in_time_join(probe: DataFrame, history: DataFrame, key_col: str,
+                       ts_col: str = "ts", valid_from: str = "valid_from",
+                       valid_to: str = "valid_to") -> DataFrame:
+    """Point-in-time (as-of) join of a probe table against an SCD2 history:
+    each probe row picks up the attribute version valid at its timestamp —
+    the feature-store correctness pattern (no look-ahead leakage when
+    assembling training sets). Versions are half-open
+    [valid_from, valid_to) with a NULL-ended current row, and per key they
+    tile the timeline without overlap, so each probe row matches at most
+    one version — no dedup pass needed after the join.
+
+    Scale shape: an equi-join on the key with the range predicate as the
+    join residual — both sides shuffle ONCE on the key hash and the range
+    check runs inside the co-partitioned match (never a cartesian or a
+    range-join explosion; history rows per key = version count, small by
+    construction). Contrast the generic as-of join (operators/asof.py),
+    which handles the no-history-table case; here the SCD2 build has
+    already collapsed the timeline, so the probe join is cheaper than
+    re-deriving last-value-before per probe row."""
+    h = history.select(
+        F.col(key_col).alias("__k"), F.col(valid_from).alias("__vf"),
+        F.col(valid_to).alias("__vt"),
+        *[c for c in history.columns
+          if c not in (key_col, valid_from, valid_to)],
+    )
+    cond = (
+        (probe[key_col] == h["__k"])
+        & (h["__vf"] <= probe[ts_col])
+        & (h["__vt"].isNull() | (probe[ts_col] < h["__vt"]))
+    )
+    return probe.join(h, cond, "left").drop("__k", "__vf", "__vt")

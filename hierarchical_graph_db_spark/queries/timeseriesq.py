@@ -464,3 +464,78 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     return scd2_history(ev, key_col="user_id", attr_col="event_type",
                         ts_col="ts", tiebreak_col="event_id")
+
+
+#: The SCD2 history build as a reusable oracle CTE chain ending in
+#: hist(user_id, version, event_type, valid_from, valid_to, is_current,
+#: n_events) — shared by the scd2_user_type_history oracle above (kept
+#: verbatim there for readability) and the point-in-time join below.
+_SQL_SCD2_HIST = """
+    o AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, event_type, ts,
+               sum(CASE WHEN prev IS NULL OR prev <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+        FROM o
+    ),
+    g AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version,
+               min(event_type) AS event_type, min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM r GROUP BY user_id, version
+    ),
+    hist AS (
+        SELECT user_id, version, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to
+        FROM g
+    )
+"""
+
+
+@query(
+    "scd2_point_in_time_join",
+    f"""
+    WITH {_SQL_SCD2_HIST}
+    SELECT p.event_id, p.user_id, p.ts,
+           h.event_type AS attr_at_ts,
+           h.version
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN hist h ON h.user_id = p.user_id
+               AND h.valid_from <= p.ts
+               AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time correctness: every purchase event picks
+    up the event_type run that was valid AT ITS TIMESTAMP from the SCD2
+    history — the no-look-ahead join a training-set assembler needs
+    (operators/temporal.py:point_in_time_join). SCD2 versions tile each
+    user's timeline half-open without overlap, so the equi-join on user_id
+    with the range residual matches at most one version per probe row:
+    both sides shuffle once on the key, no dedup pass, no range-join
+    explosion."""
+    from hierarchical_graph_db_spark.operators.temporal import (
+        point_in_time_join,
+        scd2_history,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    hist = scd2_history(ev, key_col="user_id", attr_col="event_type",
+                        ts_col="ts", tiebreak_col="event_id") \
+        .select("user_id", "version", "event_type", "valid_from", "valid_to")
+    probe = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    joined = point_in_time_join(probe, hist, key_col="user_id")
+    return joined.select(
+        "event_id", probe["user_id"].alias("user_id"), "ts",
+        F.col("event_type").alias("attr_at_ts"), "version",
+    )

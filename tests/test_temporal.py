@@ -159,3 +159,31 @@ def test_scd2_tiebreak_makes_equal_ts_deterministic(spark):
     # event_id breaks the ts tie: "a" (id 1) precedes "b" (id 2)
     assert [r["event_type"] for r in rows] == ["a", "b"]
     assert rows[0]["valid_to"] == ts and rows[1]["is_current"]
+
+
+def test_point_in_time_join_boundaries_and_unmatched(spark):
+    """Half-open [valid_from, valid_to): a probe AT valid_from matches the
+    new version, a probe AT valid_to matches the NEXT version, a probe
+    before all history or for an unknown key null-fills (left join)."""
+    import datetime as dt
+
+    from hierarchical_graph_db_spark.operators.temporal import (
+        point_in_time_join,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    hist = spark.createDataFrame(
+        [(1, 1, "a", t(10), t(20)), (1, 2, "b", t(20), None)],
+        "user_id: bigint, version: bigint, attr: string, "
+        "valid_from: timestamp, valid_to: timestamp")
+    probe = spark.createDataFrame(
+        [(100, 1, t(10)), (101, 1, t(20)), (102, 1, t(5)),
+         (103, 9, t(15)), (104, 1, t(99))],
+        "event_id: bigint, user_id: bigint, ts: timestamp")
+    rows = {r["event_id"]: (r["attr"], r["version"])
+            for r in point_in_time_join(probe, hist, "user_id").collect()}
+    assert rows[100] == ("a", 1)      # at valid_from → new version
+    assert rows[101] == ("b", 2)      # at valid_to → next version
+    assert rows[102] == (None, None)  # before history
+    assert rows[103] == (None, None)  # unknown key
+    assert rows[104] == ("b", 2)      # open-ended current row
