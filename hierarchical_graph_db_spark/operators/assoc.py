@@ -77,3 +77,61 @@ def pair_association_rules(events: DataFrame,
             .alias("lift"),
         )
     )
+
+
+def item_item_cosine_topk(baskets: DataFrame, basket_col: str,
+                          item_col: str, k: int = 3,
+                          min_pair_count: int = 1,
+                          max_basket_items: int | None = None) -> DataFrame:
+    """Item-item collaborative-filtering similarity (Sarwar et al. 2001,
+    public method): over binary basket membership, items i and j score
+    ``cos(i, j) = c_ij / sqrt(c_i · c_j)`` where ``c_ij`` counts baskets
+    containing both — then each item keeps its top-``k`` neighbors. The
+    classic "customers who bought X also bought Y" table.
+
+    Scale shape: pair counting is the A-priori self-join CO-PARTITIONED on
+    the basket key (quadratic only in per-basket distinct items —
+    ``max_basket_items`` drops pathological mega-baskets first, the
+    hot-basket guard at 100 TB, same lever as the hot-shingle cutoff);
+    item supports broadcast back over the pair table; the top-k window
+    partitions by the item (parallel, WindowGroupLimit pre-truncates
+    map-side). Cosine is a ratio of integer counts rounded 6dp, ranks
+    tie-break on the neighbor id — hash-stable cross-engine.
+
+    Returns (item, neighbor, pair_count, cosine, rnk), both directions of
+    each unordered pair (i's neighbor list and j's are separate rows).
+    """
+    from pyspark.sql import Window
+
+    b = baskets.select(F.col(basket_col).alias("bk"),
+                       F.col(item_col).alias("item")).distinct()
+    if max_basket_items is not None:
+        sizes = b.groupBy("bk").agg(F.count(F.lit(1)).alias("n"))
+        b = b.join(F.broadcast(sizes.where(F.col("n") > max_basket_items)
+                               .select("bk")), "bk", "left_anti")
+    supports = b.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(c, (F.col("a.bk") == F.col("c.bk"))
+               & (F.col("a.item") < F.col("c.item")))
+        .groupBy(F.col("a.item").alias("i"), F.col("c.item").alias("j"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_count)
+    )
+    both = pairs.select("i", "j", "pair_count").union(
+        pairs.select(F.col("j").alias("i"), F.col("i").alias("j"),
+                     "pair_count"))
+    si = supports.select(F.col("item").alias("i"), F.col("c").alias("ci"))
+    sj = supports.select(F.col("item").alias("j"), F.col("c").alias("cj"))
+    cos = F.round(
+        F.col("pair_count")
+        / F.sqrt(F.col("ci").cast("double") * F.col("cj").cast("double")), 6)
+    return (
+        both.join(F.broadcast(si), "i").join(F.broadcast(sj), "j")
+        .select(F.col("i").alias("item"), F.col("j").alias("neighbor"),
+                "pair_count", cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("item").orderBy(
+                F.col("cosine").desc(), F.col("neighbor"))).cast("long"))
+        .where(F.col("rnk") <= k)
+    )

@@ -404,3 +404,56 @@ def quality_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ri = C.referential_integrity(
         ev, "user_id", cat.customer, "c_custkey", 1.0)
     return report.unionByName(ri)
+
+
+@query(
+    "item_item_cosine",
+    """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem
+    ),
+    s AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY item),
+    p AS (
+        SELECT a.item AS i, c.item AS j, CAST(count(*) AS BIGINT)
+                   AS pair_count
+        FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+        GROUP BY a.item, c.item
+        HAVING count(*) >= 2
+    ),
+    bidir AS (
+        SELECT i, j, pair_count FROM p
+        UNION ALL
+        SELECT j, i, pair_count FROM p
+    )
+    SELECT item, neighbor, pair_count, cosine, rnk FROM (
+        SELECT bidir.i AS item, bidir.j AS neighbor, pair_count,
+               round(pair_count / sqrt(si.c * CAST(sj.c AS DOUBLE)), 6)
+                   AS cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY bidir.i
+                   ORDER BY round(pair_count
+                                  / sqrt(si.c * CAST(sj.c AS DOUBLE)), 6)
+                            DESC, bidir.j) AS BIGINT) AS rnk
+        FROM bidir
+        JOIN s si ON si.item = bidir.i
+        JOIN s sj ON sj.item = bidir.j
+    ) WHERE rnk <= 3
+    """,
+)
+def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets (Sarwar et al.
+    2001): parts co-purchased in the same order score
+    c_ij / sqrt(c_i·c_j); each part keeps its top-3 neighbors with
+    pair_count >= 2 support — the "bought X, also bought Y" table. Pair
+    counting self-joins CO-PARTITIONED on the order key (quadratic only in
+    per-order distinct parts; the mega-basket guard is the scale lever),
+    supports broadcast back, and the per-item top-k window pre-truncates
+    map-side via WindowGroupLimit. See operators/assoc.py."""
+    from hierarchical_graph_db_spark.operators.assoc import (
+        item_item_cosine_topk,
+    )
+
+    li = Catalog(spark, sf_dir).lineitem
+    return item_item_cosine_topk(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey",
+        k=3, min_pair_count=2)

@@ -36,3 +36,28 @@ def test_pair_rules_support_confidence_lift(spark):
     assert bc["lift"] == round(2 * 4 / (3 * 2), 6)
     cb = got[("C", "B")]
     assert cb["confidence"] == 1.0  # C always co-occurs with B
+
+
+def test_item_item_cosine_math_and_mega_basket_guard(spark):
+    from hierarchical_graph_db_spark.operators.assoc import (
+        item_item_cosine_topk,
+    )
+
+    # baskets: {1:AB, 2:AB, 3:AC}; c_A=3 c_B=2 c_C=1; c_AB=2, c_AC=1
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "C")]
+    b = spark.createDataFrame(rows, "bk: bigint, item: string")
+    out = {(r["item"], r["neighbor"]): (r["pair_count"], r["cosine"])
+           for r in item_item_cosine_topk(b, "bk", "item", k=3).collect()}
+    import math
+    assert out[("A", "B")] == (2, round(2 / math.sqrt(3 * 2), 6))
+    assert out[("B", "A")] == (2, round(2 / math.sqrt(2 * 3), 6))
+    assert out[("A", "C")] == (1, round(1 / math.sqrt(3 * 1), 6))
+    # a mega-basket above the cap contributes nothing
+    mega = [(9, x) for x in "ABCDEFGH"]
+    b2 = spark.createDataFrame(rows + mega, "bk: bigint, item: string")
+    capped = item_item_cosine_topk(b2, "bk", "item", k=3,
+                                   max_basket_items=4)
+    got = {(r["item"], r["neighbor"]): r["pair_count"]
+           for r in capped.collect()}
+    assert got[("A", "B")] == 2          # unchanged by the dropped basket
+    assert ("D", "E") not in got         # mega-basket pairs never counted
