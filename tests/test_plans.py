@@ -165,3 +165,58 @@ def test_bpe_encode_hash_join_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bpe_encode_token_counts")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_filter_sits_below_the_join(spark, sf_dir):
+    """The Bloom membership test must run inside the lineitem scan stage
+    (a Filter over sha2 projections BELOW the join), so the join's
+    exchange only moves surviving rows; and pruning must stay expression-
+    only — no extra join for the bitmap."""
+    plan = _plan(spark, sf_dir, "bloom_prune_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "sha2" in plan
+    # exactly the one orders⋈lineitem join: the bitmap rides as a literal
+    assert plan.count("HashJoin") + plan.count("SortMergeJoin (") <= 2
+
+
+def test_hybrid_rrf_no_corpus_cartesian(spark, sf_dir):
+    """Both retrieval legs are linear: BM25 joins postings on the term,
+    the semantic leg folds a LITERAL query vector per row — the only
+    permissible cross-joins are 1-row broadcast scalars."""
+    plan = _plan(spark, sf_dir, "hybrid_retrieval_rrf")
+    assert "CartesianProduct" not in plan
+
+
+def test_point_in_time_join_is_single_keyed_join(spark, sf_dir):
+    """The SCD2 probe join must be an equi-join on user_id with the range
+    predicate as residual — a nested-loop range join here would explode at
+    scale."""
+    plan = _plan(spark, sf_dir, "scd2_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_item_item_topk_pretruncates_map_side(spark, sf_dir):
+    """The per-item top-k must carry a WindowGroupLimit (map-side
+    pre-truncation) and the support lookups must broadcast."""
+    plan = _plan(spark, sf_dir, "item_item_cosine")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_corpus_window_is_prefix_partitioned(
+        spark, sf_dir):
+    """The corpus-side window must partition by the key prefix — a global
+    (empty-partition-spec) window over document rows would funnel the
+    corpus into one task. The only unpartitioned window allowed is over
+    the aggregated prefix-count table."""
+    plan = _plan(spark, sf_dir, "dedup_sorted_neighborhood")
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    corpus_specs = [s for s in specs if "pfx" in s or " k" in s]
+    assert corpus_specs, f"no corpus window found: {specs}"
+    for s in corpus_specs:
+        assert "pfx" in s, f"corpus window not prefix-partitioned: {s}"
