@@ -466,16 +466,17 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ts_col="ts", tiebreak_col="event_id")
 
 
-#: The SCD2 history build as a reusable oracle CTE chain ending in
-#: hist(user_id, version, event_type, valid_from, valid_to, is_current,
-#: n_events) — shared by the scd2_user_type_history oracle above (kept
-#: verbatim there for readability) and the point-in-time join below.
+#: SCD2 history of each user's NON-purchase activity as an oracle CTE
+#: chain ending in hist(user_id, version, event_type, valid_from,
+#: valid_to, n_events) — the browsing-state dimension the point-in-time
+#: join consumes (excluding purchases keeps the probe out of its own
+#: history, so the joined attribute is informative, not self-matching).
 _SQL_SCD2_HIST = """
     o AS (
         SELECT user_id, event_type, ts, event_id,
                lag(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev
-        FROM events
+        FROM events WHERE event_type <> 'purchase'
     ),
     r AS (
         SELECT user_id, event_type, ts,
@@ -509,27 +510,31 @@ _SQL_SCD2_HIST = """
            h.version
     FROM (SELECT event_id, user_id, ts FROM events
           WHERE event_type = 'purchase') p
-    JOIN hist h ON h.user_id = p.user_id
-               AND h.valid_from <= p.ts
-               AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    LEFT JOIN hist h ON h.user_id = p.user_id
+                    AND h.valid_from <= p.ts
+                    AND (h.valid_to IS NULL OR p.ts < h.valid_to)
     """,
 )
 def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-store point-in-time correctness: every purchase event picks
-    up the event_type run that was valid AT ITS TIMESTAMP from the SCD2
-    history — the no-look-ahead join a training-set assembler needs
-    (operators/temporal.py:point_in_time_join). SCD2 versions tile each
-    user's timeline half-open without overlap, so the equi-join on user_id
-    with the range residual matches at most one version per probe row:
-    both sides shuffle once on the key, no dedup pass, no range-join
-    explosion."""
+    """Feature-store point-in-time correctness: every purchase picks up
+    the user's NON-purchase activity run (their browsing state) that was
+    valid AT PURCHASE TIME from the SCD2 history — the no-look-ahead join
+    a training-set assembler needs
+    (operators/temporal.py:point_in_time_join). Excluding purchases from
+    the history keeps the probe out of its own dimension, so the joined
+    attribute carries signal; purchases before any activity left-join to
+    nulls. SCD2 versions tile each user's timeline half-open without
+    overlap, so the equi-join on user_id with the range residual matches
+    at most one version per probe row: both sides shuffle once on the
+    key, no dedup pass, no range-join explosion."""
     from hierarchical_graph_db_spark.operators.temporal import (
         point_in_time_join,
         scd2_history,
     )
 
     ev = Catalog(spark, sf_dir).events
-    hist = scd2_history(ev, key_col="user_id", attr_col="event_type",
+    hist = scd2_history(ev.where(F.col("event_type") != "purchase"),
+                        key_col="user_id", attr_col="event_type",
                         ts_col="ts", tiebreak_col="event_id") \
         .select("user_id", "version", "event_type", "valid_from", "valid_to")
     probe = ev.where(F.col("event_type") == "purchase") \
