@@ -320,3 +320,61 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = drain_to_dataframe(
         hll_registers(stream, "user_id", ["event_type"], m=1024))
     return hll_estimate(regs, ["event_type"], m=1024)
+
+
+def _cms_stream_oracle() -> str:
+    from hierarchical_graph_db_spark.queries.sketchq import _sql_cms_col
+
+    return f"""
+    WITH it AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+    rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cells AS (
+        SELECT r, {_sql_cms_col('r', 'item', 64)} AS col, count(*) AS c
+        FROM it CROSS JOIN rs GROUP BY 1, 2
+    ),
+    truth AS (SELECT item, CAST(count(*) AS BIGINT) AS true_n
+              FROM it GROUP BY item),
+    pc AS (
+        SELECT t.item, rs.r, {_sql_cms_col('rs.r', 't.item', 64)} AS col
+        FROM truth t CROSS JOIN rs
+    ),
+    est AS (
+        SELECT pc.item, min(cells.c) AS est_n
+        FROM pc JOIN cells ON cells.r = pc.r AND cells.col = pc.col
+        GROUP BY pc.item
+    )
+    SELECT truth.item AS user_id, true_n, CAST(est_n AS BIGINT) AS est_n
+    FROM truth JOIN est ON truth.item = est.item
+    """
+
+
+@query("streaming_cms_user_counts", _cms_stream_oracle())
+def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous frequency estimation: the portable count-min grid
+    (operators/sketches.py) maintained AS STREAMING STATE — the cell
+    explode + ``groupBy(r, col).count`` is an ordinary streaming
+    aggregation holding at most depth × width rows no matter how long the
+    stream runs (the heavy-hitters companion to
+    ``streaming_hll_distinct``; cell counts sum associatively across
+    micro-batches, so the drained grid is bit-identical to the batch
+    sketch). Estimates fold batch-side: every user probed against the
+    drained grid beside their exact count — the full grid replay is the
+    oracle, ``est_n >= true_n`` by construction."""
+    from hierarchical_graph_db_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+
+    stream = fixture_event_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("item"))
+    sketch = drain_to_dataframe(cms_build(stream, "item", width=64, depth=4))
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    truth = ev.select(F.col("user_id").cast("string").alias("item")) \
+        .groupBy("item").agg(F.count(F.lit(1)).alias("true_n"))
+    est = cms_estimate(sketch, truth.select("item"), "item",
+                       width=64, depth=4)
+    return (
+        truth.join(est, "item")
+        .select(F.col("item").alias("user_id"), "true_n",
+                F.col("est_n").cast("long").alias("est_n"))
+    )
