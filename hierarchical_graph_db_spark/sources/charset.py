@@ -203,6 +203,39 @@ def _shift_jis_plausible(data: bytes) -> bool:
     return cjk >= max(1, pairs // 2)
 
 
+# Windows-1252 vs latin-1 (round-6 tranche): byte-identical above 0x9F, so
+# the ONLY separating signal is the C1 range 0x80-0x9F — typographic
+# punctuation (smart quotes, dashes, ellipsis, euro) in cp1252, control
+# characters in latin-1. chardet's verdict for western text containing any
+# of these is Windows-1252; text without them is genuinely ambiguous and
+# stays on the latin-1 fallback (same terminal behavior either way for
+# bytes >= 0xA0). The five unmapped cp1252 bytes (0x81 8D 8F 90 9D) and
+# any non-typographic C1 use disqualify.
+_CP1252_TYPOGRAPHIC = frozenset(
+    range(0x80, 0xA0)) - {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+
+
+def _cp1252_probable(data: bytes) -> bool:
+    c1 = [b for b in data if 0x80 <= b <= 0x9F]
+    if not c1 or any(b not in _CP1252_TYPOGRAPHIC for b in c1):
+        return False
+    # Western prose carries high bytes as isolated accents/punctuation;
+    # single-byte Cyrillic (cp1251 keeps capitals in 0x80-0x9F) carries
+    # them as whole-word RUNS. The run-length guard separates the cases
+    # even when overall 8-bit density is similar.
+    run = max_run = 0
+    for b in data:
+        run = run + 1 if b >= 0xA0 else 0
+        max_run = max(max_run, run)
+    if max_run > 3:
+        return False
+    try:
+        data.decode("cp1252")
+    except UnicodeDecodeError:
+        return False
+    return True
+
+
 def detect(data: bytes) -> str | None:
     """Best-guess codec name for ``data``, or None when nothing is
     confident (caller then walks the reference's utf-8 → latin-1 chain)."""
@@ -243,6 +276,8 @@ def detect(data: bytes) -> str | None:
     best = max(dbcs, key=dbcs.get)
     if dbcs[best] >= 0.5:
         return best
+    if _cp1252_probable(data):
+        return "windows-1252"
     if _shift_jis_plausible(data):
         return "shift_jis"
     return None

@@ -235,3 +235,29 @@ def test_smart_decode_utf16_32_family():
     # odd length can't be BOM-less UTF-16 — falls down the ladder (NUL
     # bytes are valid UTF-8 code points, so the UTF-8 probe claims it)
     assert detect(ascii_msg.encode("utf-16-le") + b"x") == "utf-8"
+
+
+def test_cp1252_smart_punctuation_detected():
+    """Round-6 charset tranche: windows-1252 is byte-identical to latin-1
+    above 0x9F, so the C1 typographic range (smart quotes, dashes,
+    ellipsis, euro) is the only separating signal — chardet's verdict for
+    western text containing any of them is Windows-1252. Text without C1
+    bytes stays on the latin-1 fallback (byte-identical decode), and
+    sparse Cyrillic must not be stolen (the high-run guard)."""
+    from hierarchical_graph_db_spark.sources.charset import detect
+    from hierarchical_graph_db_spark.sources.maildir import _smart_decode
+
+    sq = "“Quarterly results” — it’s fine… café €5"
+    raw = sq.encode("cp1252")
+    assert detect(raw) == "windows-1252"
+    assert _smart_decode(raw) == sq
+    # no C1 bytes → genuinely ambiguous → latin-1 fallback, same text
+    fr = "Bonjour, voici le résumé de l'été : café, déjà vu."
+    assert detect(fr.encode("latin-1")) is None
+    assert _smart_decode(fr.encode("latin-1")) == fr
+    # cp1251 Cyrillic capitals live in 0x80-0x9F; whole-word high runs
+    # must keep even sparse Russian off the cp1252 verdict
+    assert detect("Hi team, Привет folks".encode("windows-1251")) != \
+        "windows-1252"
+    # C1 control soup (a genuinely binary latin-1 blob) is not typographic
+    assert detect(b"log \x81\x8d\x90 dump") is None
