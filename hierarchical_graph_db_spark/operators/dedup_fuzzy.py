@@ -488,3 +488,64 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = 4,
         F.col("j").alias("dist"),
         jac.alias("jaccard"),
     )
+
+
+def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                                n: int = 3, id_col: str = "doc_id",
+                                text_col: str = "text") -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (Chaudhuri et al. 2006 /
+    PPJoin, Xiao et al. 2008 — public methods) over word-``n``-gram
+    shingle sets: order each document's shingles by ascending global
+    frequency and index only its first ``|s| - ceil(t·|s|) + 1``; any pair
+    with Jaccard ≥ t MUST share a prefix shingle (if the overlap avoided
+    A's prefix entirely it would fit in the ⌈t·|A|⌉−1 suffix slots,
+    contradicting overlap ≥ ⌈t·|A|⌉ implied by J ≥ t), so candidates come
+    from an equi-join on prefix shingles only and exact Jaccard verifies
+    row-locally on the candidates' sorted shingle arrays.
+
+    The principled alternative to :func:`ngram_jaccard_pairs`' hot-shingle
+    cutoff: instead of DROPPING frequent shingles (removing them from the
+    similarity math), frequency-ascending ordering pushes them to the
+    suffix where they are never indexed — stop-shingles stop being join
+    keys but still count toward Jaccard, so the score is the TRUE Jaccard.
+    A shingle becomes a join key only when it lands in a prefix, which for
+    hot shingles happens only in near-all-hot documents.
+
+    Scale shape: shingle df is one hash aggregate; the rank window
+    partitions per document (parallel); the candidate join keys on the
+    prefix shingle; verification is row-local array intersection. The
+    equivalence with the unfiltered all-pairs join (no false negatives) is
+    pinned in tests/test_dedup_fuzzy.py. Returns (id_a, id_b, jaccard)
+    with jaccard ≥ t at 6 dp."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col) \
+        .localCheckpoint(eager=True)   # feeds df, ranks, and both arrays
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rk = sh.join(dfq, "shingle").withColumn(
+        "rnk", F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "shingle")))
+    sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("s"))
+    pfx = (
+        rk.join(sz, "id")
+        .where(F.col("rnk")
+               <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1)
+        .select("id", "shingle")
+    )
+    a, b = pfx.alias("a"), pfx.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("sset"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sset").alias("ta"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sset").alias("tb"))
+    jac = (F.size(F.array_intersect("ta", "tb"))
+           / F.size(F.array_union("ta", "tb")))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("_j", jac)
+        .where(F.col("_j") >= threshold)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+    )

@@ -435,3 +435,72 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(
         Catalog(spark, sf_dir).documents, window=4, key_len=16,
         prefix_len=2)
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    f"""
+    WITH toks AS (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    ),
+    sh AS (
+        SELECT DISTINCT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    rk AS (
+        SELECT sh.id, sh.shingle,
+               row_number() OVER (PARTITION BY sh.id
+                                  ORDER BY dfq.df, sh.shingle) AS rnk
+        FROM sh JOIN dfq ON dfq.shingle = sh.shingle
+    ),
+    sz AS (SELECT id, count(*) AS s FROM sh GROUP BY id),
+    pfx AS (
+        SELECT rk.id, rk.shingle
+        FROM rk JOIN sz ON sz.id = rk.id
+        WHERE rnk <= s - CAST(ceil(0.5 * s) AS BIGINT) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pfx a JOIN pfx b ON a.shingle = b.shingle AND a.id < b.id
+    ),
+    arrs AS (SELECT id, list(shingle ORDER BY shingle) AS sset
+             FROM sh GROUP BY id)
+    SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+        SELECT id_a, id_b,
+               len(list_intersect(da.sset, db.sset))
+               / CAST(len(list_distinct(list_concat(da.sset, db.sset)))
+                      AS DOUBLE) AS j
+        FROM cand
+        JOIN arrs da ON da.id = id_a
+        JOIN arrs db ON db.id = id_b
+    ) WHERE j >= 0.5
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join by prefix filtering (PPJoin family —
+    Chaudhuri et al. 2006, Xiao et al. 2008) over word-trigram shingle
+    sets: each document indexes only its |s| − ⌈0.5·|s|⌉ + 1 globally
+    RAREST shingles; any pair with Jaccard ≥ 0.5 provably shares a prefix
+    shingle, so the candidate join never keys on a stop-shingle unless a
+    document is nearly all stop-shingles — the principled alternative to
+    the hot-shingle cutoff in ``dedup_ngram_jaccard`` (frequent shingles
+    still COUNT toward Jaccard, they just stop being join keys, so scores
+    are TRUE Jaccard, not guard-filtered Jaccard). Verification
+    intersects sorted shingle arrays row-locally per candidate. The
+    no-false-negative equivalence vs the all-pairs join is pinned in
+    tests/test_dedup_fuzzy.py."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    return prefix_filter_jaccard_pairs(
+        Catalog(spark, sf_dir).documents, threshold=0.5, n=3)

@@ -245,3 +245,42 @@ def test_sorted_neighborhood_jaccard_is_token_set_jaccard(spark):
     rows = {(r["doc1"], r["doc2"]): r["jaccard"]
             for r in sorted_neighborhood_pairs(docs, window=2).collect()}
     assert rows[(1, 2)] == 0.6  # |{a,b,c}| / |{a,b,c,d,x}|
+
+
+def test_prefix_filter_no_false_negatives_and_prunes(spark):
+    """Prefix filtering must return EXACTLY the pairs the unfiltered
+    all-pairs Jaccard finds (the PPJoin completeness guarantee), while
+    indexing strictly fewer (id, shingle) join rows than the full inverted
+    index."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+        shingles,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " lambda"),                      # near-dup of 1
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "one two three four five six seven eight nine tenX"),
+            (5, "totally different words everywhere in this sentence here"),
+        ],
+        "doc_id: bigint, text: string")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in prefix_filter_jaccard_pairs(
+               docs, threshold=0.5, n=3).collect()}
+    want = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, threshold=0.5, n=3, max_shingle_freq=None).collect()}
+    assert got == want and (1, 2) in got and (3, 4) in got
+    # the prefix index is strictly smaller than the full inverted index
+    full = shingles(docs, n=3).count()
+    t = 0.5
+    from pyspark.sql import functions as F
+    sh = shingles(docs, n=3)
+    sz = sh.groupBy("id").agg(F.count(F.lit(1)).alias("s"))
+    pfx_rows = sum(
+        r["s"] - int(-(-t * r["s"] // 1)) + 1 for r in sz.collect())
+    assert pfx_rows < full
