@@ -282,3 +282,95 @@ def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     return sample_quantiles(ev, "value", ["event_type"], key_col="event_id",
                             rate=0.25)
+
+
+def _sql_hll_setops(m: int = 1024) -> str:
+    """Union + inclusion-exclusion intersection over HLL register tables,
+    replayed register-for-register (the union of two HLLs is the per-
+    register max — exact, not approximate; only the intersection inherits
+    I-E's error)."""
+    from hierarchical_graph_db_spark.operators.sketches import hll_alpha
+
+    p = m.bit_length() - 1
+    r1 = 60 - p + 1
+    numerator = repr(hll_alpha(m) * m * m * float(1 << r1))
+
+    def est(src: str) -> str:
+        tot = (f"CAST(s_present + ({m} - n_present) * "
+               f"(1::BIGINT << {r1}) AS DOUBLE)")
+        return f"""(
+        SELECT round(CASE WHEN {numerator} / {tot} <= {2.5 * m}
+                           AND n_present < {m}
+                          THEN {float(m)} * ln({float(m)} / ({m} - n_present))
+                          ELSE {numerator} / {tot}
+                     END, 4)
+        FROM (SELECT count(*) AS n_present,
+                     sum(1::BIGINT << ({r1} - m_j)) AS s_present
+              FROM {src})
+    )"""
+
+    regs = f"""
+    WITH keys AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE event_type IN ('view', 'purchase')
+    ),
+    h AS (
+        SELECT event_type,
+               {_sql_hex15("sha256('hll-v1|' || CAST(user_id AS VARCHAR))")}
+                   AS hv
+        FROM keys
+    ),
+    regs AS (
+        SELECT event_type, hv % {m} AS reg,
+               max(CASE WHEN (hv >> {p}) = 0 THEN {r1}
+                        ELSE {r1} - length(to_base(hv >> {p}, 2)) END) AS m_j
+        FROM h GROUP BY 1, 2
+    ),
+    ra AS (SELECT reg, m_j FROM regs WHERE event_type = 'view'),
+    rb AS (SELECT reg, m_j FROM regs WHERE event_type = 'purchase'),
+    ru AS (SELECT reg, max(m_j) AS m_j FROM regs GROUP BY reg)
+    """
+    return regs + f"""
+    SELECT {est('ra')} AS est_view,
+           {est('rb')} AS est_purchase,
+           {est('ru')} AS est_union,
+           round({est('ra')} + {est('rb')} - {est('ru')}, 4)
+               AS est_intersection
+    """
+
+
+@query("sketch_hll_set_operations", _sql_hll_setops(1024))
+def sketch_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on cardinality sketches: distinct viewers, distinct
+    purchasers, their UNION (per-register max — exact sketch union, the
+    property that lets register tables stand in for key sets at 100 TB),
+    and the inclusion-exclusion INTERSECTION estimate (|A∩B| ≈
+    |A|+|B|−|A∪B| — the standard HLL intersection, error grows as the
+    intersection shrinks; Theta sketches are the public upgrade when
+    intersections dominate). Every register of all three sketches is
+    replayed by the oracle; accuracy vs exact counts is bounded in
+    tests/test_sketches.py."""
+    from hierarchical_graph_db_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = Catalog(spark, sf_dir).events \
+        .where(F.col("event_type").isin("view", "purchase"))
+    regs = hll_registers(ev, "user_id", ["event_type"], m=1024)
+    per = hll_estimate(regs, ["event_type"], m=1024)
+    est_a = per.where(F.col("event_type") == "view") \
+        .select(F.col("est_users").alias("est_view"))
+    est_b = per.where(F.col("event_type") == "purchase") \
+        .select(F.col("est_users").alias("est_purchase"))
+    est_u = hll_estimate(hll_merge(regs, []), [], m=1024) \
+        .select(F.col("est_users").alias("est_union"))
+    return (
+        est_a.crossJoin(F.broadcast(est_b)).crossJoin(F.broadcast(est_u))
+        .select(
+            "est_view", "est_purchase", "est_union",
+            F.round(F.col("est_view") + F.col("est_purchase")
+                    - F.col("est_union"), 4).alias("est_intersection"),
+        )
+    )

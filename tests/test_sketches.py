@@ -176,3 +176,22 @@ def test_sample_quantiles_rank_error_bounded(spark, sf_dir):
             assert abs(rank - q) < 0.08, (t, col, rank)
         # sample size is governed by the rate
         assert 0.1 * e["n"] < est[t]["n_sample"] < 0.45 * e["n"]
+
+
+def test_hll_set_operations_within_error(spark, sf_dir):
+    """Union is an exact sketch operation (register max) so its error is
+    plain HLL error; the I-E intersection inherits the sum of errors —
+    bound both against exact counts."""
+    from hierarchical_graph_db_spark.queries import load
+
+    row = load()["sketch_hll_set_operations"].run(spark, sf_dir).collect()[0]
+    from hierarchical_graph_db_spark.io import Catalog
+
+    ev = Catalog(spark, sf_dir).events
+    users = lambda t: {r["user_id"] for r in ev.where(
+        F.col("event_type") == t).select("user_id").distinct().collect()}
+    a, b = users("view"), users("purchase")
+    assert abs(row["est_union"] - len(a | b)) / len(a | b) < 0.15
+    inter = len(a & b)
+    if inter:
+        assert abs(row["est_intersection"] - inter) / inter < 0.3
