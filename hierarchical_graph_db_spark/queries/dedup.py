@@ -242,9 +242,11 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(Catalog(spark, sf_dir).documents)
 
 
-@query(
-    "fuzzy_dedup_resolution",
-    f"""
+#: The fuzzy-cluster pipeline (trigram Jaccard >= 0.5 pairs -> symmetric
+#: closure -> connected components, keeper = min id) as a WITH-chain ending
+#: in comp(id, keep_id) — shared by the resolution oracle and the
+#: golden-record survivorship oracle below.
+_SQL_FUZZY_COMP = f"""
     WITH RECURSIVE toks AS (
         SELECT id, u.s.tok AS tok, u.s.pos AS pos
         FROM (
@@ -288,6 +290,13 @@ def simhash_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
     ),
     comp AS (SELECT node AS id, min(r) AS keep_id FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "fuzzy_dedup_resolution",
+    f"""
+    {_SQL_FUZZY_COMP}
     SELECT d.doc_id,
            coalesce(comp.keep_id, d.doc_id) AS keep_id,
            coalesce(comp.keep_id, d.doc_id) <> d.doc_id AS is_duplicate
@@ -504,3 +513,105 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return prefix_filter_jaccard_pairs(
         Catalog(spark, sf_dir).documents, threshold=0.5, n=3)
+
+
+@query(
+    "golden_record_documents",
+    f"""
+    {_SQL_FUZZY_COMP},
+    clustered AS (
+        SELECT coalesce(comp.keep_id, d.doc_id) AS cluster_id,
+               d.doc_id, d.text, d.lang, d.source, d.n_chars
+        FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+    ),
+    multi AS (
+        SELECT cluster_id FROM clustered GROUP BY cluster_id
+        HAVING count(*) >= 2
+    ),
+    lang_maj AS (
+        SELECT cluster_id,
+               arg_min(lang, lpad(CAST(100000 - cnt AS VARCHAR), 6, '0')
+                             || lang) AS lang
+        FROM (SELECT cluster_id, lang, count(*) AS cnt
+              FROM clustered GROUP BY cluster_id, lang)
+        GROUP BY cluster_id
+    ),
+    src_maj AS (
+        SELECT cluster_id,
+               arg_min(source, lpad(CAST(100000 - cnt AS VARCHAR), 6, '0')
+                               || source) AS source
+        FROM (SELECT cluster_id, source, count(*) AS cnt
+              FROM clustered GROUP BY cluster_id, source)
+        GROUP BY cluster_id
+    ),
+    main AS (
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               arg_min(text, (100000 - n_chars) * 1000000000 + doc_id)
+                   AS golden_text,
+               arg_min(doc_id, (100000 - n_chars) * 1000000000 + doc_id)
+                   AS text_doc_id,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM clustered GROUP BY cluster_id
+    )
+    SELECT m.cluster_id, n_members, golden_text, text_doc_id,
+           l.lang, s.source, total_chars
+    FROM main m
+    JOIN multi USING (cluster_id)
+    JOIN lang_maj l USING (cluster_id)
+    JOIN src_maj s USING (cluster_id)
+    """,
+)
+def golden_record_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (the MDM master-data pattern, public
+    practice — e.g. Talend/Informatica survivorship rule sets): after
+    fuzzy resolution clusters near-duplicate documents, merge each
+    multi-member cluster into ONE record by per-attribute rules — text by
+    LONGEST (most-complete rule, doc_id tie-break), lang and source by
+    MAJORITY VOTE (lexicographic tie-break), plus member count and total
+    chars. Deterministic keys make every rule a ``min_by`` with a
+    composite order encoded portably (zero-padded count strings; a
+    numeric (n_chars, doc_id) fold), so the whole merge hash-replays.
+    Scale shape: one groupBy(cluster) for the main rules + one
+    (cluster, value) count-then-min_by pass per majority column — all
+    partial-aggregable, no windows over the corpus."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    pad = lambda c: F.lpad(c.cast("string"), 12, "0")  # noqa: E731
+    cc = connected_components(
+        pairs.select(pad(F.col("id_a")).alias("src"),
+                     pad(F.col("id_b")).alias("dst")))
+    clustered = (
+        docs.join(cc.select(F.col("id").cast("long").alias("doc_id"),
+                            F.col("component").cast("long").alias("keep_id")),
+                  on="doc_id", how="left")
+        .withColumn("cluster_id", F.coalesce("keep_id", F.col("doc_id")))
+    )
+    order_key = ((F.lit(100000) - F.col("n_chars")).cast("bigint")
+                 * F.lit(1000000000) + F.col("doc_id"))
+
+    def majority(col: str) -> DataFrame:
+        cnt = clustered.groupBy("cluster_id", col).agg(
+            F.count(F.lit(1)).alias("cnt"))
+        key = F.concat(
+            F.lpad((F.lit(100000) - F.col("cnt")).cast("string"), 6, "0"),
+            F.col(col))
+        return cnt.groupBy("cluster_id").agg(
+            F.min_by(col, key).alias(col))
+
+    main = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min_by("text", order_key).alias("golden_text"),
+        F.min_by("doc_id", order_key).alias("text_doc_id"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    ).where(F.col("n_members") >= 2)
+    return (
+        main.join(majority("lang"), "cluster_id")
+        .join(majority("source"), "cluster_id")
+        .select("cluster_id", "n_members", "golden_text", "text_doc_id",
+                "lang", "source", "total_chars")
+    )

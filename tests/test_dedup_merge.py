@@ -122,3 +122,42 @@ def test_ingest_counters(spark):
                          payload_cols=["subject"])
     c = ingest_counters(df, merged)
     assert c == {"total_seen": 6, "total_upserts": 3, "total_member_merges": 3}
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Longest-text, majority-vote, and deterministic tie-breaks on a
+    hand-built cluster (pipeline-independent: clusters supplied directly
+    through the same aggregation rules the registry query uses)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        # cluster 1: longest text wins; lang majority en (2v1);
+        # source tie a/b broken lexicographically -> a
+        (1, 1, "short", "en", "a", 5),
+        (2, 1, "the longest text here", "en", "b", 21),
+        (3, 1, "mid length", "de", "a", 10),
+        # cluster 2: equal lengths -> lower doc_id wins the text rule
+        (7, 2, "same len", "fr", "c", 8),
+        (8, 2, "also len", "fr", "c", 8),
+    ]
+    clustered = spark.createDataFrame(
+        rows, "doc_id: bigint, cluster_id: bigint, text: string, "
+              "lang: string, source: string, n_chars: bigint")
+    order_key = ((F.lit(100000) - F.col("n_chars")).cast("bigint")
+                 * F.lit(1000000000) + F.col("doc_id"))
+    main = clustered.groupBy("cluster_id").agg(
+        F.min_by("text", order_key).alias("golden_text"),
+        F.min_by("doc_id", order_key).alias("text_doc_id"))
+    got = {r["cluster_id"]: (r["golden_text"], r["text_doc_id"])
+           for r in main.collect()}
+    assert got[1] == ("the longest text here", 2)
+    assert got[2] == ("same len", 7)
+    cnt = clustered.groupBy("cluster_id", "source").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    key = F.concat(F.lpad((F.lit(100000) - F.col("cnt")).cast("string"),
+                          6, "0"), F.col("source"))
+    maj = {r["cluster_id"]: r["source"]
+           for r in cnt.groupBy("cluster_id")
+           .agg(F.min_by("source", key).alias("source")).collect()}
+    assert maj[1] == "a"   # 2-2 tie in (a, b)? a:2, b:1 -> a wins on count
+    assert maj[2] == "c"
