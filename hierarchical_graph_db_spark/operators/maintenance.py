@@ -195,3 +195,28 @@ def file_skipping_stats(df: DataFrame, x: F.Column, y: F.Column,
         )
 
     return _layout("file_lin", "linear").unionAll(_layout("file_z", "zorder"))
+
+
+def incremental_join_delta(state_a: DataFrame, delta_a: DataFrame,
+                           state_b: DataFrame, delta_b: DataFrame,
+                           on) -> DataFrame:
+    """Insert-only delta of a materialized JOIN view (classic incremental
+    view maintenance — Blakeley et al. 1986, public method):
+
+        Δ(A ⋈ B) = ΔA ⋈ (B ∪ ΔB)  ∪  A_old ⋈ ΔB
+
+    — every new join row involves a new A row (first term, joined against
+    the NEW B so ΔA⋈ΔB is included once) or an old A row meeting a new B
+    row (second term). Appending the result to the stored view equals
+    recomputing the join from scratch (multiset semantics; the equivalence
+    is the registry oracle's EXCEPT ALL check).
+
+    Scale shape: maintenance costs O(|Δ| ⋈) — each delta joins against the
+    other side's state — never O(|state|²) recompute. With the state
+    tables bucketed on the join key (tests/test_storage_layout.py) the
+    delta joins are exchange-free on the state side; the deltas themselves
+    are micro-batch sized. This is the join-view counterpart of the
+    incremental AGGREGATE maintenance in streaming/continuous_aggregate.py.
+    """
+    return delta_a.join(state_b.unionByName(delta_b), on).unionByName(
+        state_a.join(delta_b, on))

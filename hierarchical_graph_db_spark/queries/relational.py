@@ -607,3 +607,63 @@ def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(cents) / F.lit(100.0), 2).alias("revenue"))
         .select("o_orderpriority", "n_items", "revenue")
     )
+
+
+@query(
+    "incremental_join_view_delta",
+    """
+    WITH so AS (SELECT o_orderkey, o_orderpriority FROM orders
+                WHERE o_orderkey % 4 <> 0),
+    do_ AS (SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderkey % 4 = 0),
+    sl AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+           WHERE l_linenumber % 3 <> 0),
+    dl AS (SELECT l_orderkey, l_extendedprice FROM lineitem
+           WHERE l_linenumber % 3 = 0),
+    old AS (SELECT o_orderpriority, l_extendedprice
+            FROM sl JOIN so ON l_orderkey = o_orderkey),
+    new AS (SELECT o_orderpriority, l_extendedprice
+            FROM (SELECT * FROM sl UNION ALL SELECT * FROM dl) l
+            JOIN (SELECT * FROM so UNION ALL SELECT * FROM do_) o
+              ON l_orderkey = o_orderkey),
+    delta AS (SELECT * FROM new EXCEPT ALL SELECT * FROM old)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents
+    FROM delta GROUP BY o_orderpriority
+    """,
+)
+def incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized orders⋈lineitem view:
+    both sides receive insert-only deltas (every 4th order, every 3rd
+    line) and the operator computes EXACTLY the rows that must be
+    appended — ΔL⋈O_new ∪ L_old⋈ΔO, O(|Δ|⋈) instead of a recompute
+    (operators/maintenance.py:incremental_join_delta). The oracle is the
+    EQUIVALENCE PROOF, not a replay: it derives the delta as
+    (new join) EXCEPT ALL (old join) — multiset difference — so a
+    double-counted (ΔL⋈ΔO twice) or missed term hash-mismatches.
+    Aggregated per priority with cent-exact sums to keep the checked
+    output bounded."""
+    from hierarchical_graph_db_spark.operators.maintenance import (
+        incremental_join_delta,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    o = cat.orders.select("o_orderkey", "o_orderpriority")
+    li = cat.lineitem.select("l_orderkey", "l_extendedprice", "l_linenumber")
+    so = o.where(F.col("o_orderkey") % 4 != 0)
+    do = o.where(F.col("o_orderkey") % 4 == 0)
+    sl = li.where(F.col("l_linenumber") % 3 != 0) \
+        .select("l_orderkey", "l_extendedprice")
+    dl = li.where(F.col("l_linenumber") % 3 == 0) \
+        .select("l_orderkey", "l_extendedprice")
+    delta = incremental_join_delta(
+        sl, dl, so, do,
+        on=F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        delta.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+             .cast("bigint").alias("price_cents"))
+    )

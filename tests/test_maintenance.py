@@ -116,3 +116,35 @@ def test_file_skipping_stats_zorder_beats_linear(spark):
     # zorder: the aligned 8×8 box is exactly ONE 64-cell tile
     assert z["n_candidate_files"] == 1 and z["rows_candidate"] == 64
     assert z["skip_fraction"] > lin["skip_fraction"]
+
+
+def test_incremental_join_delta_equals_recompute(spark):
+    """Appending the delta to the old view must equal the full recompute
+    as a MULTISET (duplicate join keys included) — and the ΔA⋈ΔB overlap
+    must be counted exactly once."""
+    from hierarchical_graph_db_spark.operators.maintenance import (
+        incremental_join_delta,
+    )
+    from pyspark.sql import functions as F
+
+    sa = spark.createDataFrame([(1, "a1"), (2, "a2"), (2, "a2x")],
+                               "k: bigint, va: string")
+    da = spark.createDataFrame([(2, "a3"), (3, "a4")], "k: bigint, va: string")
+    sb = spark.createDataFrame([(1, "b1"), (2, "b2")], "j: bigint, vb: string")
+    db = spark.createDataFrame([(2, "b3"), (3, "b4")], "j: bigint, vb: string")
+    cond = F.col("k") == F.col("j")
+    delta = incremental_join_delta(sa, da, sb, db, cond)
+    old = sa.join(sb, cond)
+    new = sa.unionByName(da).join(sb.unionByName(db), cond)
+
+    def bag(df):
+        out = {}
+        for r in df.collect():
+            t = (r["k"], r["va"], r["vb"])
+            out[t] = out.get(t, 0) + 1
+        return out
+
+    combined = bag(old)
+    for t, n in bag(delta).items():
+        combined[t] = combined.get(t, 0) + n
+    assert combined == bag(new)
