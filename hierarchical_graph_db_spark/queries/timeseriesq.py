@@ -544,3 +544,84 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", probe["user_id"].alias("user_id"), "ts",
         F.col("event_type").alias("attr_at_ts"), "version",
     )
+
+
+@query(
+    "attribution_position_based",
+    """
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts
+        FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+        SELECT p.purchase_id, p.value, c.click_id,
+               CAST(row_number() OVER (PARTITION BY p.purchase_id
+                                       ORDER BY c.ts, c.click_id)
+                    AS BIGINT) AS pos,
+               CAST(count(*) OVER (PARTITION BY p.purchase_id)
+                    AS BIGINT) AS n
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.ts BETWEEN p.ts - INTERVAL 4 HOUR AND p.ts
+    )
+    SELECT purchase_id, click_id, pos, n,
+           CAST(CASE WHEN n = 1 THEN 1000000
+                     WHEN n = 2 THEN 500000
+                     WHEN pos = 1 OR pos = n THEN 400000
+                     ELSE CAST(round(200000.0 / (n - 2)) AS BIGINT)
+                END AS BIGINT) AS credit_ppm,
+           CAST(round(value * 100) AS BIGINT)
+               * CASE WHEN n = 1 THEN 1000000
+                      WHEN n = 2 THEN 500000
+                      WHEN pos = 1 OR pos = n THEN 400000
+                      ELSE CAST(round(200000.0 / (n - 2)) AS BIGINT)
+                 END AS credit_value_micros
+    FROM touches
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the standard
+    marketing-analytics credit model (public practice: 40% first touch,
+    40% last, 20% split across middles; degenerate cases 1 touch → 100%,
+    2 → 50/50): each purchase's clicks within the preceding 4 hours
+    are ranked and credited, with credit in fixed-point ppm and
+    credited value in cent-micros so no float summation enters the hash.
+    Plan shape: the touch join is the user-keyed interval join (per-user
+    bounded work); position rank and touch count are windows partitioned
+    by the PURCHASE (bounded by its touch count, never corpus-wide)."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"), "value")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"))
+    touches = p.join(
+        c, (F.col("user_id") == F.col("c_uid"))
+        & F.col("c_ts").between(
+            F.col("p_ts") - F.expr("interval 4 hours"), F.col("p_ts")))
+    w = Window.partitionBy("purchase_id")
+    ranked = (
+        touches
+        .withColumn("pos", F.row_number().over(
+            w.orderBy("c_ts", "click_id")).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+              F.lit(400000))
+        .otherwise(F.round(F.lit(200000.0) / (F.col("n") - 2)))
+    ).cast("bigint")
+    return ranked.select(
+        "purchase_id", "click_id", "pos", "n",
+        credit.alias("credit_ppm"),
+        (F.round(F.col("value") * 100).cast("bigint") * credit)
+        .alias("credit_value_micros"),
+    )
