@@ -457,3 +457,73 @@ def item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return item_item_cosine_topk(
         li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey",
         k=3, min_pair_count=2)
+
+
+@query(
+    "conversion_wilson_ci",
+    """
+    WITH u AS (
+        SELECT e.user_id, c.c_mktsegment AS segment,
+               max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY e.user_id, c.c_mktsegment
+    ),
+    agg AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(converted) AS BIGINT) AS n_converted
+        FROM u GROUP BY segment
+    )
+    SELECT segment, n_users, n_converted,
+           round(n_converted / CAST(n_users AS DOUBLE), 6) AS conv_rate,
+           round(((n_converted / CAST(n_users AS DOUBLE))
+                  + 1.9208 / n_users
+                  - 1.96 * sqrt(((n_converted / CAST(n_users AS DOUBLE))
+                                 * (1 - n_converted / CAST(n_users AS DOUBLE))
+                                 + 0.9604 / n_users) / n_users))
+                 / (1 + 3.8416 / n_users), 6) AS ci_low,
+           round(((n_converted / CAST(n_users AS DOUBLE))
+                  + 1.9208 / n_users
+                  + 1.96 * sqrt(((n_converted / CAST(n_users AS DOUBLE))
+                                 * (1 - n_converted / CAST(n_users AS DOUBLE))
+                                 + 0.9604 / n_users) / n_users))
+                 / (1 + 3.8416 / n_users), 6) AS ci_high
+    FROM agg
+    """,
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment conversion rate with a Wilson 95% score interval
+    (Wilson 1927, public method — the standard A/B-test interval because
+    it behaves at small n and extreme p, unlike the Wald interval):
+    conversion = share of a segment's active users with ≥1 purchase.
+    Two hash aggregates (user-level flag via max, then segment rollup —
+    both partial-aggregable on their keys) and the interval is pure
+    per-row arithmetic on the integer counts: z=1.96 constants are folded
+    (z²=3.8416, z²/2=1.9208, z²/4=0.9604), identical IEEE evaluation in
+    both engines, 6-dp rounding."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.select("user_id", "event_type")
+    dim = cat.customer.select("c_custkey",
+                              F.col("c_mktsegment").alias("segment"))
+    u = (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy("user_id", "segment")
+        .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("converted"))
+    )
+    agg = u.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    p = F.col("n_converted") / F.col("n_users").cast("double")
+    n = F.col("n_users")
+    half = F.lit(1.96) * F.sqrt((p * (1 - p) + F.lit(0.9604) / n) / n)
+    center = p + F.lit(1.9208) / n
+    denom = 1 + F.lit(3.8416) / n
+    return agg.select(
+        "segment", "n_users", "n_converted",
+        F.round(p, 6).alias("conv_rate"),
+        F.round((center - half) / denom, 6).alias("ci_low"),
+        F.round((center + half) / denom, 6).alias("ci_high"),
+    )
