@@ -527,3 +527,98 @@ def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_low"),
         F.round((center + half) / denom, 6).alias("ci_high"),
     )
+
+
+@query(
+    "drift_ks_two_sample",
+    """
+    WITH bounds AS (
+        SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    ),
+    binned AS (
+        SELECT event_type,
+               CAST(least(floor((value - vmin) * 1000.0
+                                / (CASE WHEN vmax = vmin THEN 1.0
+                                        ELSE vmax - vmin END)), 999)
+                    AS BIGINT) AS bin,
+               ts >= TIMESTAMP '2024-01-16' AS is_b
+        FROM events, bounds
+    ),
+    per_bin AS (
+        SELECT event_type, bin,
+               CAST(count(*) FILTER (WHERE NOT is_b) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE is_b) AS BIGINT)     AS n_b
+        FROM binned GROUP BY event_type, bin
+    ),
+    cum AS (
+        SELECT event_type, bin,
+               sum(n_a) OVER (PARTITION BY event_type ORDER BY bin) AS ca,
+               sum(n_b) OVER (PARTITION BY event_type ORDER BY bin) AS cb,
+               sum(n_a) OVER (PARTITION BY event_type) AS ta,
+               sum(n_b) OVER (PARTITION BY event_type) AS tb
+        FROM per_bin
+    )
+    SELECT event_type,
+           round(max(abs(ca / CAST(ta AS DOUBLE)
+                         - cb / CAST(tb AS DOUBLE))), 6) AS ks_stat,
+           CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b,
+           round(1.358 * sqrt((max(ta) + max(tb))
+                              / (max(ta) * CAST(max(tb) AS DOUBLE))), 6)
+               AS crit_05,
+           max(abs(ca / CAST(ta AS DOUBLE) - cb / CAST(tb AS DOUBLE)))
+           > 1.358 * sqrt((max(ta) + max(tb))
+                          / (max(ta) * CAST(max(tb) AS DOUBLE))) AS drifted
+    FROM cum GROUP BY event_type
+    """,
+)
+def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type (public
+    statistic; Massey 1951): D = max |ECDF_first_half − ECDF_second_half|
+    of the value distribution over 1000 equi-width bins, against the
+    α=0.05 critical value 1.358·√((n_a+n_b)/(n_a·n_b)) — the
+    distribution-shape alarm beside PSI's population-share alarm.
+    Binning FIRST is the scale shape: the cumulative windows then run
+    over ≤1000 bin rows per type (bounded state, same class as the
+    top-k windows), never over raw values, and the bin counts themselves
+    partial-aggregate map-side. ECDF differences are ratios of exact
+    integer cumulative counts — identical IEEE doubles cross-engine."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    bounds = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    span = F.when(F.col("vmax") == F.col("vmin"), F.lit(1.0)) \
+        .otherwise(F.col("vmax") - F.col("vmin"))
+    bin_col = F.least(
+        F.floor((F.col("value") - F.col("vmin")) * 1000.0 / span),
+        F.lit(999)).cast("long")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    per_bin = (
+        ev.join(F.broadcast(bounds))
+        .select("event_type", bin_col.alias("bin"),
+                (F.col("ts") >= cutoff).alias("is_b"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum(F.when(~F.col("is_b"), 1).otherwise(0))
+             .cast("bigint").alias("n_a"),
+             F.sum(F.when(F.col("is_b"), 1).otherwise(0))
+             .cast("bigint").alias("n_b"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    cum = per_bin.select(
+        "event_type",
+        F.sum("n_a").over(wo).alias("ca"), F.sum("n_b").over(wo).alias("cb"),
+        F.sum("n_a").over(wt).alias("ta"), F.sum("n_b").over(wt).alias("tb"),
+    )
+    diff = F.abs(F.col("ca") / F.col("ta").cast("double")
+                 - F.col("cb") / F.col("tb").cast("double"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.max("ta") + F.max("tb"))
+        / (F.max("ta") * F.max("tb").cast("double")))
+    return cum.groupBy("event_type").agg(
+        F.round(F.max(diff), 6).alias("ks_stat"),
+        F.max("ta").cast("bigint").alias("n_a"),
+        F.max("tb").cast("bigint").alias("n_b"),
+        F.round(crit, 6).alias("crit_05"),
+        (F.max(diff) > crit).alias("drifted"),
+    )
