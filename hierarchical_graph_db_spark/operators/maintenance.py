@@ -220,3 +220,90 @@ def incremental_join_delta(state_a: DataFrame, delta_a: DataFrame,
     """
     return delta_a.join(state_b.unionByName(delta_b), on).unionByName(
         state_a.join(delta_b, on))
+
+
+# --- CDC changelog apply (lakehouse MERGE semantics) -------------------------
+
+def changelog_net(changes: DataFrame, keys: list[str], seq_col: str,
+                  op_col: str) -> DataFrame:
+    """Collapse a changelog to its NET effect per key: the change with the
+    highest ``(seq, op)`` wins (last-writer-wins; ``(seq, op)`` must be
+    unique per key — the caller's sequencing contract, same as Debezium's
+    LSN ordering). One ``max_by`` hash aggregate: partials collapse
+    map-side, so a billion-row changelog nets down before it shuffles —
+    the exchange moves one row per DISTINCT key, not per change."""
+    val_cols = [c for c in changes.columns
+                if c not in (*keys, seq_col, op_col)]
+    order_key = F.struct(F.col(seq_col), F.col(op_col))
+    payload = F.struct(F.col(op_col).alias("op"),
+                       *[F.col(c).alias(c) for c in val_cols])
+    net = (changes.groupBy(*keys)
+           .agg(F.max_by(payload, order_key).alias("_net")))
+    return net.select(*keys, F.col("_net.op").alias(op_col),
+                      *[F.col(f"_net.{c}").alias(c) for c in val_cols])
+
+
+def apply_changelog(base: DataFrame, changes: DataFrame, keys: list[str],
+                    seq_col: str = "seq", op_col: str = "op") -> DataFrame:
+    """Apply an insert/update/delete changelog to a snapshot — the batch
+    MERGE INTO of the lakehouse pattern (Armbrust et al. 2020, Delta Lake,
+    public method), with upsert semantics: ``I``/``U`` on an existing key
+    replaces it, ``U`` on an absent key inserts (whenNotMatched → insert),
+    ``D`` removes the key (a no-op if absent). The changelog is first
+    netted per key via :func:`changelog_net`, so multiple changes to one
+    key resolve last-writer-wins before touching the base.
+
+    Scale shape: one map-side-collapsing aggregate over the changelog +
+    one key-partitioned LEFT ANTI join of base against the (tiny, netted)
+    change set + a union — O(|base| + |changes|), never a recompute. With
+    the base bucketed on ``keys`` (tests/test_storage_layout.py) the anti
+    join is exchange-free on the base side; at micro-batch scale the netted
+    side broadcasts (AQE picks this up from its post-agg size).
+    """
+    net = changelog_net(changes, keys, seq_col, op_col)
+    upserts = net.where(F.col(op_col) != F.lit("D")).drop(op_col)
+    survivors = base.join(net.select(*keys), keys, "left_anti")
+    return survivors.unionByName(upserts.select(*base.columns))
+
+
+def agg_view_changelog_delta(base: DataFrame, changes: DataFrame,
+                             keys: list[str], group_col: str,
+                             measure_col: str, seq_col: str = "seq",
+                             op_col: str = "op") -> DataFrame:
+    """Per-group (Δcount, Δsum) of a GROUP BY view under an I/U/D changelog
+    — incremental aggregate maintenance WITH RETRACTIONS (Gupta & Mumick
+    1995's counting algorithm, public method): adding the returned deltas
+    to the old view equals recomputing it over the applied state, including
+    rows that MOVE between groups when an update changes ``group_col``.
+
+    Each netted change contributes up to two signed rows — a retraction
+    ``(old_group, -1, -old_measure)`` when the key existed in the base, and
+    an addition ``(new_group, +1, +new_measure)`` unless it is a delete —
+    built as a 2-element array of structs, exploded, and hash-aggregated.
+    Scale shape: the netted changelog joins the base on its key (LEFT, to
+    fetch the retracted old row — co-partitioned with a bucketed base),
+    then one map-side-collapsing aggregate over groups; the base is never
+    re-aggregated. ``measure_col`` must be exactly representable for the
+    signed sums — pass a cents/bigint column, not raw doubles."""
+    net = changelog_net(changes, keys, seq_col, op_col)
+    old = base.select(*keys, F.col(group_col).alias("_old_g"),
+                      F.col(measure_col).alias("_old_m"))
+    j = net.join(old, keys, "left")
+    retract = F.when(
+        F.col("_old_g").isNotNull(),
+        F.struct(F.col("_old_g").alias("g"),
+                 F.lit(-1).cast("bigint").alias("dc"),
+                 (-F.col("_old_m")).cast("bigint").alias("dm")))
+    add = F.when(
+        F.col(op_col) != F.lit("D"),
+        F.struct(F.col(group_col).alias("g"),
+                 F.lit(1).cast("bigint").alias("dc"),
+                 F.col(measure_col).cast("bigint").alias("dm")))
+    return (
+        j.select(F.explode(
+            F.filter(F.array(retract, add), lambda x: x.isNotNull()))
+            .alias("d"))
+        .groupBy(F.col("d.g").alias(group_col))
+        .agg(F.sum("d.dc").alias("d_count"), F.sum("d.dm").alias("d_sum"))
+        .where((F.col("d_count") != 0) | (F.col("d_sum") != 0))
+    )

@@ -47,6 +47,7 @@ def query(name: str, oracle: str | None = None):
 def load() -> dict[str, QuerySpec]:
     """Import all query modules (they self-register) and return the registry."""
     from hierarchical_graph_db_spark.queries import (  # noqa: F401
+        cdcq,
         classifierq,
         curationq,
         dedup,

@@ -1,0 +1,151 @@
+"""CDC / changelog maintenance queries (lakehouse MERGE semantics).
+
+The reference's only write path is the dedup upsert (`SURVEY.md` §2.4 A1);
+a real engine also needs the general changelog form — insert/update/delete
+streams applied to snapshots (Debezium/Delta `MERGE INTO` shape) and
+incremental maintenance of aggregate views under those retractions. Both
+operators live in ``operators/maintenance.py``; the changelog here is
+synthesized deterministically from ``events`` so the DuckDB oracle can
+rebuild the identical input (two change sets, overlapping keys, so
+last-writer-wins netting is actually exercised).
+
+Shared fixture: base = events with ``event_id % 4 != 3``; change set 1
+(seq 1) touches every ``event_id % 5 == 0`` key with op I/U/D by
+``event_id % 3``; change set 2 (seq 2) overrides every ``event_id % 10 == 0``
+key (a subset of set 1 — guaranteed LWW conflicts) with U, or D when
+``event_id % 20 == 0``. Keys land both inside and outside the base, so
+upsert-on-absent and delete-on-absent paths are all hit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hierarchical_graph_db_spark.io import Catalog
+from hierarchical_graph_db_spark.queries import query
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+# DuckDB twin of the Spark-side fixture builders below. The net CTE must
+# mirror changelog_net's max_by(struct(seq, op)) exactly: row_number over
+# (seq DESC, op DESC) — lexicographic max on the same two fields.
+_CDC_CTES = f"""
+    base AS (
+        SELECT event_id, user_id, event_type, {_CENTS} AS value_cents
+        FROM events WHERE event_id % 4 <> 3
+    ),
+    c1 AS (
+        SELECT event_id, 1 AS seq,
+               CASE event_id % 3 WHEN 0 THEN 'D' WHEN 1 THEN 'U'
+                    ELSE 'I' END AS op,
+               user_id, upper(event_type) AS event_type,
+               {_CENTS} + 11 AS value_cents
+        FROM events WHERE event_id % 5 = 0
+    ),
+    c2 AS (
+        SELECT event_id, 2 AS seq,
+               CASE WHEN event_id % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+               user_id, event_type || '_v2' AS event_type,
+               {_CENTS} + 22 AS value_cents
+        FROM events WHERE event_id % 10 = 0
+    ),
+    changes AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+    net AS (
+        SELECT event_id, op, user_id, event_type, value_cents
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+                                           ORDER BY seq DESC, op DESC) AS rn
+              FROM changes) t
+        WHERE rn = 1
+    ),
+    applied AS (
+        SELECT b.event_id, b.user_id, b.event_type, b.value_cents
+        FROM base b ANTI JOIN net n ON b.event_id = n.event_id
+        UNION ALL
+        SELECT event_id, user_id, event_type, value_cents
+        FROM net WHERE op <> 'D'
+    )
+"""
+
+
+def _cdc_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame,
+                                                           DataFrame]:
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"))
+    base = ev.where(F.col("event_id") % 4 != 3)
+    c1 = ev.where(F.col("event_id") % 5 == 0).select(
+        "event_id", F.lit(1).alias("seq"),
+        F.when(F.col("event_id") % 3 == 0, "D")
+        .when(F.col("event_id") % 3 == 1, "U").otherwise("I").alias("op"),
+        "user_id", F.upper("event_type").alias("event_type"),
+        (F.col("value_cents") + 11).alias("value_cents"))
+    c2 = ev.where(F.col("event_id") % 10 == 0).select(
+        "event_id", F.lit(2).alias("seq"),
+        F.when(F.col("event_id") % 20 == 0, "D").otherwise("U").alias("op"),
+        "user_id", F.concat(F.col("event_type"), F.lit("_v2"))
+        .alias("event_type"),
+        (F.col("value_cents") + 22).alias("value_cents"))
+    return base, c1.unionByName(c2)
+
+
+@query(
+    "cdc_apply_changelog",
+    f"""
+    WITH {_CDC_CTES}
+    SELECT event_id, user_id, event_type, value_cents FROM applied
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot after applying the two-generation I/U/D changelog —
+    last-writer-wins netting, upsert-on-absent, delete tombstones
+    (operators/maintenance.py:apply_changelog). The oracle rebuilds the
+    identical changelog and replays the net + anti-join + union, so a
+    wrong LWW order, a dropped tombstone, or a double-applied upsert all
+    hash-mismatch. One map-side-collapsing net aggregate + one keyed anti
+    join — O(|base| + |changes|), the scale contract of MERGE INTO."""
+    from hierarchical_graph_db_spark.operators.maintenance import (
+        apply_changelog,
+    )
+
+    base, changes = _cdc_inputs(spark, sf_dir)
+    return apply_changelog(base, changes, ["event_id"])
+
+
+@query(
+    "cdc_agg_view_delta",
+    f"""
+    WITH {_CDC_CTES},
+    newv AS (
+        SELECT event_type, count(*) AS c, sum(value_cents) AS s
+        FROM applied GROUP BY event_type
+    ),
+    oldv AS (
+        SELECT event_type, count(*) AS c, sum(value_cents) AS s
+        FROM base GROUP BY event_type
+    )
+    SELECT coalesce(n.event_type, o.event_type) AS event_type,
+           CAST(coalesce(n.c, 0) - coalesce(o.c, 0) AS BIGINT) AS d_count,
+           CAST(coalesce(n.s, 0) - coalesce(o.s, 0) AS BIGINT) AS d_sum
+    FROM newv n FULL OUTER JOIN oldv o ON n.event_type = o.event_type
+    WHERE coalesce(n.c, 0) - coalesce(o.c, 0) <> 0
+       OR coalesce(n.s, 0) - coalesce(o.s, 0) <> 0
+    """,
+)
+def cdc_agg_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group (Δcount, Δsum) maintaining a GROUP BY event_type view
+    under the same changelog — retraction-aware incremental aggregate
+    maintenance (operators/maintenance.py:agg_view_changelog_delta). The
+    oracle is an EQUIVALENCE PROOF, not a replay: it recomputes the view
+    over the applied state and over the base and subtracts, so a missed
+    retraction, a group-move counted once, or a delete applied to the
+    wrong group all hash-mismatch. The base is never re-aggregated by the
+    operator — the netted changelog joins it on the key (retraction
+    fetch), then one hash aggregate over groups."""
+    from hierarchical_graph_db_spark.operators.maintenance import (
+        agg_view_changelog_delta,
+    )
+
+    base, changes = _cdc_inputs(spark, sf_dir)
+    return agg_view_changelog_delta(
+        base, changes, ["event_id"], "event_type", "value_cents")
