@@ -667,3 +667,45 @@ def incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
              .cast("bigint").alias("price_cents"))
     )
+
+
+# --- 2-D skyline (Pareto frontier) -------------------------------------------
+
+
+@query(
+    "skyline_price_size",
+    """
+    WITH pts AS (
+        SELECT p_retailprice AS price, p_size AS size,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               min(p_partkey) AS min_partkey
+        FROM part GROUP BY 1, 2
+    )
+    SELECT price, size, n_parts, min_partkey
+    FROM pts a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.price <= a.price AND b.size >= a.size
+          AND (b.price < a.price OR b.size > a.size)
+    )
+    """,
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts — cheapest price at every dominating size
+    ("no other part is both cheaper and at least as large"). The engine
+    plan (operators/frontier.py:skyline_2d) is distinct-point collapse →
+    bucket-prefix-max coarse prune (broadcast) → per-x champion → one
+    ordered pass over the pruned near-frontier set; the oracle is the
+    textbook all-pairs NOT EXISTS — an independent formulation, so an
+    over-pruning bucket filter or a wrong strictness rule hash-mismatches."""
+    from hierarchical_graph_db_spark.operators.frontier import skyline_2d
+
+    p = Catalog(spark, sf_dir).part
+    return skyline_2d(
+        p.select(F.col("p_retailprice").alias("price"),
+                 F.col("p_size").alias("size"), "p_partkey"),
+        "price", "size",
+        payload={"n_parts": F.count(F.lit(1)).cast("bigint"),
+                 "min_partkey": F.min("p_partkey")},
+        bucket=F.floor(F.col("price") / 100),
+    )
