@@ -549,3 +549,84 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         .where(F.col("_j") >= threshold)
         .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
     )
+
+
+# --- Jaro-Winkler blocked linkage --------------------------------------------
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity (Winkler 1990, public method), bit-parity
+    with DuckDB's ``jaro_winkler_similarity`` (RapidFuzz semantics,
+    verified exhaustively in ``tests/test_jaro_winkler.py``): either side
+    empty → 0.0; the 0.1 prefix boost (≤4 chars) applies only when the
+    Jaro score exceeds the 0.7 boost threshold; term order of the final
+    arithmetic matches RapidFuzz so the IEEE doubles come out identical —
+    which is what lets the oracle compare SCORES, not just pair sets."""
+    if not s1 or not s2:
+        return 0.0
+    if s1 == s2:
+        jaro = 1.0
+    else:
+        md = max(len(s1), len(s2)) // 2 - 1
+        if md < 0:
+            md = 0
+        f1 = [False] * len(s1)
+        f2 = [False] * len(s2)
+        m = 0
+        for i, c in enumerate(s1):
+            for j in range(max(0, i - md), min(len(s2), i + md + 1)):
+                if not f2[j] and s2[j] == c:
+                    f1[i] = f2[j] = True
+                    m += 1
+                    break
+        if m == 0:
+            return 0.0
+        t = 0
+        k = 0
+        for i in range(len(s1)):
+            if f1[i]:
+                while not f2[k]:
+                    k += 1
+                if s1[i] != s2[k]:
+                    t += 1
+                k += 1
+        t //= 2
+        jaro = (m / len(s1) + m / len(s2) + (m - t) / m) / 3
+    if jaro <= 0.7:
+        return jaro
+    pl = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        pl += 1
+    return jaro + pl * 0.1 * (1 - jaro)
+
+
+def jaro_winkler_pairs(pairs: DataFrame, a_col: str, b_col: str,
+                       threshold: float = 0.9,
+                       out_col: str = "sim") -> DataFrame:
+    """Score candidate string pairs with Jaro-Winkler and keep those at or
+    above ``threshold``. The kernel is Python-per-pair INSIDE Arrow batches
+    (``mapInPandas``) — JW's flag-array matching loop doesn't vectorize
+    with numpy primitives, so this is the documented Python-kernel seam
+    (same class as the reference's per-file parse loop); rows still move
+    as Arrow columns, not pickled rows.
+
+    The caller supplies the candidate pairs — blocking is the scale lever
+    (block-local quadratic work, exactly the levenshtein-join discipline);
+    for skew-prone blocking keys use :func:`sorted_neighborhood_pairs`
+    instead of an equi-block."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in pairs.schema.fields)
+
+    def score(batches):
+        for pdf in batches:
+            sims = [jaro_winkler(a, b)
+                    for a, b in zip(pdf[a_col], pdf[b_col])]
+            out = pdf.copy()
+            out[out_col] = sims
+            yield out[out[out_col] >= threshold]
+
+    return (
+        pairs.mapInPandas(score, f"{fields}, {out_col} double")
+        .withColumn(out_col, F.round(out_col, 6))
+    )

@@ -615,3 +615,46 @@ def golden_record_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "n_members", "golden_text", "text_doc_id",
                 "lang", "source", "total_chars")
     )
+
+
+@query(
+    "fuzzy_jaro_winkler_match",
+    """
+    WITH names AS (
+        SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS block
+        FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+    FROM names a
+    JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+    WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.84
+    """,
+)
+def fuzzy_jaro_winkler_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Jaro-Winkler linkage over distinct part names (first-word
+    blocks, pairs ≥ 0.84): the record-linkage companion to the levenshtein
+    join, with prefix-weighted similarity instead of edit counts. The
+    engine's JW kernel (operators/dedup_fuzzy.py:jaro_winkler, Python
+    inside Arrow batches) is bit-identical to DuckDB's RapidFuzz
+    implementation — boost threshold 0.7, ≤4-char 0.1 prefix boost, exact
+    IEEE term order — so the oracle hash-compares the SCORES, not just
+    which pairs matched (8000-pair exhaustive parity pytest)."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        jaro_winkler_pairs,
+    )
+
+    names = (
+        Catalog(spark, sf_dir).part
+        .select("p_name").distinct()
+        .withColumn("block", F.element_at(F.split("p_name", " "), 1))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "block")
+    b = names.select(F.col("p_name").alias("name_b"),
+                     F.col("block").alias("block_b"))
+    pairs = (
+        a.join(b, (F.col("block") == F.col("block_b"))
+               & (F.col("name_a") < F.col("name_b")))
+        .select("name_a", "name_b")
+    )
+    return jaro_winkler_pairs(pairs, "name_a", "name_b", threshold=0.84)
