@@ -744,3 +744,43 @@ def harmonic_centrality(edges: DataFrame, sources: list[str],
             F.round(F.sum(fp) / F.lit(1000000.0), 6).alias("harmonic"),
         )
     )
+
+
+def weighted_textrank(edges: DataFrame, n_iter: int = 8,
+                      damping: float = 0.85) -> DataFrame:
+    """Weighted TextRank scores (Mihalcea & Tarau 2004, public method) over
+    symmetric weighted edges (src, dst, weight) → (id, score). The TextRank
+    recurrence — note the UN-normalized (1-d) constant, unlike PageRank's
+    (1-d)/N:
+
+        WS(i) = (1-d) + d · Σ_{j→i} w_ji / Σ_k w_jk · WS(j)
+
+    Fixed iteration count; per round ONE keyed join (edge weight/out-strength
+    are pre-joined, iteration-invariant) + one hash aggregate. Contribution
+    sums are fixed-point bigints over 6dp-quantized state (the HITS/k-means
+    treatment), so every round is bit-reproducible across partitionings and
+    engines; constants enter both engines via ``repr`` so the doubles are
+    identical. Callers pass symmetric edges for the undirected TextRank
+    semantics (every vertex then has out-strength > 0 — no dangling term)."""
+    vertices = edges.select(F.col("src").alias("id")).distinct() \
+        .localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
+    ew = edges.join(outw, on="src") \
+        .select("src", "dst", "weight", "outw").localCheckpoint(eager=True)
+    scores = vertices.withColumn("score", F.lit(1.0))
+    for _ in range(n_iter):
+        contrib = (
+            ew.join(scores.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.sum(F.round(F.col("score") * F.col("weight")
+                                / F.col("outw") * 1000000).cast("bigint"))
+                  / F.lit(1000000.0)).alias("s"))
+        )
+        scores = (
+            vertices.join(contrib, on="id", how="left")
+            .select("id", F.round(
+                F.lit(1 - damping)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)), 6
+            ).alias("score"))
+        ).localCheckpoint(eager=True)
+    return scores

@@ -467,3 +467,115 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("avg_logprob") >= F.col("t_low")).alias("keep"),
         )
     )
+
+
+# --- TextRank keyword extraction ---------------------------------------------
+
+
+def _textrank_oracle(n_iter: int = 8, damping: float = 0.85,
+                     top_k: int = 25) -> str:
+    """DuckDB twin of the TextRank pipeline: co-occurrence edge build +
+    every iteration unrolled as a MATERIALIZED CTE with the same
+    fixed-point bigint contribution sums and 6dp state rounding as
+    ``operators.graph.weighted_textrank``. Constants enter via ``repr`` so
+    both engines iterate with bit-identical doubles."""
+    base, d = repr(1 - damping), repr(damping)
+    iters = []
+    prev = "s0"
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+    s{i} AS MATERIALIZED (
+        SELECT v.id, round({base} + {d} * coalesce(c.s, 0), 6) AS score
+        FROM vertices v
+        LEFT JOIN (
+            SELECT e.dst AS id,
+                   sum(CAST(round(p.score * e.weight / e.outw * 1000000)
+                            AS BIGINT)) / 1000000.0 AS s
+            FROM ew e JOIN s{i - 1} p ON e.src = p.id
+            GROUP BY e.dst
+        ) c ON v.id = c.id
+    )""")
+        prev = f"s{i}"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+    ),
+    tok AS (
+        SELECT doc_id, unnest(ts) AS w,
+               unnest(range(1, len(ts) + 1)) AS pos
+        FROM toks
+    ),
+    pr AS (
+        SELECT a.w AS x, b.w AS y
+        FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.w <> b.w
+    ),
+    und AS (
+        SELECT least(x, y) AS a, greatest(x, y) AS b,
+               CAST(count(*) AS BIGINT) AS weight
+        FROM pr GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT a AS src, b AS dst, weight FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst, weight FROM und
+    ),
+    vertices AS (SELECT DISTINCT src AS id FROM edges),
+    outw AS (SELECT src, CAST(sum(weight) AS BIGINT) AS outw
+             FROM edges GROUP BY src),
+    ew AS MATERIALIZED (
+        SELECT e.src, e.dst, e.weight, o.outw
+        FROM edges e JOIN outw o ON e.src = o.src
+    ),
+    s0 AS MATERIALIZED (
+        SELECT id, CAST(1.0 AS DOUBLE) AS score FROM vertices
+    ),
+    {','.join(iters)}
+    SELECT id AS word, score FROM {prev}
+    ORDER BY score DESC, word
+    LIMIT {top_k}
+    """
+
+
+@query("text_textrank_keywords", _textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): adjacent-token
+    co-occurrence edges over the document corpus (window 2, undirected,
+    weighted by corpus-wide pair frequency), 8 rounds of weighted TextRank
+    (operators/graph.py:weighted_textrank), top-25 words by score. The
+    adjacent-pair build is a zip of the token array with its own tail —
+    a pure per-row expression, NO positional self-join (the oracle joins
+    on position; the engine plan never does) — then one hash aggregate per
+    edge direction. Every iteration is differential-tested via the
+    unrolled fixed-point CTE oracle, like PageRank/HITS."""
+    from hierarchical_graph_db_spark.operators.graph import weighted_textrank
+
+    docs = Catalog(spark, sf_dir).documents
+    ts = tokens("text")
+    pairs = (
+        docs.select(ts.alias("ts"))
+        .where(F.size("ts") >= 2)
+        .select(F.explode(F.arrays_zip(
+            F.slice("ts", 1, F.size("ts") - 1).alias("x"),
+            F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("y"),
+        )).alias("p"))
+        .where(F.col("p.x") != F.col("p.y"))
+    )
+    und = (
+        pairs.select(F.least("p.x", "p.y").alias("a"),
+                     F.greatest("p.x", "p.y").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                       "weight").unionByName(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"),
+                   "weight"))
+    scores = weighted_textrank(edges, n_iter=8)
+    return (
+        scores.select(F.col("id").alias("word"), "score")
+        .orderBy(F.desc("score"), F.asc("word"))
+        .limit(25)
+    )
