@@ -622,3 +622,74 @@ def drift_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_05"),
         (F.max(diff) > crit).alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier profiling: median / MAD modified z-scores
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anomaly_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mads AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    ),
+    scored AS (
+        SELECT d.event_type, d.med, m.mad,
+               CASE WHEN m.mad > 0
+                    THEN round(0.6745 * d.adev / m.mad, 6) END AS mod_z
+        FROM dev d JOIN mads m USING (event_type)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN mod_z > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(min(med), 4) AS med,
+           round(min(mad), 4) AS mad,
+           round(max(mod_z), 6) AS max_mod_z
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: modified z-scores from the
+    median and the median absolute deviation (Iglewicz & Hoaglin 1993,
+    public method — 0.6745·|v−med|/MAD, flag > 3.5). Unlike the rolling
+    z-score (mean/stddev) detector, the breakdown point is 50% — a burst
+    of extreme values cannot drag the threshold. Two grouped exact-median
+    passes with the per-group constants BROADCAST back (group count is
+    bounded); at 100 TB the exact medians swap for percentile_approx
+    exactly as documented in agg_exact_percentiles."""
+    ev = Catalog(spark, sf_dir).events
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mads = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    scored = (
+        dev.join(F.broadcast(mads), "event_type")
+        .select("event_type", "med", "mad",
+                F.when(F.col("mad") > 0,
+                       F.round(F.lit(0.6745) * F.col("adev")
+                               / F.col("mad"), 6)).alias("mod_z"))
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("mod_z") > 3.5, 1).otherwise(0)).cast("bigint")
+        .alias("n_outliers"),
+        F.round(F.min("med"), 4).alias("med"),
+        F.round(F.min("mad"), 4).alias("mad"),
+        F.round(F.max("mod_z"), 6).alias("max_mod_z"),
+    )
