@@ -137,6 +137,11 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "quality_constraint_suite",
     "dedup_sorted_neighborhood",
+    # CDC MERGE shape (net agg + anti join — a regression to a window/sort
+    # net or a base rewrite shows up here) and the double-grouped-median
+    # robust-outlier pass.
+    "cdc_apply_changelog",
+    "anomaly_mad_outliers",
 ]
 
 

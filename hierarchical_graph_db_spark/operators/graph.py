@@ -784,3 +784,92 @@ def weighted_textrank(edges: DataFrame, n_iter: int = 8,
             ).alias("score"))
         ).localCheckpoint(eager=True)
     return scores
+
+
+def betweenness_sampled(edges: DataFrame, sources: list[str],
+                        max_hops: int = 4) -> DataFrame:
+    """Sampled, hop-bounded betweenness centrality (Brandes 2001; source
+    sampling per Brandes & Pich 2007; k-bounded variant — all public
+    methods) over DIRECTED (src, dst) edges → (id, betweenness): each
+    vertex's summed shortest-path dependency δ_s(v) over the k seed
+    sources, counting only shortest paths of ≤ ``max_hops`` edges.
+
+    Forward: one level-synchronous multi-source BFS carrying exact path
+    counts — per hop, ONE keyed join + hash aggregate (σ sums are exact
+    bigints; in an unweighted level-BFS every shortest path to a depth-h
+    vertex extends a depth-(h-1) vertex, so σ accumulates within the hop's
+    aggregate) + an anti-join against the visited set. Backward: Brandes'
+    dependency accumulation runs depth-by-depth — successors of a depth-d
+    vertex sit exactly at depth d+1, so each level is ONE join against the
+    deeper level's deltas plus a hash aggregate, no accumulation
+    conflicts:
+
+        δ(v) = Σ_{w: succ}  σ_v / σ_w · (1 + δ(w))
+
+    Determinism: σ are integers; δ contributions are 1e-6 fixed-point
+    bigint sums over 6dp-quantized deltas (the HITS/TextRank treatment),
+    so both phases replay bit-exact in the unrolled CTE oracle. Cost:
+    ≤ 2·max_hops joins total for ALL sources (k× frontier state, not k
+    jobs), every shuffle keyed on the vertex id."""
+    spark = edges.sparkSession
+    e = (edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+         .distinct().localCheckpoint(eager=True))
+    visited = spark.createDataFrame(
+        [(s, s, 0, 1) for s in sources],
+        "source string, id string, dist int, sigma bigint",
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    depths = 0
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, on=["source", "id"], how="left_anti")
+            .withColumn("dist", F.lit(hop))
+            .select("source", "id", "dist", "sigma")
+        ).localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        depths = hop
+
+    empty = visited.where(F.lit(False)).select(
+        "id", F.lit(0.0).alias("betweenness"))
+    if depths == 0:
+        return empty
+
+    dl = (visited.where(F.col("dist") == depths)
+          .select("source", "id", "sigma", F.lit(0.0).alias("delta")))
+    acc = None
+    for d in range(depths, 0, -1):
+        acc = dl if acc is None else acc.unionByName(dl)
+        level = visited.where(F.col("dist") == d - 1)
+        contrib = (
+            level.select("source", F.col("id").alias("vid"),
+                         F.col("sigma").alias("sv"))
+            .join(e, F.col("vid") == e.src)
+            .join(dl.select("source", F.col("id").alias("wid"),
+                            F.col("sigma").alias("sw"), "delta"),
+                  on=["source"])
+            .where(F.col("wid") == F.col("dst"))
+            .groupBy("source", "vid")
+            .agg((F.sum(F.round(F.col("sv") / F.col("sw")
+                                * (F.lit(1.0) + F.col("delta"))
+                                * 1000000).cast("bigint"))
+                  / F.lit(1000000.0)).alias("s"))
+        )
+        dl = (
+            level.join(contrib.withColumnRenamed("vid", "id"),
+                       on=["source", "id"], how="left")
+            .select("source", "id", "sigma",
+                    F.round(F.coalesce(F.col("s"), F.lit(0.0)), 6)
+                    .alias("delta"))
+        ).localCheckpoint(eager=True)
+    return (
+        acc.groupBy("id")
+        .agg(F.round(
+            F.sum(F.round(F.col("delta") * 1000000).cast("bigint"))
+            / F.lit(1000000.0), 6).alias("betweenness"))
+    )

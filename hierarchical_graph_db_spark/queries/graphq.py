@@ -671,3 +671,92 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").cast("string").alias("dst"),
     )
     return harmonic_centrality(edges, ["1", "2", "3", "4"], max_hops=6)
+
+
+def _betweenness_oracle(n_hops: int = 4,
+                        seeds: tuple[str, ...] = ("1", "2", "3", "4")) -> str:
+    """DuckDB twin of ``operators.graph.betweenness_sampled``: the forward
+    σ-counting BFS unrolls one CTE per hop (group-sum of predecessor σ,
+    anti-filtered against the visited prefix), the backward dependency
+    accumulation unrolls one CTE per depth from the deepest level up, with
+    the same fixed-point bigint contribution sums and 6dp delta rounding.
+    Empty levels yield empty CTEs, so the fixed unroll equals the engine's
+    early-stopping loop."""
+    seed_vals = ", ".join(f"('{s}')" for s in seeds)
+    fwd = []
+    prev_f, prev_vis = "f0", "vis0"
+    for h in range(1, n_hops + 1):
+        fwd.append(f"""
+    f{h} AS MATERIALIZED (
+        SELECT f.source, e.dst AS id, {h} AS dist,
+               CAST(sum(f.sigma) AS BIGINT) AS sigma
+        FROM {prev_f} f JOIN e ON f.id = e.src
+        WHERE NOT EXISTS (SELECT 1 FROM {prev_vis} v
+                          WHERE v.source = f.source AND v.id = e.dst)
+        GROUP BY 1, 2
+    ),
+    vis{h} AS MATERIALIZED (
+        SELECT * FROM {prev_vis} UNION ALL SELECT * FROM f{h}
+    )""")
+        prev_f, prev_vis = f"f{h}", f"vis{h}"
+    bwd = [f"""
+    dl{n_hops} AS MATERIALIZED (
+        SELECT source, id, sigma, CAST(0 AS DOUBLE) AS delta
+        FROM {prev_vis} WHERE dist = {n_hops}
+    )"""]
+    for d in range(n_hops, 0, -1):
+        bwd.append(f"""
+    dl{d - 1} AS MATERIALIZED (
+        SELECT v.source, v.id, v.sigma, round(coalesce(c.s, 0), 6) AS delta
+        FROM (SELECT * FROM {prev_vis} WHERE dist = {d - 1}) v
+        LEFT JOIN (
+            SELECT p.source, p.id AS vid,
+                   sum(CAST(round(p.sigma / w.sigma * (1 + w.delta)
+                                  * 1000000) AS BIGINT)) / 1000000.0 AS s
+            FROM (SELECT * FROM {prev_vis} WHERE dist = {d - 1}) p
+            JOIN e ON p.id = e.src
+            JOIN dl{d} w ON w.source = p.source AND w.id = e.dst
+            GROUP BY 1, 2
+        ) c ON c.source = v.source AND c.vid = v.id
+    )""")
+    union_dl = " UNION ALL ".join(
+        f"SELECT * FROM dl{d}" for d in range(1, n_hops + 1))
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({_SQL_EDGES}) WHERE src <> dst
+    ),
+    f0 AS (SELECT s AS source, s AS id, 0 AS dist,
+                  CAST(1 AS BIGINT) AS sigma
+           FROM (VALUES {seed_vals}) seeds(s)),
+    vis0 AS (SELECT * FROM f0),
+    {','.join(fwd)},
+    {','.join(bwd)}
+    SELECT id,
+           round(CAST(sum(CAST(round(delta * 1000000) AS BIGINT)) AS BIGINT)
+                 / 1000000.0, 6) AS betweenness
+    FROM ({union_dl}) u
+    GROUP BY id
+    """
+
+
+@query("graph_betweenness_sampled", _betweenness_oracle())
+def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled hop-bounded betweenness (Brandes 2001 / Brandes & Pich 2007)
+    from 4 landmark users over the directed interaction graph, shortest
+    paths capped at 4 hops — who sits ON the communication paths, the
+    brokerage complement to PageRank's prestige and HITS' hub/authority.
+    Both Brandes phases (σ-counting forward BFS, depth-by-depth dependency
+    accumulation) unroll into the CTE oracle with exact integer path
+    counts and fixed-point delta sums (operators/graph.py:
+    betweenness_sampled)."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        betweenness_sampled,
+        sequential_interaction_edges,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return betweenness_sampled(edges, ["1", "2", "3", "4"], max_hops=4)
