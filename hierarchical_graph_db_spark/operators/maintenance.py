@@ -225,21 +225,28 @@ def incremental_join_delta(state_a: DataFrame, delta_a: DataFrame,
 # --- CDC changelog apply (lakehouse MERGE semantics) -------------------------
 
 def changelog_net(changes: DataFrame, keys: list[str], seq_col: str,
-                  op_col: str) -> DataFrame:
+                  op_col: str, carry_seq: bool = False) -> DataFrame:
     """Collapse a changelog to its NET effect per key: the change with the
     highest ``(seq, op)`` wins (last-writer-wins; ``(seq, op)`` must be
     unique per key — the caller's sequencing contract, same as Debezium's
     LSN ordering). One ``max_by`` hash aggregate: partials collapse
     map-side, so a billion-row changelog nets down before it shuffles —
-    the exchange moves one row per DISTINCT key, not per change."""
+    the exchange moves one row per DISTINCT key, not per change.
+
+    With ``carry_seq`` the winner's sequence rides along in the output
+    (keys, op, seq, values) — what the streaming CDC sink needs to keep
+    per-row versions in the store for cross-batch conflict resolution."""
     val_cols = [c for c in changes.columns
                 if c not in (*keys, seq_col, op_col)]
     order_key = F.struct(F.col(seq_col), F.col(op_col))
     payload = F.struct(F.col(op_col).alias("op"),
+                       *([F.col(seq_col).alias(seq_col)] if carry_seq
+                         else []),
                        *[F.col(c).alias(c) for c in val_cols])
     net = (changes.groupBy(*keys)
            .agg(F.max_by(payload, order_key).alias("_net")))
-    return net.select(*keys, F.col("_net.op").alias(op_col),
+    carried = [F.col(f"_net.{seq_col}").alias(seq_col)] if carry_seq else []
+    return net.select(*keys, F.col("_net.op").alias(op_col), *carried,
                       *[F.col(f"_net.{c}").alias(c) for c in val_cols])
 
 

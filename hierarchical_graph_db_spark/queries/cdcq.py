@@ -149,3 +149,48 @@ def cdc_agg_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, changes = _cdc_inputs(spark, sf_dir)
     return agg_view_changelog_delta(
         base, changes, ["event_id"], "event_type", "value_cents")
+
+
+@query(
+    "streaming_cdc_upsert",
+    f"""
+    WITH {_CDC_CTES}
+    SELECT event_id, user_id, event_type, value_cents FROM applied
+    """,
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same changelog delivered as THREE sequenced micro-batches through
+    the streaming CDC sink (streaming/ingest.py:CdcParquetSink) into the
+    transactional bucketed store — base as seq-0 inserts, then the two
+    change generations — and read back. Sequential per-batch application
+    must equal the one-shot batch MERGE (the cdc_apply_changelog oracle is
+    reused verbatim): LWW against STORED sequences, upsert-on-absent,
+    physical deletes (incl. manifest-dropped emptied buckets). Each batch
+    touches only the store buckets its keys hash to — O(|batch|) per
+    batch, never O(|store|). The result is localCheckpoint-ed so the temp
+    store is removed before returning."""
+    import shutil
+    import tempfile
+
+    from hierarchical_graph_db_spark.streaming.ingest import (
+        CdcParquetSink,
+        read_cdc_store,
+    )
+
+    base, changes = _cdc_inputs(spark, sf_dir)
+    b0 = base.select(
+        "event_id", F.lit(0).alias("seq"), F.lit("I").alias("op"),
+        "user_id", "event_type", "value_cents")
+    store_dir = tempfile.mkdtemp(prefix="hgdb_cdc_store_")
+    try:
+        sink = CdcParquetSink(spark, store_dir, keys=["event_id"],
+                              seq_col="seq", op_col="op")
+        sink(b0, batch_id=0)
+        sink(changes.where(F.col("seq") == 1), batch_id=1)
+        sink(changes.where(F.col("seq") == 2), batch_id=2)
+        out = (read_cdc_store(spark, store_dir)
+               .select("event_id", "user_id", "event_type", "value_cents")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+    return out

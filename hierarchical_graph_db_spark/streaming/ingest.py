@@ -164,3 +164,89 @@ def run_available_now(stream_df: DataFrame, sink, checkpoint_dir: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+class CdcParquetSink:
+    """``foreachBatch`` body: apply an insert/update/delete changelog stream
+    to the bucketed store — the streaming MERGE INTO (the CDC counterpart
+    of :class:`DedupParquetSink`'s append-only dedup).
+
+    Each micro-batch nets per key (``operators/maintenance.py:
+    changelog_net`` — one map-side-collapsing aggregate), then merges
+    against ONLY the store buckets its keys touch: stored rows enter the
+    same net as pseudo-changes with op ``'B'`` at their persisted sequence
+    — lexicographically below ``'D'/'I'/'U'``, so an incoming change at the
+    same sequence beats the stored row, an older one loses. Winners with op
+    ≠ 'D' (sequence kept) become the buckets' new content; deletes
+    physically disappear. Per-batch cost O(|batch| + touched buckets).
+
+    Delivery contract: per-key sequences must be monotone across batches
+    (Debezium's per-key ordering); true replays (same ``batch_id``) are
+    skipped by the store ledger, and at-least-once redeliveries under new
+    batch ids reconverge because the net is idempotent and stored sequences
+    win over older changes. A delete is forgotten once applied (no
+    tombstone retention) — an *older-than-the-delete* update redelivered
+    after it would resurrect the row, which the monotone-sequence contract
+    excludes; stores that must tolerate sequence regressions keep TTL'd
+    tombstones instead.
+    """
+
+    def __init__(self, spark: SparkSession, store_path: str,
+                 keys: list[str], seq_col: str = "seq", op_col: str = "op",
+                 n_buckets: int = 64):
+        self.store = BucketedParquetStore(spark, store_path)
+        self.keys = keys
+        self.seq_col = seq_col
+        self.op_col = op_col
+        self.n_buckets = n_buckets
+
+    def _bucket_of(self, *cols) -> F.Column:
+        return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets)).cast("int")
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        from hierarchical_graph_db_spark.operators.maintenance import (
+            changelog_net,
+        )
+
+        if self.store.already_done(batch_id):
+            return
+        net = changelog_net(batch, self.keys, self.seq_col, self.op_col,
+                            carry_seq=True).persist()
+        try:
+            touched = [
+                r[0] for r in net.select(
+                    self._bucket_of(*self.keys).alias("b"))
+                .distinct().collect()
+            ]
+            if not touched:
+                self.store.mark_committed(batch_id)
+                return
+            if self.store.exists():
+                stored = self.store.read(buckets=touched).drop("bucket_id")
+                pseudo = stored.withColumn(self.op_col, F.lit("B"))
+                final = changelog_net(
+                    pseudo.unionByName(net.select(*pseudo.columns)),
+                    self.keys, self.seq_col, self.op_col, carry_seq=True)
+            else:
+                final = net
+            keep = final.where(F.col(self.op_col) != F.lit("D")) \
+                .drop(self.op_col)
+            merged = keep.withColumn(
+                "bucket_id", self._bucket_of(*self.keys))
+            # A delete can wipe a bucket entirely; absence from `merged`
+            # alone cannot express that — name the emptied buckets so the
+            # commit drops them from the live manifest (O(n_buckets) ids).
+            present = {
+                r[0] for r in merged.select("bucket_id").distinct().collect()
+            }
+            self.store.commit(batch_id, merged,
+                              emptied=[b for b in touched
+                                       if b not in present])
+        finally:
+            net.unpersist()
+
+
+def read_cdc_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Query side of :class:`CdcParquetSink` (bucket column dropped; the
+    persisted per-row sequence stays — it is the row's version)."""
+    return BucketedParquetStore(spark, store_path).read().drop("bucket_id")

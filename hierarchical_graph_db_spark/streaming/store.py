@@ -244,14 +244,19 @@ class BucketedParquetStore:
                 and pending.get("entries") is not None
                 and os.path.exists(os.path.join(self._scratch(batch_id), "_SUCCESS"))):
             self._publish(batch_id, pending["entries"],
-                          schema_json=pending.get("schema"))
+                          schema_json=pending.get("schema"),
+                          emptied=pending.get("emptied"))
             return True
         return False
 
-    def commit(self, batch_id: int, merged_touched: DataFrame) -> None:
+    def commit(self, batch_id: int, merged_touched: DataFrame,
+               emptied: list[str] | None = None) -> None:
         """Durably replace the touched buckets with ``merged_touched``
         (which must contain ``bucket_col`` and the full post-merge contents
-        of every bucket it mentions)."""
+        of every bucket it mentions). ``emptied`` names bucket ids whose
+        post-merge contents are ZERO rows (a CDC delete can wipe a bucket;
+        absence from the data alone cannot express that) — they are
+        removed from the live manifest at the same atomic swap."""
         scratch = self._scratch(batch_id)
         # Scratch is written ALREADY partitioned by bucket: the publish step
         # is then per-bucket directory moves + one manifest swap (metadata
@@ -272,10 +277,13 @@ class BucketedParquetStore:
         # The schema travels through pending.json into the manifest so a
         # crash-replay publish pins it identically to a clean commit.
         schema_json = merged_touched.schema.json()
+        emptied_entries = [f"{prefix}{b}" for b in (emptied or [])]
         self._write_json("pending.json", {"batch_id": batch_id,
                                           "entries": entries,
+                                          "emptied": emptied_entries,
                                           "schema": schema_json})
-        self._publish(batch_id, entries, schema_json=schema_json)
+        self._publish(batch_id, entries, schema_json=schema_json,
+                      emptied=emptied_entries)
 
     def mark_committed(self, batch_id: int) -> None:
         """Advance the manifest for a batch that needed no data change."""
@@ -285,7 +293,8 @@ class BucketedParquetStore:
         self._write_json("manifest.json", manifest)
 
     def _publish(self, batch_id: int, entries: list[str],
-                 schema_json: str | None = None) -> None:
+                 schema_json: str | None = None,
+                 emptied: list[str] | None = None) -> None:
         """Publish scratch → data: move each touched bucket's rows into a
         NEW immutable version dir, then swap the manifest once.
 
@@ -307,6 +316,10 @@ class BucketedParquetStore:
         manifest["batch_id"] = batch_id
         for entry in entries:
             manifest["buckets"][entry] = batch_id
+        for entry in emptied or []:
+            # the bucket's last version stays on disk for as_of snapshots
+            # (vacuum bounds it); only the LIVE pointer disappears
+            manifest["buckets"].pop(entry, None)
         if schema_json is not None:
             manifest["schema"] = schema_json
         # Archive first (same-content rewrite under replay), then swap the

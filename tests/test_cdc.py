@@ -89,3 +89,85 @@ def test_apply_changelog_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "Window" not in plan and "WindowExec" not in plan
+
+
+# --- streaming CDC sink over the bucketed store ------------------------------
+
+CDC_SCHEMA = "k bigint, seq int, op string, grp string, m bigint"
+
+
+def _sink(spark, tmp_path, n_buckets=4):
+    from hierarchical_graph_db_spark.streaming.ingest import CdcParquetSink
+
+    return CdcParquetSink(spark, str(tmp_path / "store"), keys=["k"],
+                          n_buckets=n_buckets)
+
+
+def _state(spark, tmp_path):
+    from hierarchical_graph_db_spark.streaming.ingest import read_cdc_store
+
+    return {r["k"]: (r["seq"], r["grp"], r["m"])
+            for r in read_cdc_store(spark, str(tmp_path / "store"))
+            .collect()}
+
+
+def test_cdc_sink_applies_batches(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink(spark.createDataFrame(
+        [(1, 1, "I", "a", 10), (2, 1, "I", "a", 20), (3, 1, "I", "b", 30)],
+        CDC_SCHEMA), batch_id=0)
+    sink(spark.createDataFrame(
+        [(1, 2, "U", "a", 11), (2, 2, "D", "a", 0), (4, 2, "U", "c", 40)],
+        CDC_SCHEMA), batch_id=1)
+    assert _state(spark, tmp_path) == {
+        1: (2, "a", 11), 3: (1, "b", 30), 4: (2, "c", 40)}
+
+
+def test_cdc_sink_stale_change_loses_to_stored_seq(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink(spark.createDataFrame([(1, 5, "I", "a", 50)], CDC_SCHEMA), 0)
+    # an older (lower-seq) update arriving later must NOT overwrite
+    sink(spark.createDataFrame([(1, 3, "U", "a", 30)], CDC_SCHEMA), 1)
+    assert _state(spark, tmp_path)[1] == (5, "a", 50)
+
+
+def test_cdc_sink_replay_same_batch_is_skipped(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    sink(spark.createDataFrame([(1, 1, "I", "a", 10)], CDC_SCHEMA), 0)
+    # replay of batch 0 with DIFFERENT (bogus) content must be a no-op
+    sink(spark.createDataFrame([(1, 9, "U", "z", 99)], CDC_SCHEMA), 0)
+    assert _state(spark, tmp_path)[1] == (1, "a", 10)
+
+
+def test_cdc_sink_delete_empties_bucket_and_manifest(spark, tmp_path):
+    from hierarchical_graph_db_spark.streaming.store import (
+        BucketedParquetStore,
+    )
+
+    sink = _sink(spark, tmp_path, n_buckets=2)
+    sink(spark.createDataFrame([(1, 1, "I", "a", 10)], CDC_SCHEMA), 0)
+    sink(spark.createDataFrame([(1, 2, "D", "a", 0)], CDC_SCHEMA), 1)
+    assert _state(spark, tmp_path) == {}
+    store = BucketedParquetStore(spark, str(tmp_path / "store"))
+    assert store._manifest()["buckets"] == {}
+    # the pre-delete snapshot remains time-travelable
+    asof = store.read(as_of=0).drop("bucket_id")
+    assert [(r["k"], r["m"]) for r in asof.collect()] == [(1, 10)]
+
+
+def test_cdc_sink_matches_batch_apply(spark, tmp_path):
+    """Sequential micro-batches == one-shot apply_changelog on the union."""
+    base_rows = [(i, 0, "I", "g" + str(i % 3), i * 10) for i in range(20)]
+    b1 = [(i, 1, ("D" if i % 4 == 0 else "U"), "h", i) for i in range(0, 20, 2)]
+    b2 = [(i, 2, ("U" if i % 8 else "D"), "z", i + 1) for i in range(0, 20, 4)]
+    sink = _sink(spark, tmp_path)
+    for bid, rows in enumerate((base_rows, b1, b2)):
+        sink(spark.createDataFrame(rows, CDC_SCHEMA), bid)
+    got = _state(spark, tmp_path)
+
+    base = spark.createDataFrame(
+        [(k, g, m) for k, _, _, g, m in base_rows], "k bigint, grp string, m bigint")
+    changes = spark.createDataFrame(b1 + b2, CDC_SCHEMA)
+    expect = {r["k"]: (r["grp"], r["m"])
+              for r in apply_changelog(base, changes, ["k"]).collect()}
+    assert {k: (g, m) for k, (_, g, m) in got.items()} == expect
