@@ -693,3 +693,109 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("mad"), 4).alias("mad"),
         F.round(F.max("mod_z"), 6).alias("max_mod_z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint over binned event time
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "drift_cusum_changepoint",
+    """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               CAST(epoch_us(ts) AS BIGINT) AS t
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS total,
+               min(t) AS tmin, max(t) AS tmax
+        FROM ev GROUP BY event_type
+    ),
+    per_bin AS (
+        SELECT e.event_type,
+               least(255, ((e.t - s.tmin) * 256) // (s.tmax - s.tmin + 1))
+                   AS bin,
+               CAST(sum(e.cents) AS BIGINT) AS bin_cents,
+               CAST(count(*) AS BIGINT) AS bin_n
+        FROM ev e JOIN stats s USING (event_type)
+        GROUP BY 1, 2
+    ),
+    dev AS (
+        SELECT p.event_type, p.bin,
+               p.bin_cents
+               - CAST(round(p.bin_n * (s.total / s.n)) AS BIGINT) AS d
+        FROM per_bin p JOIN stats s USING (event_type)
+    ),
+    cusum AS (
+        SELECT event_type, bin,
+               CAST(sum(d) OVER (PARTITION BY event_type ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+        FROM dev
+    ),
+    ranked AS (
+        SELECT event_type, bin, s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(s) DESC, bin ASC) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_bins
+        FROM cusum
+    )
+    SELECT event_type, n_bins, CAST(bin AS BIGINT) AS cp_bin,
+           round(s / 100.0, 2) AS max_cusum_dev
+    FROM ranked WHERE rn = 1
+    """,
+)
+def drift_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization per event type (Page 1954, public
+    method): cumulative sum of per-bin deviations from the type's mean
+    value over 256 equi-width time bins; the bin where |S| peaks is the
+    most likely mean-shift point. All arithmetic is exact-integer cents —
+    the deviation is bin_cents − round(expected), the cumulative sum is a
+    bigint running total — so no float-summation order can flip the
+    answer. The KS-drift treatment applied to changepoint LOCALIZATION:
+    cumulative windows run over ≤256 bin rows per type (bounded), bin
+    aggregation partial-collapses map-side, per-type stats broadcast."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("t"))
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.min("t").alias("tmin"), F.max("t").alias("tmax"))
+    binned = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("bin", F.least(
+            F.lit(255),
+            F.expr("((t - tmin) * 256) div (tmax - tmin + 1)")))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cents").cast("bigint").alias("bin_cents"),
+             F.count(F.lit(1)).alias("bin_n"))
+    )
+    dev = (
+        binned.join(F.broadcast(stats), "event_type")
+        .select("event_type", "bin",
+                (F.col("bin_cents")
+                 - F.round(F.col("bin_n") * (F.col("total") / F.col("n")))
+                 .cast("bigint")).alias("d"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cusum = dev.select(
+        "event_type", "bin",
+        F.sum("d").over(w).cast("bigint").alias("s"))
+    return (
+        cusum.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_bins"),
+             F.max_by(F.struct(F.col("bin"), F.col("s")),
+                      F.struct(F.abs("s"), -F.col("bin"))).alias("_cp"))
+        .select("event_type", "n_bins",
+                F.col("_cp.bin").cast("bigint").alias("cp_bin"),
+                F.round(F.col("_cp.s") / 100.0, 2).alias("max_cusum_dev"))
+    )

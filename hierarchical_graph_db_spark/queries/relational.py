@@ -709,3 +709,63 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "min_partkey": F.min("p_partkey")},
         bucket=F.floor(F.col("price") / 100),
     )
+
+
+# --- higher-order array functions (transform/filter/exists/zip_with/fold) ----
+
+
+@query(
+    "array_hof_metrics",
+    """
+    WITH lists AS (
+        SELECT user_id,
+               list(CAST(round(value * 100) AS BIGINT)
+                    ORDER BY ts, event_id) AS l
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(l) AS BIGINT) AS n,
+           CAST(list_sum(l) AS BIGINT) AS total_cents,
+           CAST(len(list_filter(l, x -> x > 5000)) AS BIGINT) AS n_large,
+           len(list_filter(l, x -> x < 0)) > 0 AS any_negative,
+           CAST(list_sum(list_sort(l, 'DESC')[1:3]) AS BIGINT)
+               AS top3_cents,
+           CAST(list_max(list_zip(l[2:], l[:-1])
+                         .apply(t -> t[1] - t[2])) AS BIGINT) AS max_jump
+    FROM lists
+    """,
+)
+def array_hof_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function surface in one query — transform-
+    free fold (aggregate), filter, exists, zip_with over a shifted copy
+    (adjacent deltas WITHOUT a positional self-join), sort+slice — over
+    each user's time-ordered value sequence. The list itself is built
+    deterministically (sort_array of (ts, event_id, cents) structs, then
+    projected), because collect_list order is partition-dependent. All
+    element math is integer cents, so the fold needs no float-order care.
+    HOFs evaluate inside the project after ONE groupBy — the array is the
+    per-key state, the classic Spark substitute for per-row UDF loops."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    lists = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("ts", "event_id", "cents"))),
+            lambda s: s["cents"]).alias("l"))
+    l = F.col("l")
+    n1 = F.size(l) - 1
+    diffs = F.zip_with(F.slice(l, 2, n1), F.slice(l, 1, n1),
+                       lambda a, b: a - b)
+    return lists.select(
+        "user_id",
+        F.size(l).cast("bigint").alias("n"),
+        F.aggregate(l, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("total_cents"),
+        F.size(F.filter(l, lambda x: x > 5000)).cast("bigint")
+        .alias("n_large"),
+        F.exists(l, lambda x: x < 0).alias("any_negative"),
+        F.aggregate(F.slice(F.sort_array(l, asc=False), 1, 3),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("top3_cents"),
+        F.array_max(diffs).cast("bigint").alias("max_jump"),
+    )

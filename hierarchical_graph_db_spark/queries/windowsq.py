@@ -503,3 +503,49 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.sum("n").over(row_tot).cast("double"), 6)
         .alias("p"),
     )
+
+
+@query(
+    "window_distribution_functions",
+    """
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type, user_id, sum_cents,
+           round(cume_dist() OVER w, 6) AS cdist,
+           nth_value(user_id, 2) OVER wf AS second_user,
+           first_value(user_id) OVER wf  AS min_user,
+           last_value(user_id) OVER wf   AS max_user
+    FROM per_user
+    WINDOW w  AS (PARTITION BY event_type ORDER BY sum_cents, user_id),
+           wf AS (PARTITION BY event_type ORDER BY sum_cents, user_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_distribution_functions(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The remaining distribution/navigation window functions in one pass:
+    cume_dist over each type's per-user spend order, plus
+    nth_value/first_value/last_value over the explicit full-partition frame
+    (the frame spec matters — the default frame would make last_value the
+    running row). One shuffle; both windows share the (event_type) ×
+    (sum_cents, user_id) sort."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"))
+    w = Window.partitionBy("event_type").orderBy("sum_cents", "user_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per_user.select(
+        "event_type", "user_id", "sum_cents",
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("user_id", 2).over(wf).alias("second_user"),
+        F.first("user_id").over(wf).alias("min_user"),
+        F.last("user_id").over(wf).alias("max_user"),
+    )
