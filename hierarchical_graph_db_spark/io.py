@@ -109,3 +109,31 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, path: str, key: str,
+                   n_buckets: int = 64,
+                   sort_by: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed+sorted table layout — the co-located-join lever at 100 TB.
+
+    Writes ``df`` hash-bucketed (and per-file sorted) on ``key`` as catalog
+    table ``table`` backed by ``path``. Two tables bucketed on the same key
+    with the same bucket count join WITHOUT an Exchange on either side
+    (pinned in ``tests/test_storage_layout.py::
+    test_bucketed_join_needs_no_shuffle``) — the layout for the dedupe-key
+    merge, the CDC anti-join base, and the incremental-view state tables.
+
+    The frame is repartitioned on the key into ``n_buckets`` partitions
+    first: Spark's writer otherwise emits one file per (task, bucket) —
+    a 1000-task batch over 64 buckets sprays 64k small files; repartition
+    uses the SAME murmur3 hash as ``bucketBy``, so each task then holds
+    exactly one bucket and writes one file. Readers use
+    ``spark.table(table)``; the session catalog carries the bucket spec
+    (at 100 TB: an external metastore)."""
+    (df.repartition(n_buckets, F.col(key))
+       .write.mode(mode)
+       .option("path", path)
+       .bucketBy(n_buckets, key)
+       .sortBy(*(sort_by or [key]))
+       .saveAsTable(table))

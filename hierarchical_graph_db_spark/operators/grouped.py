@@ -205,3 +205,55 @@ def ewma_values(events: DataFrame, alpha: float = 0.3,
             ).alias("ewma"),
         )
     )
+
+
+def holt_level_trend(events: DataFrame, alpha: float = 0.5,
+                     beta: float = 0.3) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing (Holt 1957, public
+    method) per user → ONE row (user_id, n, level, trend, forecast) with
+    the one-step-ahead forecast level+trend. State init: level = first
+    value, trend = 0.
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t − l_{t-1}) + (1-β)·b_{t-1}
+
+    The fold runs per user inside ``applyInPandas`` (sequential state, like
+    EWMA); output is O(1) per key. The 1-α/1-β complements are computed
+    ONCE here and injected into the SQL oracle via ``repr``, and the
+    oracle's ``list_reduce`` replays the identical expression tree — the
+    doubles match bit-for-bit (fuzz-verified), with a 5dp display rounding
+    on top. Scale note: the group scan holds one key's history in one
+    Arrow batch — for hot keys this 2-state linear recurrence
+    chunk-decomposes exactly like :func:`ewma_values` (matrix-product
+    prefixes); the fixture streams are bounded so the direct fold is the
+    clearer reference implementation."""
+    import pandas as pd
+
+    a, oma = alpha, 1.0 - alpha
+    g, omg = beta, 1.0 - beta
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["value"].tolist()
+        lv, b = float(xs[0]), 0.0
+        for x in xs[1:]:
+            x = float(x)
+            l2 = a * x + oma * (lv + b)
+            b = g * (l2 - lv) + omg * b
+            lv = l2
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n": [len(xs)], "level": [lv], "trend": [b],
+        })
+
+    raw = (events.select("user_id", "ts", "event_id", "value")
+           .groupBy("user_id")
+           .applyInPandas(fold,
+                          "user_id bigint, n bigint, level double, "
+                          "trend double"))
+    return raw.select(
+        "user_id", "n",
+        F.round("level", 5).alias("level"),
+        F.round("trend", 5).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 5).alias("forecast"),
+    )

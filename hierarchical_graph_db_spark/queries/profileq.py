@@ -799,3 +799,87 @@ def drift_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("_cp.bin").cast("bigint").alias("cp_bin"),
                 F.round(F.col("_cp.s") / 100.0, 2).alias("max_cusum_dev"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation vs truth (CBO statistics quality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_cardinality_estimate",
+    """
+    WITH a AS (
+        SELECT o_orderkey % 64 AS b, o_orderkey AS k FROM orders
+    ),
+    bt AS (
+        SELECT l_orderkey % 64 AS b, l_orderkey AS k FROM lineitem
+    ),
+    astats AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS na,
+               CAST(count(DISTINCT k) AS BIGINT) AS da
+        FROM a GROUP BY b
+    ),
+    bstats AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS nb,
+               CAST(count(DISTINCT k) AS BIGINT) AS db
+        FROM bt GROUP BY b
+    ),
+    ka AS (SELECT b, k, count(*) AS ca FROM a GROUP BY b, k),
+    kb AS (SELECT b, k, count(*) AS cb FROM bt GROUP BY b, k),
+    actual AS (
+        SELECT ka.b, CAST(sum(ka.ca * kb.cb) AS BIGINT) AS actual_rows
+        FROM ka JOIN kb ON ka.b = kb.b AND ka.k = kb.k
+        GROUP BY ka.b
+    )
+    SELECT s.b AS bucket, s.na, s.da, t.nb, t.db,
+           round(s.na * t.nb / greatest(s.da, t.db), 2) AS est_rows,
+           coalesce(x.actual_rows, 0) AS actual_rows,
+           CASE WHEN coalesce(x.actual_rows, 0) > 0
+                THEN round((s.na * t.nb / greatest(s.da, t.db)
+                            - x.actual_rows) / x.actual_rows, 4) END
+               AS rel_err
+    FROM astats s
+    JOIN bstats t ON s.b = t.b
+    LEFT JOIN actual x ON s.b = x.b
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket equi-join cardinality estimation — the CBO statistic the
+    optimizer's join ordering lives on — against ground truth computed
+    WITHOUT materializing the join: estimate = nₐ·n_b / max(dₐ, d_b) (the
+    textbook containment assumption, Selinger 1979); truth = Σ_key
+    cnt_a·cnt_b from the two per-key count tables joined on the key (the
+    join's size, from statistics-sized inputs). 64 key-range buckets make
+    the per-bucket error profile visible — exactly what a histogram-backed
+    CBO consumes. Everything is integer counts plus one division, both
+    engines identical."""
+    cat = Catalog(spark, sf_dir)
+    a = cat.orders.select((F.col("o_orderkey") % 64).alias("b"),
+                          F.col("o_orderkey").alias("k"))
+    bt = cat.lineitem.select((F.col("l_orderkey") % 64).alias("b"),
+                             F.col("l_orderkey").alias("k"))
+    astats = a.groupBy("b").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.countDistinct("k").alias("da"))
+    bstats = bt.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.countDistinct("k").alias("db"))
+    ka = a.groupBy("b", "k").agg(F.count(F.lit(1)).alias("ca"))
+    kb = bt.groupBy("b", "k").agg(F.count(F.lit(1)).alias("cb"))
+    actual = (ka.join(kb, ["b", "k"])
+              .groupBy("b")
+              .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint")
+                   .alias("actual_rows")))
+    est = F.col("na") * F.col("nb") / F.greatest("da", "db")
+    act = F.coalesce(F.col("actual_rows"), F.lit(0).cast("bigint"))
+    return (
+        astats.join(bstats, "b")
+        .join(actual, "b", "left")
+        .select(F.col("b").alias("bucket"), "na", "da", "nb", "db",
+                F.round(est, 2).alias("est_rows"),
+                act.alias("actual_rows"),
+                F.when(act > 0, F.round((est - F.col("actual_rows"))
+                                        / F.col("actual_rows"), 4))
+                .alias("rel_err"))
+    )

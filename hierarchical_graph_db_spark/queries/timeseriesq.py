@@ -625,3 +625,49 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("value") * 100).cast("bigint") * credit)
         .alias("credit_value_micros"),
     )
+
+
+def _holt_oracle(alpha: float = 0.5, beta: float = 0.3) -> str:
+    """DuckDB twin of operators.grouped.holt_level_trend: the same fold via
+    ``list_reduce`` over the (ts, event_id)-ordered value list, with the
+    α/β complements injected through ``repr`` so both engines iterate with
+    bit-identical doubles (fuzz-verified exact)."""
+    a, oma = repr(alpha), repr(1.0 - alpha)
+    g, omg = repr(beta), repr(1.0 - beta)
+    lv = f"{a} * e[1] + {oma} * (acc[1] + acc[2])"
+    return f"""
+    WITH lists AS (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS l
+        FROM events GROUP BY user_id
+    ),
+    st AS (
+        SELECT user_id, CAST(len(l) AS BIGINT) AS n,
+               list_reduce(
+                   list_transform(l, x -> [CAST(x AS DOUBLE),
+                                           CAST(0 AS DOUBLE)]),
+                   (acc, e) -> [
+                       {lv},
+                       {g} * (({lv}) - acc[1]) + {omg} * acc[2]
+                   ]) AS s
+        FROM lists
+    )
+    SELECT user_id, n,
+           round(s[1], 5) AS level,
+           round(s[2], 5) AS trend,
+           round(s[1] + s[2], 5) AS forecast
+    FROM st
+    """
+
+
+@query("holt_level_trend_forecast", _holt_oracle())
+def holt_level_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing per user (α=0.5, β=0.3): final level,
+    trend, and one-step forecast over each value stream — the trend-aware
+    upgrade of EWMA for metric forecasting. Sequential 2-state fold in
+    ``applyInPandas`` (operators/grouped.py:holt_level_trend); the oracle
+    replays it with a ``list_reduce`` lambda, bit-identical doubles."""
+    from hierarchical_graph_db_spark.operators.grouped import (
+        holt_level_trend,
+    )
+
+    return holt_level_trend(Catalog(spark, sf_dir).events)

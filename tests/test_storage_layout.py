@@ -118,3 +118,40 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.sources.partitionColumnTypeInference.enabled",
             orig_infer)
+
+
+def test_write_bucketed_one_file_per_bucket_no_shuffle_join(spark, sf_dir,
+                                                            tmp_path):
+    """The engine's write_bucketed API: one data file per bucket (the
+    repartition-before-bucketBy contract) and an exchange-free self-family
+    join between two tables bucketed on the same key."""
+    import os
+
+    from hierarchical_graph_db_spark.io import write_bucketed
+
+    c = Catalog(spark, sf_dir)
+    try:
+        write_bucketed(c.orders, "orders_wb", str(tmp_path / "orders_wb"),
+                       key="o_custkey", n_buckets=8)
+        write_bucketed(c.customer.withColumnRenamed("c_custkey", "o_custkey"),
+                       "customer_wb", str(tmp_path / "customer_wb"),
+                       key="o_custkey", n_buckets=8)
+        files = [f for f in os.listdir(tmp_path / "orders_wb")
+                 if f.endswith(".parquet")]
+        assert len(files) == 8, files
+        joined = spark.table("orders_wb").join(
+            spark.table("customer_wb"), on="o_custkey")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, "bucketed join still shuffles"
+            expect = c.orders.join(
+                c.customer.withColumnRenamed("c_custkey", "o_custkey"),
+                on="o_custkey").count()
+            assert joined.count() == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(64 * 1024 * 1024))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_wb")
+        spark.sql("DROP TABLE IF EXISTS customer_wb")
