@@ -370,3 +370,43 @@ def span_corrupt(docs: DataFrame, rate: float = 0.15,
              joined("p_tgt").alias("targets"))
         .select(F.col("id").alias(id_col), "inputs", "targets")
     )
+
+
+def temperature_mixture(docs: DataFrame, alpha: float = 0.3,
+                        domain_col: str = "source",
+                        text_col: str = "text") -> DataFrame:
+    """Temperature-scaled sampling mixture (XLM-R / mT5 multilingual
+    recipe, Conneau et al. 2020, public method): sampling share
+    pᵢ ∝ tokensᵢ^α — α < 1 up-samples low-resource domains without a
+    hand-tuned weight table (the data-driven complement to
+    :func:`domain_mixture`'s explicit targets).
+
+    Determinism: the pow() outputs are quantized to 1e-6 fixed-point
+    bigints BEFORE normalization, so the share denominator is an exact
+    integer sum (a plain double Σ over the per-domain rows would be
+    partial-order-dependent); the final divisions round to 6dp/4dp. The
+    per-domain table is one row per domain — every window/total is free
+    at any corpus scale."""
+    per_dom = (
+        docs.select(F.col(domain_col),
+                    llm_token_estimate(F.col(text_col)).alias("est"))
+        .groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("est").cast("long").alias("domain_tokens"))
+    )
+    wq = F.round(F.pow(F.col("domain_tokens").cast("double"),
+                       F.lit(alpha)) * 1000000).cast("bigint")
+    everything = Window.partitionBy()
+    scored = per_dom.withColumn("_wq", wq)
+    tok_total = F.sum("domain_tokens").over(everything).cast("double")
+    w_total = F.sum("_wq").over(everything).cast("double")
+    share = F.col("_wq") / w_total
+    return scored.select(
+        F.col(domain_col),
+        F.col("n_docs"),
+        F.col("domain_tokens"),
+        F.round(F.col("domain_tokens") / tok_total, 6).alias("natural_share"),
+        F.round(share, 6).alias("temp_share"),
+        F.round(share * tok_total / F.col("domain_tokens"), 4)
+        .alias("repeat_factor"),
+    )

@@ -765,3 +765,41 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return span_corrupt(Catalog(spark, sf_dir).documents, rate=0.15,
                         salt=_SPAN_SALT)
+
+
+@query(
+    "domain_mixture_temperature",
+    f"""
+    WITH est AS (SELECT source, {_SQL_EST} AS est FROM documents),
+    d AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(est) AS BIGINT) AS domain_tokens
+        FROM est GROUP BY source
+    ),
+    q AS (
+        SELECT *, CAST(round(pow(CAST(domain_tokens AS DOUBLE), 0.3)
+                             * 1000000) AS BIGINT) AS wq
+        FROM d
+    )
+    SELECT source, n_docs, domain_tokens,
+           round(domain_tokens
+                 / CAST(sum(domain_tokens) OVER () AS DOUBLE), 6)
+               AS natural_share,
+           round(wq / CAST(sum(wq) OVER () AS DOUBLE), 6) AS temp_share,
+           round((wq / CAST(sum(wq) OVER () AS DOUBLE))
+                 * CAST(sum(domain_tokens) OVER () AS DOUBLE)
+                 / domain_tokens, 4) AS repeat_factor
+    FROM q
+    """,
+)
+def domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture shares pᵢ ∝ tokensᵢ^0.3 per source
+    domain (operators/training.py:temperature_mixture) — the data-driven
+    alternative to the explicit-weight mixture plan. pow() outputs are
+    1e-6-quantized to bigints before the share normalization, so the
+    denominators are exact integer sums in both engines."""
+    from hierarchical_graph_db_spark.operators.training import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(Catalog(spark, sf_dir).documents, alpha=0.3)

@@ -549,3 +549,89 @@ def window_distribution_functions(spark: SparkSession,
         F.first("user_id").over(wf).alias("min_user"),
         F.last("user_id").over(wf).alias("max_user"),
     )
+
+
+def _stationary_oracle(n_iter: int = 12) -> str:
+    """DuckDB twin of the Markov stationary query: the transition-count
+    build, then ``n_iter`` unrolled power-iteration CTEs with the same
+    fixed-point bigint contribution sums as the engine loop (damping 1.0 —
+    pure x' = xP), then an exact-integer normalization."""
+    iters = []
+    prev = "s0"
+    for i in range(1, n_iter + 1):
+        iters.append(f"""
+    s{i} AS MATERIALIZED (
+        SELECT v.id, round(coalesce(c.s, 0), 6) AS score
+        FROM vertices v
+        LEFT JOIN (
+            SELECT e.dst AS id,
+                   sum(CAST(round(p.score * e.weight / e.outw * 1000000)
+                            AS BIGINT)) / 1000000.0 AS s
+            FROM ew e JOIN s{i - 1} p ON e.src = p.id
+            GROUP BY e.dst
+        ) c ON v.id = c.id
+    )""")
+        prev = f"s{i}"
+    return f"""
+    WITH steps AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    edges AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+        FROM steps WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    vertices AS (SELECT DISTINCT src AS id FROM edges),
+    outw AS (SELECT src, CAST(sum(weight) AS BIGINT) AS outw
+             FROM edges GROUP BY src),
+    ew AS MATERIALIZED (
+        SELECT e.src, e.dst, e.weight, o.outw
+        FROM edges e JOIN outw o ON e.src = o.src
+    ),
+    s0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS score FROM vertices),
+    {','.join(iters)},
+    num AS (
+        SELECT id, CAST(round(score * 1000000) AS BIGINT) AS num
+        FROM {prev}
+    )
+    SELECT id AS event_type,
+           round(num / CAST((SELECT sum(num) FROM num) AS DOUBLE), 6) AS p
+    FROM num
+    """
+
+
+@query("event_transition_stationary", _stationary_oracle())
+def event_transition_stationary(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where user
+    activity settles in the long run — by 12 rounds of power iteration
+    x' = xP over the transition graph (the damping-free case of the
+    engine's weighted TextRank loop: same per-round keyed join + hash
+    aggregate with fixed-point bigint sums, state = |event types| rows).
+    The exact-integer normalization makes the final probabilities
+    order-independent; every iteration unrolls into the oracle. States
+    must have outgoing transitions (true of any observed event stream;
+    absorbing states would need the dangling-mass PageRank form)."""
+    from pyspark.sql import Window
+
+    from hierarchical_graph_db_spark.operators.graph import weighted_textrank
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    edges = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+    scores = weighted_textrank(edges, n_iter=12, damping=1.0)
+    num = scores.select("id", F.round(F.col("score") * 1000000)
+                        .cast("bigint").alias("num"))
+    total = num.agg(F.sum("num").alias("t"))
+    return (
+        num.crossJoin(F.broadcast(total))
+        .select(F.col("id").alias("event_type"),
+                F.round(F.col("num") / F.col("t").cast("double"), 6)
+                .alias("p"))
+    )
