@@ -472,3 +472,53 @@ def label_centroid_quality(
         F.count(F.lit(1)).alias("n_vecs"),
         F.round(F.avg("cos"), 5).alias("avg_cos"),
     )
+
+
+def center_normalize(vectors: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Mean-center the embedding corpus and report per-row L2 norms before
+    and after, plus an exact integer checksum of the centered components —
+    the standard preprocessing ahead of cosine retrieval / PCA (centering
+    turns cosine into Pearson correlation; public folklore, e.g.
+    scikit-learn's StandardScaler-with-mean).
+
+    The corpus mean is computed with the k-means fixed-point treatment:
+    posexplode → per-dimension bigint sums of 1e-6-quantized components →
+    round((Σ/1e6)/n, 6) — order-independent under partial aggregation, so
+    the collected mean vector (dim rows, driver-side — the bounded
+    centroid-literal class) is bit-identical cross-engine. The mean then
+    rides as ONE array literal and the centering/norm math is a pure
+    per-row projection: no join, no second shuffle. Norm folds are
+    sequential left folds (zip-square-accumulate), matching the oracle's
+    ``list_reduce`` exactly; sqrt is IEEE-correctly-rounded, so 6dp
+    rounding is display-only."""
+    pts = vectors.select(
+        F.col(id_col).alias("pid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+    mean_rows = (
+        pts.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.sum(F.round(F.col("x") * 1000000).cast("bigint")).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+        .select("pos",
+                F.round((F.col("s") / F.lit(1000000.0)) / F.col("n"), 6)
+                .alias("m"))
+        .collect()
+    )
+    mean = [r["m"] for r in sorted(mean_rows, key=lambda r: r["pos"])]
+    mean_lit = F.lit([float(m) for m in mean])
+    centered = F.zip_with(F.col("v"), mean_lit, lambda a, b: a - b)
+
+    def _norm(arr) -> F.Column:
+        return F.sqrt(F.aggregate(
+            arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
+
+    checksum = F.aggregate(
+        centered, F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.round(x * 1000000).cast("bigint"))
+    return pts.select(
+        F.col("pid").alias(id_col),
+        F.round(_norm(F.col("v")), 6).alias("norm_before"),
+        F.round(_norm(centered), 6).alias("norm_after"),
+        checksum.alias("centered_checksum"),
+    )

@@ -769,3 +769,101 @@ def array_hof_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, x: acc + x).alias("top3_cents"),
         F.array_max(diffs).cast("bigint").alias("max_jump"),
     )
+
+
+# --- NULL semantics (3-valued logic) and date arithmetic surfaces -----------
+
+
+@query(
+    "null_semantics_matrix",
+    """
+    WITH t AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_totalprice END AS price,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS prio
+        FROM orders
+    )
+    SELECT coalesce(prio, '<null>') AS prio,
+           CAST(count(*) AS BIGINT)      AS n_rows,
+           CAST(count(price) AS BIGINT)  AS n_price,
+           round(sum(price), 2)          AS sum_price,
+           round(avg(price), 4)          AS avg_price,
+           CAST(sum(CASE WHEN price IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
+           CAST(sum(CASE WHEN price > 100000 THEN 1
+                         WHEN NOT (price > 100000) THEN 0
+                         ELSE -1 END) AS BIGINT)       AS three_vl_sum
+    FROM t
+    GROUP BY prio
+    """,
+)
+def null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic semantics pinned cross-engine: COUNT(*) vs
+    COUNT(col) under nulls, null-skipping SUM/AVG, null-safe equality
+    (<=> / IS NOT DISTINCT FROM), and a predicate whose TRUE/FALSE/UNKNOWN
+    branches are each counted — the parts of ANSI null semantics that
+    silently diverge between engines when anything is off. Nulls are
+    synthesized deterministically from the key so both engines see the
+    identical table."""
+    o = Catalog(spark, sf_dir).orders
+    t = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice")).alias("price"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority")).alias("prio"),
+    )
+    gt = F.col("price") > 100000
+    return t.groupBy(F.coalesce("prio", F.lit("<null>")).alias("prio")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("price").alias("n_price"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.round(F.avg("price"), 4).alias("avg_price"),
+        F.sum(F.when(F.col("price").eqNullSafe(F.lit(None).cast("double")),
+                     1).otherwise(0)).cast("bigint").alias("n_null_safe_eq"),
+        F.sum(F.when(gt, 1).when(~gt, 0).otherwise(-1)).cast("bigint")
+        .alias("three_vl_sum"),
+    )
+
+
+@query(
+    "date_arithmetic_functions",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+               AS plus_30d,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_part('isodow', o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(date_part('week', o_orderdate) AS BIGINT)   AS iso_week,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '1998-12-01') AS BIGINT)     AS days_to_eoy,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+    FROM orders
+    GROUP BY o_orderdate
+    """,
+)
+def date_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calendar-arithmetic scalar surface, pinned cross-engine on safe
+    common semantics: day addition, last_day, ISO day-of-week/week number,
+    day difference to a fixed anchor, quarter truncation. (months_between
+    and week-of-year WITHOUT iso rules differ between engines by design —
+    deliberately excluded; iso_dow/iso_week are the portable forms.)"""
+    o = Catalog(spark, sf_dir).orders
+    d = F.to_date("o_orderdate")
+    return (
+        o.groupBy(F.col("o_orderdate"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            d.alias("d"), "n",
+            F.date_add(d, 30).alias("plus_30d"),
+            F.last_day(d).alias("month_end"),
+            F.dayofweek(F.date_sub(d, 1)).cast("bigint").alias("iso_dow"),
+            F.weekofyear(d).cast("bigint").alias("iso_week"),
+            F.datediff(F.lit("1998-12-01").cast("date"), d).cast("bigint")
+            .alias("days_to_eoy"),
+            F.trunc(d, "quarter").alias("quarter_start"),
+        )
+    )

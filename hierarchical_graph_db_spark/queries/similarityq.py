@@ -1203,3 +1203,54 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("fp") / F.lit(1000000.0), 6).alias("rrf_score"),
                 "rnk", "lex_rnk", "sem_rnk")
     )
+
+
+@query(
+    "embedding_center_normalize",
+    """
+    WITH pts AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT unnest(v) AS x,
+               unnest(range(1, len(v) + 1)) AS pos
+        FROM pts
+    ),
+    mean AS (
+        SELECT pos,
+               round((sum(CAST(round(x * 1000000) AS BIGINT)) / 1000000.0)
+                     / count(*), 6) AS m
+        FROM comp GROUP BY pos
+    ),
+    mv AS (SELECT list(m ORDER BY pos) AS mean_v FROM mean),
+    cent AS (
+        SELECT vec_id, v,
+               list_zip(v, mean_v).apply(t -> t[1] - t[2]) AS c
+        FROM pts CROSS JOIN mv
+    )
+    SELECT vec_id,
+           round(sqrt(list_reduce(list_transform(v, x -> x * x),
+                                  (a, b) -> a + b)), 6) AS norm_before,
+           round(sqrt(list_reduce(list_transform(c, x -> x * x),
+                                  (a, b) -> a + b)), 6) AS norm_after,
+           CAST(list_sum(list_transform(c,
+                x -> CAST(round(x * 1000000) AS BIGINT))) AS BIGINT)
+               AS centered_checksum
+    FROM cent
+    """,
+)
+def embedding_center_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mean-centering of the embedding table with per-row L2 norms
+    before/after and an exact integer component checksum
+    (operators/similarity.py:center_normalize). The mean is a fixed-point
+    per-dimension aggregate (order-independent) baked into the plan as ONE
+    array literal, so centering is scan + project — no join, no second
+    corpus shuffle; the oracle rebuilds the identical quantized mean and
+    replays the same sequential square-fold."""
+    from hierarchical_graph_db_spark.operators.similarity import (
+        center_normalize,
+    )
+
+    return center_normalize(Catalog(spark, sf_dir).embeddings)

@@ -378,3 +378,39 @@ def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("item").alias("user_id"), "true_n",
                 F.col("est_n").cast("long").alias("est_n"))
     )
+
+
+@query(
+    "streaming_window_topk",
+    """
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                       ORDER BY n_events DESC, event_type)
+                        AS rnk
+          FROM counts) t
+    WHERE rnk <= 3
+    """,
+)
+def streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour, streaming-first: the windowed
+    counts are the STATEFUL streaming aggregate (watermarked tumbling
+    window, state bounded by the watermark horizon); the rank runs on the
+    drained result — the serving-side pattern (the store holds windowed
+    aggregates, ranking is a query over windows, never stream state). Ties
+    break on event_type, so the top-3 set is deterministic."""
+    from pyspark.sql import Window
+
+    counts = drain_to_dataframe(
+        tumbling_counts(fixture_event_stream(spark, sf_dir), minutes=60)
+    ).select("window_start", "event_type", "n_events")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+    )
