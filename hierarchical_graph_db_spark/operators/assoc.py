@@ -135,3 +135,52 @@ def item_item_cosine_topk(baskets: DataFrame, basket_col: str,
                 F.col("cosine").desc(), F.col("neighbor"))).cast("long"))
         .where(F.col("rnk") <= k)
     )
+
+
+def frequent_triples(baskets: DataFrame, basket_cols: list[str],
+                     item_col: str, min_item_count: int = 20,
+                     min_triple_count: int = 2) -> DataFrame:
+    """Frequent 3-itemsets (Apriori level 3 — Agrawal & Srikant 1994,
+    public method) over distinct-item baskets → (a, b, c, n_baskets,
+    support) with a < b < c.
+
+    Scale shape — the basket-local work is EXPRESSION-level, never a
+    self-join: items below ``min_item_count`` support are pruned first
+    (the Apriori monotonicity lever — a broadcast semi-join against the
+    frequent-item table), surviving items collect into one sorted array
+    per basket, and the 3-combinations are generated by nested
+    ``transform``/``slice`` lambdas inside the project (the PMI
+    slice/zip trick one level deeper), exploded, and hash-counted. One
+    shuffle per stage, all partial-aggregable; per-basket work is
+    C(k,3) over the PRUNED item count — the ``max_basket_items``-style
+    guard is the item-support prune itself. The oracle is the textbook
+    3-way self-join, an independent formulation."""
+    b = baskets.select(*basket_cols, F.col(item_col).alias("item")).distinct()
+    freq = (b.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= min_item_count)
+            .select("item"))
+    fb = b.join(F.broadcast(freq), "item")
+    sets = fb.groupBy(*basket_cols).agg(
+        F.sort_array(F.collect_set("item")).alias("its"))
+    its = F.col("its")
+    n = F.size(its)
+    combos = F.flatten(F.flatten(F.transform(
+        its, lambda x, i: F.transform(
+            F.slice(its, i + 2, n), lambda y, j: F.transform(
+                F.slice(its, i + j + 3, n),
+                lambda z: F.struct(x.alias("a"), y.alias("b"),
+                                   z.alias("c")))))))
+    n_baskets = sets.agg(F.count(F.lit(1)).alias("nb"))
+    tri = (
+        sets.select(F.explode(combos).alias("t"))
+        .groupBy(F.col("t.a").alias("a"), F.col("t.b").alias("b"),
+                 F.col("t.c").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+        .where(F.col("n_baskets") >= min_triple_count)
+    )
+    return (
+        tri.crossJoin(F.broadcast(n_baskets))
+        .select("a", "b", "c", "n_baskets",
+                F.round(F.col("n_baskets") / F.col("nb"), 6).alias("support"))
+    )

@@ -883,3 +883,53 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         / F.col("actual_rows"), 4))
                 .alias("rel_err"))
     )
+
+
+@query(
+    "assoc_frequent_triples",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+               event_type AS item
+        FROM events
+    ),
+    nb AS (
+        SELECT CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT DISTINCT user_id, day FROM baskets) t
+    ),
+    freq AS (
+        SELECT item FROM baskets GROUP BY item HAVING count(*) >= 20
+    ),
+    fb AS (SELECT b.* FROM baskets b JOIN freq USING (item)),
+    fsets AS (SELECT DISTINCT user_id, day FROM fb),
+    tri AS (
+        SELECT a.item AS a, b.item AS b, c.item AS c,
+               CAST(count(*) AS BIGINT) AS n_baskets
+        FROM fb a
+        JOIN fb b ON a.user_id = b.user_id AND a.day = b.day
+                 AND a.item < b.item
+        JOIN fb c ON a.user_id = c.user_id AND a.day = c.day
+                 AND b.item < c.item
+        GROUP BY 1, 2, 3
+        HAVING count(*) >= 2
+    )
+    SELECT a, b, c, n_baskets,
+           round(n_baskets
+                 / (SELECT CAST(count(*) AS BIGINT) FROM fsets), 6)
+               AS support
+    FROM tri
+    """,
+)
+def assoc_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type 3-itemsets over daily (user, day) baskets —
+    Apriori level 3 (operators/assoc.py:frequent_triples): item-support
+    pruning (broadcast), then basket-local 3-combination generation by
+    nested transform/slice lambdas INSIDE the project (no basket
+    self-join — the oracle's 3-way join is the independent check), one
+    hash count, support floor 2."""
+    from hierarchical_graph_db_spark.operators.assoc import frequent_triples
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type")
+    return frequent_triples(ev, ["user_id", "day"], "event_type",
+                            min_item_count=20, min_triple_count=2)

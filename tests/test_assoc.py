@@ -61,3 +61,50 @@ def test_item_item_cosine_math_and_mega_basket_guard(spark):
            for r in capped.collect()}
     assert got[("A", "B")] == 2          # unchanged by the dropped basket
     assert ("D", "E") not in got         # mega-basket pairs never counted
+
+
+# --- frequent triples (Apriori level 3) --------------------------------------
+
+
+def test_frequent_triples_hand_counts(spark):
+    from hierarchical_graph_db_spark.operators.assoc import frequent_triples
+
+    rows = []
+    # baskets: b1 {a,b,c}, b2 {a,b,c,d}, b3 {a,b,d}, b4 {a,b,c}
+    for bid, items in [(1, "abc"), (2, "abcd"), (3, "abd"), (4, "abc")]:
+        for it in items:
+            rows.append((bid, it))
+    b = spark.createDataFrame(rows, "bid bigint, item string")
+    out = {(r["a"], r["b"], r["c"]): (r["n_baskets"], r["support"])
+           for r in frequent_triples(b, ["bid"], "item",
+                                     min_item_count=1,
+                                     min_triple_count=2).collect()}
+    # abc in b1,b2,b4 = 3; abd in b2,b3 = 2; acd/bcd only once -> dropped
+    assert out[("a", "b", "c")] == (3, 0.75)
+    assert out[("a", "b", "d")] == (2, 0.5)
+    assert set(out) == {("a", "b", "c"), ("a", "b", "d")}
+
+
+def test_frequent_triples_item_prune_drops_rare(spark):
+    from hierarchical_graph_db_spark.operators.assoc import frequent_triples
+
+    rows = [(i, it) for i in range(1, 5) for it in "abc"] + [(1, "z")]
+    b = spark.createDataFrame(rows, "bid bigint, item string")
+    out = frequent_triples(b, ["bid"], "item", min_item_count=2,
+                           min_triple_count=2).collect()
+    # z is infrequent -> never reaches combination generation
+    assert all("z" not in (r["a"], r["b"], r["c"]) for r in out)
+    assert [(r["a"], r["b"], r["c"]) for r in out] == [("a", "b", "c")]
+
+
+def test_triple_combos_complete_and_unique(spark):
+    from hierarchical_graph_db_spark.operators.assoc import frequent_triples
+    from itertools import combinations
+
+    items = list("abcdefg")
+    rows = [(1, it) for it in items]
+    b = spark.createDataFrame(rows, "bid bigint, item string")
+    out = {(r["a"], r["b"], r["c"])
+           for r in frequent_triples(b, ["bid"], "item", min_item_count=1,
+                                     min_triple_count=1).collect()}
+    assert out == set(combinations(items, 3))  # C(7,3) = 35, each once

@@ -1,0 +1,37 @@
+"""Registry-wide plan antipattern gate (pinned subset).
+
+tools/plan_audit.py greps every registry query's physical plan for
+CartesianProduct / BroadcastNestedLoopJoin / row-at-a-time Python UDFs.
+The full 204-query audit runs standalone (~minutes); this pytest pins a
+representative subset across every family so a regression in the common
+builders (Catalog, joins, the fuzzy-dedup candidate paths) fails fast."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.plan_audit import audit  # noqa: E402
+
+SUBSET = [
+    # relational / joins
+    "flagship_hierarchy_rollup", "join_fact_fact", "join_broadcast_star",
+    "tpch_q8_market_share", "cdc_apply_changelog", "skyline_price_size",
+    # dedup / similarity scale paths
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "embedding_near_duplicates_lsh", "ann_ivf_topk", "ann_lsh_topk",
+    "fuzzy_jaro_winkler_match", "semantic_dedup_keepers",
+    # text / training
+    "text_textrank_keywords", "decontaminate_ngram_overlap",
+    "pack_sequences_greedy", "assoc_frequent_triples",
+    # graph / windows
+    "graph_betweenness_sampled", "graph_connected_components",
+    "window_topk_salted", "event_transition_stationary",
+]
+
+
+def test_pinned_subset_is_clean(sf_dir):
+    result = audit(sf_dir, names=SUBSET)
+    assert result["checked"] == len(SUBSET)
+    assert result["violations"] == [], result["violations"]
