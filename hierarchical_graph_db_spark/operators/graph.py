@@ -873,3 +873,56 @@ def betweenness_sampled(edges: DataFrame, sources: list[str],
             F.sum(F.round(F.col("delta") * 1000000).cast("bigint"))
             / F.lit(1000000.0), 6).alias("betweenness"))
     )
+
+
+def ktruss_edges(edges: DataFrame, k: int = 4,
+                 n_rounds: int = 3) -> DataFrame:
+    """Fixed-round k-truss pruning (Cohen 2008, public method) over the
+    undirected graph → the surviving edges (a < b) with their final
+    triangle support. An edge is in the k-truss iff it participates in at
+    least k-2 triangles among surviving edges; each round recomputes
+    per-edge support and drops light edges, tightening toward the truss.
+    Like PageRank/LPA, the ROUND COUNT is the contract (the oracle replays
+    the same rounds) — on shallow fixture graphs 3 rounds reach the
+    fixpoint (pinned in tests/test_graph_ktruss.py); production tunes
+    ``n_rounds`` up or loops to fixpoint.
+
+    Per round: adjacency = edge set ∪ its reverse; support(a,b) counts
+    common neighbors via TWO keyed equi-joins (edge→(a,c) then (b,c)
+    membership — the triangle-count join shape, never a neighborhood
+    cross product) + one hash aggregate. Degree skew → AQE skew split,
+    same lever as the triangle counter."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct().localCheckpoint(eager=True))
+    e = und
+    min_sup = k - 2
+    for _ in range(n_rounds):
+        adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+            .unionByName(e.select(F.col("b").alias("u"),
+                                  F.col("a").alias("v")))
+        cand = (e.join(adj.withColumnRenamed("u", "a")
+                       .withColumnRenamed("v", "c"), on="a")
+                .where(F.col("c") != F.col("b")))
+        sup = (cand.join(adj.select(F.col("u").alias("b"),
+                                    F.col("v").alias("c")),
+                         on=["b", "c"])
+               .groupBy("a", "b")
+               .agg(F.count(F.lit(1)).alias("support")))
+        e = (e.join(sup, on=["a", "b"], how="left")
+             .where(F.coalesce("support", F.lit(0)) >= min_sup)
+             .select("a", "b")).localCheckpoint(eager=True)
+    # final support over the surviving subgraph, reported with the edges
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+        .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    cand = (e.join(adj.withColumnRenamed("u", "a")
+                   .withColumnRenamed("v", "c"), on="a")
+            .where(F.col("c") != F.col("b")))
+    sup = (cand.join(adj.select(F.col("u").alias("b"),
+                                F.col("v").alias("c")), on=["b", "c"])
+           .groupBy("a", "b")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("support")))
+    return e.join(sup, on=["a", "b"], how="left").select(
+        "a", "b", F.coalesce("support", F.lit(0).cast("bigint"))
+        .alias("support"))

@@ -760,3 +760,68 @@ def graph_betweenness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").cast("string").alias("dst"),
     )
     return betweenness_sampled(edges, ["1", "2", "3", "4"], max_hops=4)
+
+
+def _ktruss_oracle(k: int = 12, n_rounds: int = 3) -> str:
+    """DuckDB twin of ``operators.graph.ktruss_edges``: each pruning round
+    unrolls to (adjacency ∪ reverse) + the two-join common-neighbor count
+    + the support threshold, then the final surviving-edge support."""
+    min_sup = k - 2
+    rounds = []
+    for i in range(n_rounds):
+        rounds.append(f"""
+    adj{i} AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e{i} UNION ALL SELECT b, a FROM e{i}
+    ),
+    s{i} AS MATERIALIZED (
+        SELECT e.a, e.b, count(*) AS sup
+        FROM e{i} e
+        JOIN adj{i} x ON x.u = e.a AND x.v <> e.b
+        JOIN adj{i} y ON y.u = e.b AND y.v = x.v
+        GROUP BY e.a, e.b
+    ),
+    e{i + 1} AS MATERIALIZED (
+        SELECT e.a, e.b
+        FROM e{i} e LEFT JOIN s{i} s ON s.a = e.a AND s.b = e.b
+        WHERE coalesce(s.sup, 0) >= {min_sup}
+    )""")
+    last = f"e{n_rounds}"
+    return f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ({_SQL_EDGES}) WHERE src <> dst
+    ),
+    {','.join(rounds)},
+    adjf AS (SELECT a AS u, b AS v FROM {last}
+             UNION ALL SELECT b, a FROM {last}),
+    sf AS (
+        SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS sup
+        FROM {last} e
+        JOIN adjf x ON x.u = e.a AND x.v <> e.b
+        JOIN adjf y ON y.u = e.b AND y.v = x.v
+        GROUP BY e.a, e.b
+    )
+    SELECT e.a, e.b, coalesce(s.sup, 0) AS support
+    FROM {last} e LEFT JOIN sf s ON s.a = e.a AND s.b = e.b
+    """
+
+
+@query("graph_ktruss_edges", _ktruss_oracle())
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-truss of the undirected interaction graph (3 pruning rounds,
+    fixed like PageRank's iteration contract): edges supported by ≥10
+    triangles among surviving edges — the cohesive-subgraph mining step
+    between triangle counting and k-core (truss ⊂ core). Every round's
+    two-join support count and threshold unrolls into the oracle
+    (operators/graph.py:ktruss_edges)."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        ktruss_edges,
+        sequential_interaction_edges,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    return ktruss_edges(edges, k=12, n_rounds=3)
