@@ -114,3 +114,74 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled timestamp, ids = sha256(content-digest : index) — reproduced
     verbatim in the oracle."""
     return frame_sample(_media(spark, sf_dir), every_ms=1000)
+
+
+_FRAME, _HOP = 64, 32
+
+
+@query(
+    "multimodal_audio_frame_energy",
+    f"""
+    WITH sig AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ''), c -> ascii(c))
+                   AS samples
+        FROM documents
+    ),
+    framed AS (
+        SELECT doc_id, samples,
+               CASE WHEN len(samples) >= {_FRAME}
+                    THEN (len(samples) - {_FRAME}) // {_HOP} + 1
+                    ELSE 0 END AS nf
+        FROM sig
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame,
+           CAST(list_sum(list_transform(
+                samples[f * {_HOP} + 1 : f * {_HOP} + {_FRAME}],
+                x -> x * x)) AS BIGINT) AS energy,
+           CAST(list_max(
+                samples[f * {_HOP} + 1 : f * {_HOP} + {_FRAME}])
+                AS BIGINT) AS peak,
+           round(list_sum(samples[f * {_HOP} + 1 : f * {_HOP} + {_FRAME}])
+                 / {_FRAME}.0, 4) AS mean_level
+    FROM framed, unnest(range(0, nf)) AS t(f)
+    """,
+)
+def multimodal_audio_frame_energy(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Fixed-window signal framing — the audio feature-extraction shape
+    (frame 64, hop 32: per-frame energy Σx², peak, mean level), run on a
+    DETERMINISTIC synthetic signal (each document's character codes stand
+    in for PCM samples — the container ships no audio codecs, so like the
+    image stub the decode is substituted while the framing/feature
+    plumbing is real and hash-checked). The frame loop is a pure
+    expression — sequence → slice → integer fold inside the project, one
+    explode; no UDF, no shuffle before the explode. A real pipeline swaps
+    the sample source for decoded PCM behind the same frame math."""
+    docs = Catalog(spark, sf_dir).documents
+    # the lookahead split emits a trailing "" element (the regex also
+    # matches at end-of-string) — drop it so lengths match string_split('')
+    codes = F.transform(
+        F.filter(F.split(F.col("text"), "(?!^)"), lambda c: c != ""),
+        lambda c: F.ascii(c))
+    n = F.size("samples")
+    nf = F.when(n >= _FRAME, F.floor((n - _FRAME) / _HOP) + 1) \
+        .otherwise(F.lit(0)).cast("int")
+    frame_slice = F.slice(F.col("samples"), F.col("f") * _HOP + 1, _FRAME)
+    energy = F.aggregate(frame_slice, F.lit(0).cast("bigint"),
+                         lambda acc, x: acc + (x * x).cast("bigint"))
+    total = F.aggregate(frame_slice, F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x.cast("bigint"))
+    return (
+        docs.select("doc_id", codes.alias("samples"))
+        # sequence(0, -1) would generate a DESCENDING ramp for frameless
+        # short docs — gate on nf > 0 and emit an empty array instead.
+        .select("doc_id", "samples",
+                F.explode(F.when(nf > 0, F.sequence(F.lit(0), nf - 1))
+                          .otherwise(F.array().cast("array<int>")))
+                .alias("f"))
+        .select("doc_id", F.col("f").cast("bigint").alias("frame"),
+                energy.alias("energy"),
+                F.array_max(frame_slice).cast("bigint").alias("peak"),
+                F.round(total / F.lit(float(_FRAME)), 4).alias("mean_level"))
+    )

@@ -671,3 +671,61 @@ def holt_level_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return holt_level_trend(Catalog(spark, sf_dir).events)
+
+
+@query(
+    "seasonal_decompose_hourly",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hod,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    lvl AS (
+        SELECT event_type,
+               CAST(sum(cents) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY event_type
+    ),
+    seas AS (
+        SELECT event_type, hod,
+               CAST(sum(cents) AS BIGINT) AS htot,
+               CAST(count(*) AS BIGINT) AS hn
+        FROM base GROUP BY event_type, hod
+    )
+    SELECT s.event_type, s.hod, s.hn,
+           round(l.tot / 100.0 / l.n, 4) AS level,
+           round(s.htot / 100.0 / s.hn - l.tot / 100.0 / l.n, 4)
+               AS seasonal,
+           round((s.htot / 100.0 / s.hn)
+                 / (l.tot / 100.0 / l.n), 6) AS seasonal_index
+    FROM seas s JOIN lvl l ON s.event_type = l.event_type
+    """,
+)
+def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition, hour-of-day period, per event
+    type: level (grand mean), additive seasonal component (hour mean −
+    level) and the multiplicative seasonal index (hour mean / level) —
+    the moving-average-free form of the classical decomposition
+    (seasonal-means method, public textbook). All means are exact-integer
+    cent sums divided once, so no float-summation order exists; two
+    map-side-collapsing aggregates, output |types| × 24 rows."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    lvl = ev.groupBy("event_type").agg(
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).alias("n"))
+    seas = ev.groupBy("event_type", "hod").agg(
+        F.sum("cents").cast("bigint").alias("htot"),
+        F.count(F.lit(1)).alias("hn"))
+    level = F.col("tot") / 100.0 / F.col("n")
+    hmean = F.col("htot") / 100.0 / F.col("hn")
+    return (
+        seas.join(F.broadcast(lvl), "event_type")
+        .select("event_type", "hod", "hn",
+                F.round(level, 4).alias("level"),
+                F.round(hmean - level, 4).alias("seasonal"),
+                F.round(hmean / level, 6).alias("seasonal_index"))
+    )
