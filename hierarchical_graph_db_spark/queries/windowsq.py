@@ -635,3 +635,48 @@ def event_transition_stationary(spark: SparkSession,
                 F.round(F.col("num") / F.col("t").cast("double"), 6)
                 .alias("p"))
     )
+
+
+@query(
+    "transition_dwell_times",
+    """
+    WITH steps AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER w AS dst,
+               CAST(epoch_us(lead(ts) OVER w) - epoch_us(ts) AS BIGINT)
+                   AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+           round(sum(gap_us) / count(*) / 1000000.0, 4) AS mean_gap_s,
+           round(min(gap_us) / 1000000.0, 4) AS min_gap_s,
+           round(max(gap_us) / 1000000.0, 4) AS max_gap_s
+    FROM steps WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    """,
+)
+def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per event-type transition — how long users linger on
+    src before moving to dst (mean/min/max gap seconds per directed
+    pair): the temporal companion to the transition-probability matrix.
+    Gaps are exact integer microseconds summed before ONE division, so
+    the means are order-independent; one lead() pass + one hash
+    aggregate."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+        .alias("gap_us"),
+    ).where(F.col("dst").isNotNull())
+    return steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("gap_us") / F.count(F.lit(1)) / 1000000.0, 4)
+        .alias("mean_gap_s"),
+        F.round(F.min("gap_us") / 1000000.0, 4).alias("min_gap_s"),
+        F.round(F.max("gap_us") / 1000000.0, 4).alias("max_gap_s"),
+    )
