@@ -187,3 +187,48 @@ def email_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("headers"),
     )
     return thread_ids(emails)
+
+
+@query(
+    "email_header_map_stats",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+    SELECT 'date' AS header_key, (SELECT total FROM n) AS n_messages,
+           (SELECT CAST(count(DISTINCT doc_id % 1440) AS BIGINT)
+            FROM documents) AS n_distinct_values
+    UNION ALL
+    SELECT 'from', (SELECT total FROM n),
+           (SELECT CAST(count(DISTINCT doc_id % 50) AS BIGINT)
+            FROM documents)
+    UNION ALL
+    SELECT 'message-id',
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE doc_id % 7 <> 0),
+           (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+            WHERE doc_id % 7 <> 0)
+    UNION ALL
+    SELECT 'subject', (SELECT total FROM n),
+           (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents)
+    UNION ALL
+    SELECT 'to', (SELECT total FROM n),
+           (SELECT CAST(count(DISTINCT doc_id % 50) AS BIGINT)
+            FROM documents)
+    """,
+)
+def email_header_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The parsed ``headers`` map<string,string> column (SURVEY §1.2 —
+    lowercased keys, duplicate headers newline-joined), aggregated per
+    header key: message count and distinct raw values. Exercises the
+    MapType surface end-to-end (map build in the parse kernel →
+    explode(map) → keyed aggregate); the oracle derives each key's
+    expected counts from the synthesis contract independently (message-id
+    present iff doc_id % 7 ≠ 0; from/to determined mod 50; date mod 1440
+    minutes), so a dropped header, a case-normalization bug, or a
+    value-mangling regression all mismatch."""
+    parsed = parse_emails(_synthetic_emails(spark, sf_dir))
+    return (
+        parsed.select(F.explode("headers").alias("header_key", "value"))
+        .groupBy("header_key")
+        .agg(F.count(F.lit(1)).alias("n_messages"),
+             F.countDistinct("value").alias("n_distinct_values"))
+    )

@@ -825,3 +825,100 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").cast("string").alias("dst"),
     )
     return ktruss_edges(edges, k=12, n_rounds=3)
+
+
+@query(
+    "graph_reciprocity_assortativity",
+    f"""
+    WITH e AS (
+        SELECT DISTINCT src, dst FROM ({_SQL_EDGES}) WHERE src <> dst
+    ),
+    und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM e
+    ),
+    adj AS (SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    pairs AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM adj JOIN deg du ON adj.u = du.u
+                 JOIN deg dv ON adj.v = dv.u
+    ),
+    mom AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pairs
+    ),
+    rec AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_directed,
+               CAST(sum(CASE WHEN EXISTS (
+                   SELECT 1 FROM e r
+                   WHERE r.src = e.dst AND r.dst = e.src)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+        FROM e
+    )
+    SELECT n_directed, n_reciprocal,
+           round(n_reciprocal / CAST(n_directed AS DOUBLE), 6)
+               AS reciprocity,
+           round((m * sxy - sx * sy)
+                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+               AS assortativity
+    FROM rec CROSS JOIN mom
+    """,
+)
+def graph_reciprocity_assortativity(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Two whole-network structure metrics in one pass: reciprocity (the
+    fraction of directed edges whose reverse also exists — a semi-join
+    count) and degree assortativity (Newman 2002, public method — Pearson
+    correlation of endpoint degrees over the undirected adjacency). Every
+    moment is an exact integer sum (degrees and counts are ints), so the
+    single final expression is order-independent; the plan is two edge
+    aggregates + two broadcast-sized degree joins, no iteration."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        sequential_interaction_edges,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    e = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_directed = e.count()
+    n_reciprocal = e.join(rev, ["src", "dst"], "left_semi").count()
+    und = e.select(F.least("src", "dst").alias("a"),
+                   F.greatest("src", "dst").alias("b")).distinct()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+        .unionByName(und.select(F.col("b").alias("u"),
+                                F.col("a").alias("v")))
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (adj.join(deg, "u")
+             .withColumnRenamed("d", "x")
+             .join(deg.select(F.col("u").alias("v"), F.col("d").alias("y")),
+                   "v"))
+    mom = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return mom.select(
+        F.lit(n_directed).cast("bigint").alias("n_directed"),
+        F.lit(n_reciprocal).cast("bigint").alias("n_reciprocal"),
+        F.round(F.lit(n_reciprocal) / F.lit(float(n_directed)), 6)
+        .alias("reciprocity"),
+        F.round((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt((F.col("m") * F.col("sxx")
+                          - F.col("sx") * F.col("sx")).cast("double")
+                         * (F.col("m") * F.col("syy")
+                            - F.col("sy") * F.col("sy")).cast("double")), 6)
+        .alias("assortativity"),
+    )
