@@ -889,27 +889,27 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assoc_frequent_triples",
     """
     WITH baskets AS (
-        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+        -- composite basket key: with (user_id, day) as two join columns
+        -- DuckDB planned the a.item < b.item residual as a PIECEWISE
+        -- MERGE JOIN (an 80k x 80k inequality merge at sf0.1); one
+        -- equality key forces the hash-join path and the residual stays
+        -- a filter.
+        SELECT DISTINCT CAST(user_id AS VARCHAR) || '#'
+               || CAST(CAST(ts AS DATE) AS VARCHAR) AS bid,
                event_type AS item
         FROM events
-    ),
-    nb AS (
-        SELECT CAST(count(*) AS BIGINT) AS n
-        FROM (SELECT DISTINCT user_id, day FROM baskets) t
     ),
     freq AS (
         SELECT item FROM baskets GROUP BY item HAVING count(*) >= 20
     ),
     fb AS (SELECT b.* FROM baskets b JOIN freq USING (item)),
-    fsets AS (SELECT DISTINCT user_id, day FROM fb),
+    fsets AS (SELECT DISTINCT bid FROM fb),
     tri AS (
         SELECT a.item AS a, b.item AS b, c.item AS c,
                CAST(count(*) AS BIGINT) AS n_baskets
         FROM fb a
-        JOIN fb b ON a.user_id = b.user_id AND a.day = b.day
-                 AND a.item < b.item
-        JOIN fb c ON a.user_id = c.user_id AND a.day = c.day
-                 AND b.item < c.item
+        JOIN fb b ON a.bid = b.bid AND a.item < b.item
+        JOIN fb c ON b.bid = c.bid AND b.item < c.item
         GROUP BY 1, 2, 3
         HAVING count(*) >= 2
     )

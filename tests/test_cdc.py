@@ -171,3 +171,36 @@ def test_cdc_sink_matches_batch_apply(spark, tmp_path):
     expect = {r["k"]: (r["grp"], r["m"])
               for r in apply_changelog(base, changes, ["k"]).collect()}
     assert {k: (g, m) for k, (_, g, m) in got.items()} == expect
+
+
+# --- randomized equivalence property -----------------------------------------
+
+def test_random_changelogs_sequential_equals_oneshot(spark):
+    """Deterministic pseudo-random changelogs: splitting any changelog at
+    any batch boundary and applying sequentially equals the one-shot
+    apply — the associativity law MERGE INTO depends on."""
+    import random
+
+    rnd = random.Random(99)
+    for trial in range(4):
+        n_keys = rnd.randint(5, 25)
+        base_rows = [(k, "g%d" % (k % 3), k * 7)
+                     for k in range(n_keys) if rnd.random() < 0.7]
+        base = spark.createDataFrame(base_rows, "k bigint, grp string, m bigint")
+        chg_rows = []
+        seq = 0
+        for _ in range(rnd.randint(5, 40)):
+            seq += 1
+            chg_rows.append((rnd.randrange(n_keys + 5), seq,
+                             rnd.choice("IUD"), rnd.choice("gh"),
+                             rnd.randrange(1000)))
+        changes = spark.createDataFrame(chg_rows, CDC_SCHEMA)
+        cut = rnd.randint(0, seq)
+        first = changes.where(F.col("seq") <= cut)
+        second = changes.where(F.col("seq") > cut)
+        sequential = apply_changelog(
+            apply_changelog(base, first, ["k"]), second, ["k"])
+        oneshot = apply_changelog(base, changes, ["k"])
+        s = sorted(map(tuple, sequential.collect()))
+        o = sorted(map(tuple, oneshot.collect()))
+        assert s == o, f"trial {trial} cut {cut}"
