@@ -630,3 +630,57 @@ def jaro_winkler_pairs(pairs: DataFrame, a_col: str, b_col: str,
         pairs.mapInPandas(score, f"{fields}, {out_col} double")
         .withColumn(out_col, F.round(out_col, 6))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    max_shingle_freq: int | str | None = "auto",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric set-containment near-dups (Broder 1997's containment
+    coefficient, public method): C = |A∩B| / min(|A|,|B|) ≥ threshold —
+    catches SUBSUMPTION (one doc embedded in a much larger one), which
+    Jaccard structurally misses: a 50-shingle doc fully contained in a
+    5000-shingle doc has J ≈ 0.01 but C = 1.0. Same inverted-index
+    candidate machinery and hot-shingle guard as
+    :func:`ngram_jaccard_pairs`; both scores are reported so downstream
+    keep/drop rules can distinguish duplicates (high J) from containments
+    (high C, low J)."""
+    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        if max_shingle_freq == "auto":
+            nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+            cutoff = F.greatest(F.lit(1000), F.floor(F.col("nd") / 100))
+            freq = freq.crossJoin(F.broadcast(nd)).where(F.col("df") <= cutoff)
+        else:
+            freq = freq.where(F.col("df") <= F.lit(max_shingle_freq))
+        sh = sh.join(freq, on="shingle").select("id", "shingle")
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        common.join(sizes.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("n_shingles", "size_a"), on="id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_shingles", "size_b"), on="id_b")
+        .withColumn("_c", F.col("n_common")
+                    / F.least("size_a", "size_b"))
+        .withColumn("_j", F.col("n_common")
+                    / (F.col("size_a") + F.col("size_b") - F.col("n_common")))
+    )
+    return (
+        scored.where(F.col("_c") >= threshold)
+        .select("id_a", "id_b",
+                F.round("_c", 6).alias("containment"),
+                F.round("_j", 6).alias("jaccard"))
+    )

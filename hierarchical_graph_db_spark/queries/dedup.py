@@ -658,3 +658,58 @@ def fuzzy_jaro_winkler_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b")
     )
     return jaro_winkler_pairs(pairs, "name_a", "name_b", threshold=0.84)
+
+
+@query(
+    "dedup_containment_pairs",
+    f"""
+    WITH toks AS (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    ),
+    sh AS (
+        SELECT DISTINCT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    shf AS (
+        SELECT sh.id, sh.shingle
+        FROM sh
+        JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) f
+          USING (shingle)
+        WHERE f.df <= greatest(1000,
+                               floor((SELECT count(*) FROM documents) / 100))
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / least(sa.n, sb.n), 6) AS containment,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / least(sa.n, sb.n) >= 0.7
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-coefficient pairs (C = |A∩B|/min(|A|,|B|) ≥ 0.7) —
+    subsumption detection Jaccard misses (a short doc fully embedded in a
+    long one). Same shingle inverted index, hot-shingle guard, and
+    candidate join as the Jaccard baseline; both scores reported
+    (operators/dedup_fuzzy.py:containment_pairs)."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        containment_pairs,
+    )
+
+    return containment_pairs(Catalog(spark, sf_dir).documents,
+                             threshold=0.7)

@@ -374,3 +374,72 @@ def sketch_hll_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.col("est_union"), 4).alias("est_intersection"),
         )
     )
+
+
+@query(
+    "neyman_allocation_plan",
+    """
+    WITH mom AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s1,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)
+                        * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s2
+        FROM events GROUP BY event_type
+    ),
+    sd AS (
+        SELECT event_type, n,
+               sqrt((n * s2 - s1 * s1)
+                    / CAST(n AS DOUBLE) / (n - 1)) / 100.0 AS sigma
+        FROM mom WHERE n >= 2
+    ),
+    w AS (
+        SELECT event_type, n, sigma,
+               CAST(round(n * sigma * 1000000) AS BIGINT) AS wq
+        FROM sd
+    )
+    SELECT event_type, n AS stratum_size, round(sigma, 4) AS sigma,
+           round(wq / CAST((SELECT sum(wq) FROM w) AS DOUBLE), 6)
+               AS alloc_share,
+           CAST(round(1000 * wq
+                      / CAST((SELECT sum(wq) FROM w) AS DOUBLE))
+                AS BIGINT) AS alloc_n
+    FROM w
+    """,
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified-sampling allocation (Neyman 1934, public
+    method): sample budget shares nᵢ ∝ Nᵢ·σᵢ per event-type stratum —
+    minimum-variance allocation for estimating the mean, the planning
+    table the hash-based stratified sampler consumes. Stddev comes from
+    exact integer cent moments (n·Σx² − (Σx)² — one pass, map-side
+    partials), the weight Nᵢσᵢ is 1e-6-quantized before the share
+    normalization (exact integer denominator, the temperature-mixture
+    treatment)."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"))
+    sd = mom.where(F.col("n") >= 2).select(
+        "event_type", "n",
+        (F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+                / F.col("n").cast("double") / (F.col("n") - 1))
+         / 100.0).alias("sigma"))
+    w = sd.withColumn(
+        "wq", F.round(F.col("n") * F.col("sigma") * 1000000).cast("bigint"))
+    tot = w.agg(F.sum("wq").alias("t"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select("event_type", F.col("n").alias("stratum_size"),
+                F.round("sigma", 4).alias("sigma"),
+                F.round(F.col("wq") / F.col("t").cast("double"), 6)
+                .alias("alloc_share"),
+                F.round(F.lit(1000) * F.col("wq")
+                        / F.col("t").cast("double")).cast("bigint")
+                .alias("alloc_n"))
+    )
