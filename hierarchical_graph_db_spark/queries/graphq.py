@@ -296,7 +296,7 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(edges, landmark="1", max_hops=10)
 
 
-def _lpa_oracle(n_iter: int = 5) -> str:
+def _lpa_ctes(n_iter: int = 5) -> tuple[str, str]:
     """DuckDB twin of ``operators.graph.label_propagation_communities``:
     the synchronized rounds unroll into chained MATERIALIZED CTEs (each
     round reads the previous once per reference; MATERIALIZED still
@@ -328,8 +328,7 @@ def _lpa_oracle(n_iter: int = 5) -> str:
         ) b ON b.id = v.id
     )""")
         prev = cur
-    return f"""
-    WITH raw AS ({_SQL_EDGES}),
+    ctes = f"""raw AS ({_SQL_EDGES}),
     sym AS MATERIALIZED (
         SELECT src AS a, dst AS b FROM raw
         UNION
@@ -337,8 +336,15 @@ def _lpa_oracle(n_iter: int = 5) -> str:
     ),
     verts AS MATERIALIZED (SELECT DISTINCT a AS id FROM sym),
     l0 AS MATERIALIZED (SELECT id, id AS community FROM verts),
-    {','.join(rounds)}
-    SELECT id, community FROM {prev}
+    {','.join(rounds)}"""
+    return ctes, prev
+
+
+def _lpa_oracle(n_iter: int = 5) -> str:
+    ctes, last = _lpa_ctes(n_iter)
+    return f"""
+    WITH {ctes}
+    SELECT id, community FROM {last}
     """
 
 
@@ -921,4 +927,102 @@ def graph_reciprocity_assortativity(spark: SparkSession,
                          * (F.col("m") * F.col("syy")
                             - F.col("sy") * F.col("sy")).cast("double")), 6)
         .alias("assortativity"),
+    )
+
+
+def _modularity_oracle(n_iter: int = 5) -> str:
+    ctes, last = _lpa_ctes(n_iter)
+    return f"""
+    WITH {ctes},
+    und AS (
+        SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM sym
+    ),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+    comm AS (SELECT id, community FROM {last}),
+    deg AS (
+        SELECT u AS id, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT x AS u FROM und UNION ALL SELECT y FROM und) t
+        GROUP BY u
+    ),
+    dsum AS (
+        SELECT c.community, CAST(sum(g.d) AS BIGINT) AS d_c,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM comm c JOIN deg g ON g.id = c.id
+        GROUP BY c.community
+    ),
+    intra AS (
+        SELECT ca.community, CAST(count(*) AS BIGINT) AS e_c
+        FROM und
+        JOIN comm ca ON ca.id = und.x
+        JOIN comm cb ON cb.id = und.y AND cb.community = ca.community
+        GROUP BY ca.community
+    ),
+    terms AS (
+        SELECT d.community, d.n_nodes, d.d_c,
+               coalesce(i.e_c, 0) AS e_c,
+               4 * mm.m * coalesce(i.e_c, 0) - d.d_c * d.d_c AS num_term
+        FROM dsum d
+        LEFT JOIN intra i ON i.community = d.community
+        CROSS JOIN mm
+    )
+    SELECT community, n_nodes, e_c, d_c,
+           round(num_term / (4.0 * mm.m * mm.m), 6) AS contribution,
+           round((SELECT CAST(sum(num_term) AS BIGINT) FROM terms)
+                 / (4.0 * mm.m * mm.m), 6) AS modularity_q
+    FROM terms CROSS JOIN mm
+    """
+
+
+@query("graph_lpa_modularity", _modularity_oracle())
+def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the quality score that
+    tells you whether the partition is real structure or noise:
+    Q = Σ_c (eᶜ/m − (d_c/2m)²), computed as ONE exact integer numerator
+    Σ(4·m·e_c − d_c²) over 4m² (no per-community float summation — the
+    rational form makes the fold order-independent; bigint-safe to
+    m ≈ 10⁹ undirected edges, beyond which the numerator moves to
+    decimal). Per-community rows carry (n_nodes, intra-edges, degree
+    mass, contribution) plus the global Q. Communities come from the
+    same 5-round deterministic LPA the registry already hash-checks."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    comm = label_propagation_communities(edges, n_iter=5)
+    und = (edges.select(F.least("src", "dst").alias("x"),
+                        F.greatest("src", "dst").alias("y"))
+           .where(F.col("x") != F.col("y")).distinct()
+           .localCheckpoint(eager=True))
+    m = und.count()
+    deg = (und.select(F.col("x").alias("id"))
+           .unionByName(und.select(F.col("y").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+    dsum = (comm.join(deg, "id")
+            .groupBy("community")
+            .agg(F.sum("d").cast("bigint").alias("d_c"),
+                 F.count(F.lit(1)).alias("n_nodes")))
+    ca = comm.select(F.col("id").alias("x"), F.col("community").alias("ca"))
+    cb = comm.select(F.col("id").alias("y"), F.col("community").alias("cb"))
+    intra = (und.join(ca, "x").join(cb, "y")
+             .where(F.col("ca") == F.col("cb"))
+             .groupBy(F.col("ca").alias("community"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("e_c")))
+    terms = (dsum.join(intra, "community", "left")
+             .select("community", "n_nodes", "d_c",
+                     F.coalesce("e_c", F.lit(0).cast("bigint")).alias("e_c"),
+                     (F.lit(4 * m) * F.coalesce("e_c", F.lit(0))
+                      - F.col("d_c") * F.col("d_c")).alias("num_term")))
+    tot = terms.agg(F.sum("num_term").cast("bigint").alias("tot"))
+    den = float(4.0 * m * m)
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select("community", "n_nodes", "e_c", "d_c",
+                F.round(F.col("num_term") / F.lit(den), 6)
+                .alias("contribution"),
+                F.round(F.col("tot") / F.lit(den), 6).alias("modularity_q"))
     )

@@ -414,3 +414,58 @@ def streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rnk") <= 3)
     )
+
+
+def _scd2_stream_oracle() -> str:
+    from hierarchical_graph_db_spark.queries.timeseriesq import (
+        _SQL_SCD2_HIST,
+    )
+
+    return f"""
+    WITH {_SQL_SCD2_HIST}
+    SELECT p.event_id, p.user_id, p.ts,
+           h.event_type AS attr_at_ts,
+           h.version
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN hist h ON h.user_id = p.user_id
+                    AND h.valid_from <= p.ts
+                    AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """
+
+
+@query("streaming_scd2_enrichment", _scd2_stream_oracle())
+def streaming_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature enrichment ON THE STREAM: purchase events
+    stream in and LEFT stream-static join the SCD2 history (the batch-built
+    dimension — static side) on user + half-open validity containment, so
+    every purchase picks up the browsing state valid AT EVENT TIME with no
+    look-ahead — the feature-store serving path as a streaming query. The
+    dimension tiles each key's timeline without overlap (≤1 match per
+    event), the join needs no watermark state (static side), and the
+    drained append output must equal the batch point-in-time join — the
+    oracle is the batch query verbatim."""
+    from hierarchical_graph_db_spark.io import Catalog
+    from hierarchical_graph_db_spark.operators.temporal import scd2_history
+
+    ev = Catalog(spark, sf_dir).events
+    hist = scd2_history(ev.where(F.col("event_type") != "purchase"),
+                        key_col="user_id", attr_col="event_type",
+                        ts_col="ts", tiebreak_col="event_id") \
+        .select(F.col("user_id").alias("h_user"), "version",
+                F.col("event_type").alias("attr_at_ts"),
+                "valid_from", "valid_to")
+    stream = (fixture_event_stream(spark, sf_dir)
+              .where(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts"))
+    joined = stream.join(
+        hist,
+        (stream.user_id == hist.h_user)
+        & (hist.valid_from <= stream.ts)
+        & (hist.valid_to.isNull() | (stream.ts < hist.valid_to)),
+        "left",
+    )
+    return drain_to_dataframe(
+        joined.select("event_id", "user_id", "ts", "attr_at_ts", "version"),
+        output_mode="append",
+    )
