@@ -579,3 +579,67 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("word"))
         .limit(25)
     )
+
+
+@query(
+    "text_ngram_novelty",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               t.w1 || ' ' || t.w2 || ' ' || t.w3 AS shingle
+        FROM (
+            SELECT doc_id,
+                   unnest(ts[1:len(ts)-2]) AS w1,
+                   unnest(ts[2:len(ts)-1]) AS w2,
+                   unnest(ts[3:len(ts)])   AS w3
+            FROM toks WHERE len(ts) >= 3
+        ) t
+    ),
+    firstseen AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh s JOIN firstseen f USING (shingle)
+    GROUP BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct word
+    trigrams whose FIRST corpus appearance (min doc_id — ingestion order)
+    is this doc — the curation metric that separates template boilerplate
+    (novelty → 0) from fresh content, and attributes near-dup clusters to
+    their earliest member. One shingle build (row-local zip — parallel
+    unnest in the oracle), one min-aggregate over shingles (map-side
+    collapse; a viral shingle is ONE row here), one join back keyed on the
+    shingle, one per-doc aggregate."""
+    docs = Catalog(spark, sf_dir).documents
+    ts = tokens("text")
+    n = F.size("ts")
+    tri = F.zip_with(
+        F.slice("ts", 1, n - 2),
+        F.zip_with(F.slice(F.col("ts"), 2, n - 2),
+                   F.slice(F.col("ts"), 3, n - 2),
+                   lambda b, c: F.concat_ws(" ", b, c)),
+        lambda a, bc: F.concat_ws(" ", a, bc))
+    sh = (docs.select("doc_id", ts.alias("ts"))
+          .where(n >= 3)
+          .select("doc_id", F.explode(F.array_distinct(tri)).alias("shingle")))
+    firstseen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firstseen, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(novel).cast("bigint").alias("n_novel"),
+             F.round(F.sum(novel) / F.count(F.lit(1)).cast("double"), 6)
+             .alias("novelty"))
+    )

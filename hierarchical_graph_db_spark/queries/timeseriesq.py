@@ -729,3 +729,55 @@ def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(hmean - level, 4).alias("seasonal"),
                 F.round(hmean / level, 6).alias("seasonal_index"))
     )
+
+
+@query(
+    "kpi_week_over_week",
+    """
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, n_events,
+           round(cents / 100.0, 2) AS revenue,
+           round((cents - lag(cents) OVER w)
+                 / CAST(lag(cents) OVER w AS DOUBLE), 6) + 0 AS wow_change,
+           round(avg(cents / 100.0) OVER (PARTITION BY event_type
+                                          ORDER BY week
+                                          ROWS BETWEEN 3 PRECEDING
+                                                   AND CURRENT ROW), 4)
+               AS ma4
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+)
+def kpi_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI staple: weekly revenue per event type with week-over-week
+    percent change and a 4-week trailing moving average. Weekly sums are
+    exact integer cents (map-side collapse); the windows run over the
+    |types| × |weeks| aggregate table, never the fact. The trailing avg
+    divides a ≤4-term sum — rounded at 4dp where partial order can't
+    bite."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).events
+    weekly = (ev.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").cast("date").alias("week"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .cast("bigint").alias("cents"),
+             F.count(F.lit(1)).alias("n_events")))
+    w = Window.partitionBy("event_type").orderBy("week")
+    ma = w.rowsBetween(-3, 0)
+    return weekly.select(
+        "event_type", "week", "n_events",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        (F.round((F.col("cents") - F.lag("cents").over(w))
+                 / F.lag("cents").over(w).cast("double"), 6)
+         + F.lit(0.0)).alias("wow_change"),
+        F.round(F.avg(F.col("cents") / 100.0).over(ma), 4).alias("ma4"),
+    )

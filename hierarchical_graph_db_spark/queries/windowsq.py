@@ -680,3 +680,56 @@ def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("gap_us") / 1000000.0, 4).alias("min_gap_s"),
         F.round(F.max("gap_us") / 1000000.0, 4).alias("max_gap_s"),
     )
+
+
+@query(
+    "funnel_conversion_latency",
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(epoch_us(fp) - epoch_us(fv) AS BIGINT) AS gap_us
+        FROM f JOIN customer c ON f.user_id = c.c_custkey
+        WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(gap_us, 0.5) / 60000000.0, 4) AS p50_min,
+           round(quantile_cont(gap_us, 0.9) / 60000000.0, 4) AS p90_min,
+           round(max(gap_us) / 60000000.0, 4) AS max_min
+    FROM conv GROUP BY segment
+    """,
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per customer segment: exact median /
+    p90 / max of the first-view → first-purchase gap — the latency
+    companion to the ordered-funnel counts. Gaps are exact integer
+    microseconds (first events via min-CASE in ONE pass over the fact);
+    the dim broadcasts; percentiles run per segment over one row per
+    converted user."""
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("fp"))
+    dim = cat.customer.select(F.col("c_custkey").alias("user_id"),
+                              F.col("c_mktsegment").alias("segment"))
+    conv = (f.join(F.broadcast(dim), "user_id")
+            .where(F.col("fv").isNotNull() & F.col("fp").isNotNull()
+                   & (F.col("fp") >= F.col("fv")))
+            .select("segment",
+                    (F.unix_micros("fp") - F.unix_micros("fv"))
+                    .alias("gap_us")))
+    return conv.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 60000000.0, 4)
+        .alias("p50_min"),
+        F.round(F.expr("percentile(gap_us, 0.9)") / 60000000.0, 4)
+        .alias("p90_min"),
+        F.round(F.max("gap_us") / 60000000.0, 4).alias("max_min"),
+    )
