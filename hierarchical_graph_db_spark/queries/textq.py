@@ -643,3 +643,115 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(novel) / F.count(F.lit(1)).cast("double"), 6)
              .alias("novelty"))
     )
+
+
+# --- RAKE keyphrases ---------------------------------------------------------
+
+
+@query(
+    "text_rake_keyphrases",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS w,
+               unnest(range(1, len({_SQL_TOKENS}) + 1)) AS pos
+        FROM documents
+        WHERE len(trim(text)) > 0
+    ),
+    marked AS (
+        SELECT doc_id, w, pos,
+               CASE WHEN lower(w) IN {_SQL_STOPLIST} THEN 1 ELSE 0 END
+                   AS is_stop
+        FROM tok
+    ),
+    islands AS (
+        SELECT doc_id, w, pos, is_stop,
+               sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS island
+        FROM marked
+    ),
+    phr AS (
+        SELECT doc_id, island,
+               string_agg(w, ' ' ORDER BY pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS plen
+        FROM islands WHERE is_stop = 0
+        GROUP BY doc_id, island
+    ),
+    words AS (
+        SELECT doc_id, island, plen, unnest(string_split(phrase, ' ')) AS w
+        FROM phr
+    ),
+    wstat AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(plen - 1) AS BIGINT) AS deg
+        FROM words GROUP BY w
+    ),
+    scored AS (
+        -- word scores quantized to 1e-6 bigints before the phrase sum:
+        -- integer addition commutes under any partial-aggregation order
+        SELECT p.doc_id, p.island, p.phrase,
+               sum(CAST(round((1 + s.deg / CAST(s.freq AS DOUBLE))
+                              * 1000000) AS BIGINT)) / 1000000.0 AS score
+        FROM words wd
+        JOIN wstat s ON s.w = wd.w
+        JOIN phr p ON p.doc_id = wd.doc_id AND p.island = wd.island
+        GROUP BY p.doc_id, p.island, p.phrase
+    )
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(min(score), 6) AS rake_score
+    FROM scored
+    GROUP BY phrase
+    ORDER BY round(min(score), 6) DESC, phrase
+    LIMIT 15
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010, public method):
+    candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands over the token stream — one doc-local window), word
+    scores are deg/freq over phrase co-occurrence, phrase score sums its
+    words' scores; top-15 distinct phrases. The phrase-level complement to
+    TextRank's word graph — no iteration, two hash aggregates and a
+    word-keyed join. Identical phrases score identically by construction
+    (min(score) is a no-op collapse), and the score's deg/freq rationals
+    divide once per word — deterministic both engines."""
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = (docs.where(F.length(F.trim("text")) > 0)
+            .select("doc_id", F.posexplode(tokens("text"))
+                    .alias("pos", "w")))
+    marked = toks.withColumn(
+        "is_stop",
+        F.when(F.lower("w").isin(*EN_STOPWORDS), 1).otherwise(0))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = marked.withColumn("island", F.sum("is_stop").over(w_doc))
+    phr = (islands.where(F.col("is_stop") == 0)
+           .groupBy("doc_id", "island")
+           .agg(F.array_join(
+               F.transform(F.sort_array(F.collect_list(
+                   F.struct("pos", "w"))), lambda s: s["w"]), " ")
+               .alias("phrase"),
+               F.count(F.lit(1)).alias("plen")))
+    words = phr.select("doc_id", "island", "plen",
+                       F.explode(F.split("phrase", " ")).alias("w"))
+    wstat = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("plen") - 1).cast("bigint").alias("deg"))
+    scored = (
+        words.join(wstat, "w")
+        .groupBy("doc_id", "island")
+        .agg((F.sum(F.round((F.lit(1.0) + F.col("deg")
+                             / F.col("freq").cast("double"))
+                            * 1000000).cast("bigint"))
+              / F.lit(1000000.0)).alias("score"))
+        .join(phr.select("doc_id", "island", "phrase"),
+              ["doc_id", "island"])
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"),
+             F.round(F.min("score"), 6).alias("rake_score"))
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(15)
+    )
