@@ -1026,3 +1026,85 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("contribution"),
                 F.round(F.col("tot") / F.lit(den), 6).alias("modularity_q"))
     )
+
+
+@query(
+    "graph_rich_club",
+    f"""
+    WITH und AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM ({_SQL_EDGES}) WHERE src <> dst
+    ),
+    deg AS (
+        SELECT u AS id, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS u FROM und UNION ALL SELECT b FROM und) t
+        GROUP BY u
+    ),
+    ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+    club AS (
+        SELECT ks.k, deg.id
+        FROM ks JOIN deg ON deg.d > ks.k
+    ),
+    stats AS (
+        SELECT c.k, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM club c GROUP BY c.k
+    ),
+    ce AS (
+        SELECT ca.k, CAST(count(*) AS BIGINT) AS n_edges
+        FROM und
+        JOIN club ca ON ca.id = und.a
+        JOIN club cb ON cb.id = und.b AND cb.k = ca.k
+        GROUP BY ca.k
+    )
+    SELECT s.k, s.n_nodes, coalesce(ce.n_edges, 0) AS n_edges,
+           CASE WHEN s.n_nodes >= 2
+                THEN round(2.0 * coalesce(ce.n_edges, 0)
+                           / (s.n_nodes * (s.n_nodes - 1)), 6) END AS phi
+    FROM stats s LEFT JOIN ce ON ce.k = s.k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) (Zhou & Mondragón 2004, public method):
+    edge density among the vertices of degree > k, for k ∈ {2,4,8,16} —
+    do the hubs of the communication graph talk to each other more than
+    chance? Pure integer counting (degree table → per-k membership →
+    intra-club edge count via two keyed joins), one exact final ratio per
+    k. The per-k fan-out joins the small degree table, never the fact."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        sequential_interaction_edges,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    und = (sequential_interaction_edges(ev)
+           .select(F.least(F.col("src").cast("string"),
+                           F.col("dst").cast("string")).alias("a"),
+                   F.greatest(F.col("src").cast("string"),
+                              F.col("dst").cast("string")).alias("b"))
+           .where(F.col("a") != F.col("b")).distinct()
+           .localCheckpoint(eager=True))
+    deg = (und.select(F.col("a").alias("id"))
+           .unionByName(und.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("d")))
+    ks = und.sparkSession.createDataFrame([(2,), (4,), (8,), (16,)],
+                                          "k int")
+    club = ks.join(deg, deg.d > ks.k).select("k", "id")
+    stats = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_nodes"))
+    ce = (und.join(club.withColumnRenamed("id", "a"), "a")
+          .join(club.withColumnRenamed("id", "b")
+                .withColumnRenamed("k", "kb"), "b")
+          .where(F.col("k") == F.col("kb"))
+          .groupBy("k").agg(F.count(F.lit(1)).cast("bigint")
+                            .alias("n_edges")))
+    return (
+        stats.join(ce, "k", "left")
+        .select(F.col("k").cast("bigint").alias("k"),
+                "n_nodes",
+                F.coalesce("n_edges", F.lit(0).cast("bigint"))
+                .alias("n_edges"),
+                F.when(F.col("n_nodes") >= 2,
+                       F.round(F.lit(2.0)
+                               * F.coalesce("n_edges", F.lit(0))
+                               / (F.col("n_nodes")
+                                  * (F.col("n_nodes") - 1)), 6))
+                .alias("phi"))
+    )

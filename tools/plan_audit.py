@@ -35,7 +35,7 @@ _ONE_ROW_TOTAL = {
     "chi_square_independence", "doc_unigram_logprob",
     "drift_ks_two_sample", "drift_psi_value",
     "event_transition_stationary", "events_value_histogram",
-    "graph_triangle_count", "hybrid_retrieval_rrf",
+    "graph_triangle_count", "graph_rich_club", "hybrid_retrieval_rrf",
     "quality_perplexity_buckets", "sketch_hll_set_operations",
     "text_bm25_topk", "text_pmi_collocations",
     "tpch_q11_important_parts", "tpch_q22_global_sales_opportunity",
