@@ -48,7 +48,29 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list-queries", help="list registry queries")
 
+    p_a = sub.add_parser(
+        "audit", help="physical-plan antipattern audit (tools/plan_audit)")
+    p_a.add_argument("names", nargs="*",
+                     help="query names (default: whole registry)")
+    p_a.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_a.add_argument("--strict", action="store_true",
+                     help="ignore the documented allowlist")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "audit":
+        import json as _json
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(0, _os.path.dirname(
+            _os.path.dirname(_os.path.abspath(__file__))))
+        from tools.plan_audit import audit
+
+        result = audit(args.sf_dir, names=args.names or None,
+                       strict=args.strict)
+        print(_json.dumps(result))
+        return 1 if result["violations"] else 0
 
     if args.cmd == "list-queries":
         from hierarchical_graph_db_spark.queries import load
