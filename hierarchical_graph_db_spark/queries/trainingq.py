@@ -803,3 +803,72 @@ def domain_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return temperature_mixture(Catalog(spark, sf_dir).documents, alpha=0.3)
+
+
+@query(
+    "temporal_split_leakage",
+    """
+    WITH labeled AS (
+        SELECT user_id, event_id,
+               ts >= TIMESTAMP '2024-01-22' AS is_test
+        FROM events
+    ),
+    halves AS (
+        SELECT CAST(count(*) FILTER (WHERE NOT is_test) AS BIGINT)
+                   AS n_train,
+               CAST(count(*) FILTER (WHERE is_test) AS BIGINT) AS n_test
+        FROM labeled
+    ),
+    users AS (
+        SELECT user_id,
+               max(CASE WHEN is_test THEN 0 ELSE 1 END) = 1 AS in_train,
+               max(CASE WHEN is_test THEN 1 ELSE 0 END) = 1 AS in_test
+        FROM labeled GROUP BY user_id
+    ),
+    ustat AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN in_train AND in_test THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlap
+        FROM users
+    )
+    SELECT h.n_train, h.n_test, u.n_users, u.n_overlap,
+           round(u.n_overlap / CAST(u.n_users AS DOUBLE), 6)
+               AS entity_leakage
+    FROM halves h CROSS JOIN ustat u
+    """,
+)
+def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split (cutoff 2024-01-22) with an ENTITY-LEAKAGE
+    report: how many users appear on both sides of the time boundary —
+    the check that separates a valid forecasting split from one that
+    leaks user identity across it (group-aware splitting, standard ML
+    hygiene; the hash split in train_val_test_split is the
+    entity-disjoint alternative this report motivates). Two aggregates,
+    both map-side-collapsing; the per-user flags collapse to one row per
+    user before the overlap count."""
+    ev = Catalog(spark, sf_dir).events
+    labeled = ev.select(
+        "user_id",
+        (F.col("ts") >= F.lit("2024-01-22").cast("timestamp"))
+        .alias("is_test"))
+    halves = labeled.agg(
+        F.sum(F.when(~F.col("is_test"), 1).otherwise(0)).cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).cast("bigint")
+        .alias("n_test"))
+    users = labeled.groupBy("user_id").agg(
+        (F.max(F.when(~F.col("is_test"), 1).otherwise(0)) == 1)
+        .alias("in_train"),
+        (F.max(F.when(F.col("is_test"), 1).otherwise(0)) == 1)
+        .alias("in_test"))
+    ustat = users.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("in_train") & F.col("in_test"), 1).otherwise(0))
+        .cast("bigint").alias("n_overlap"))
+    return (
+        halves.crossJoin(F.broadcast(ustat))
+        .select("n_train", "n_test", "n_users", "n_overlap",
+                F.round(F.col("n_overlap")
+                        / F.col("n_users").cast("double"), 6)
+                .alias("entity_leakage"))
+    )
