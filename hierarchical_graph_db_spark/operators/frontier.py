@@ -49,9 +49,11 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str,
     distinct values are collected to the driver (the prefix-max table), so
     pick a granularity with at most ~10⁵ buckets.
     """
+    # materialized once: the distinct-point table feeds both the bucket
+    # aggregate and the survivor filter (else the stage-1 agg runs twice)
     pts = (df.groupBy(F.col(x_col), F.col(y_col))
            .agg(*[v.alias(k) for k, v in payload.items()])
-           .withColumn("_b", bucket))
+           .withColumn("_b", bucket)).localCheckpoint(eager=True)
 
     # Coarse prune: prefix max of per-bucket best y, strictly-earlier
     # buckets only. Bounded collect (n_buckets rows) -> broadcast join.

@@ -846,14 +846,18 @@ def betweenness_sampled(edges: DataFrame, sources: list[str],
     for d in range(depths, 0, -1):
         acc = dl if acc is None else acc.unionByName(dl)
         level = visited.where(F.col("dist") == d - 1)
-        contrib = (
-            level.select("source", F.col("id").alias("vid"),
-                         F.col("sigma").alias("sv"))
+        lv = level.select("source", F.col("id").alias("vid"),
+                          F.col("sigma").alias("sv")) \
             .join(e, F.col("vid") == e.src)
-            .join(dl.select("source", F.col("id").alias("wid"),
-                            F.col("sigma").alias("sw"), "delta"),
-                  on=["source"])
-            .where(F.col("wid") == F.col("dst"))
+        dw = dl.select(F.col("source").alias("w_source"),
+                       F.col("id").alias("wid"),
+                       F.col("sigma").alias("sw"), "delta")
+        # equi-join on BOTH (source, successor) keys — joining on source
+        # alone and filtering wid==dst afterwards would build a per-source
+        # (candidate-edges × deeper-level) intermediate first
+        contrib = (
+            lv.join(dw, (F.col("source") == F.col("w_source"))
+                    & (F.col("dst") == F.col("wid")))
             .groupBy("source", "vid")
             .agg((F.sum(F.round(F.col("sv") / F.col("sw")
                                 * (F.lit(1.0) + F.col("delta"))

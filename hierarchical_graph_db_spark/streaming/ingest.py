@@ -232,16 +232,22 @@ class CdcParquetSink:
             keep = final.where(F.col(self.op_col) != F.lit("D")) \
                 .drop(self.op_col)
             merged = keep.withColumn(
-                "bucket_id", self._bucket_of(*self.keys))
-            # A delete can wipe a bucket entirely; absence from `merged`
-            # alone cannot express that — name the emptied buckets so the
-            # commit drops them from the live manifest (O(n_buckets) ids).
-            present = {
-                r[0] for r in merged.select("bucket_id").distinct().collect()
-            }
-            self.store.commit(batch_id, merged,
-                              emptied=[b for b in touched
-                                       if b not in present])
+                "bucket_id", self._bucket_of(*self.keys)).persist()
+            try:
+                # A delete can wipe a bucket entirely; absence from `merged`
+                # alone cannot express that — name the emptied buckets so
+                # the commit drops them from the live manifest. The persist
+                # keeps the present-bucket probe from recomputing the
+                # store-read + net for the commit's write.
+                present = {
+                    r[0] for r in
+                    merged.select("bucket_id").distinct().collect()
+                }
+                self.store.commit(batch_id, merged,
+                                  emptied=[b for b in touched
+                                           if b not in present])
+            finally:
+                merged.unpersist()
         finally:
             net.unpersist()
 
