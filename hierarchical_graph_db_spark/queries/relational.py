@@ -867,3 +867,115 @@ def date_arithmetic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trunc(d, "quarter").alias("quarter_start"),
         )
     )
+
+
+# --- customer RFM segmentation and ABC analysis ------------------------------
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH agg AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, last_order, frequency, monetary_cents,
+               ntile(5) OVER (ORDER BY last_order, o_custkey) AS r,
+               ntile(5) OVER (ORDER BY frequency, o_custkey) AS f,
+               ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m
+        FROM agg
+    )
+    SELECT o_custkey, frequency,
+           round(monetary_cents / 100.0, 2) AS monetary,
+           CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+               AS rfm
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quintiles — the
+    classic CRM scoring): per-customer order aggregates, three ntile(5)
+    rankings with the customer key as tie-break (deterministic quintile
+    edges), concatenated into the familiar '555'-style segment code. The
+    windows run over the per-customer aggregate (one row each), never the
+    fact; at scale the three global sorts become range-partitioned
+    TeraSort shapes on a table 1/|orders-per-customer| the fact size."""
+    from pyspark.sql import Window
+
+    o = Catalog(spark, sf_dir).orders
+    agg = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("monetary_cents"))
+    r = F.ntile(5).over(Window.orderBy("last_order", "o_custkey"))
+    fq = F.ntile(5).over(Window.orderBy("frequency", "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey"))
+    return agg.select(
+        "o_custkey", "frequency",
+        F.round(F.col("monetary_cents") / 100.0, 2).alias("monetary"),
+        r.cast("bigint").alias("r"), fq.cast("bigint").alias("f"),
+        m.cast("bigint").alias("m"),
+    ).withColumn("rfm", F.concat(F.col("r").cast("string"),
+                                 F.col("f").cast("string"),
+                                 F.col("m").cast("string")))
+
+
+@query(
+    "part_abc_analysis",
+    """
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, cents,
+               sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS run_cents,
+               sum(cents) OVER () AS tot_cents
+        FROM rev
+    )
+    SELECT l_partkey, round(cents / 100.0, 2) AS revenue,
+           round(run_cents / CAST(tot_cents AS DOUBLE), 6) AS cum_share,
+           CASE WHEN run_cents / CAST(tot_cents AS DOUBLE) <= 0.8 THEN 'A'
+                WHEN run_cents / CAST(tot_cents AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto analysis of part revenue: rank parts by discounted
+    revenue, classify by cumulative share (A ≤ 80%, B ≤ 95%, C tail) —
+    the inventory-management classic. Revenue and the running total are
+    exact integer cents (the cumulative window is an integer prefix sum —
+    no float order anywhere); windows run over one row per part. The
+    global ordered window is the documented bounded-aggregate-table class
+    (|parts| rows); at fact scale it becomes a range-partitioned sort."""
+    from pyspark.sql import Window
+
+    li = Catalog(spark, sf_dir).lineitem
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 100).cast("bigint")).cast("bigint").alias("cents"))
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    share = F.col("run_cents") / F.col("tot_cents").cast("double")
+    return (
+        rev.withColumn("run_cents", F.sum("cents").over(w))
+        .withColumn("tot_cents", F.sum("cents").over(tot))
+        .select("l_partkey",
+                F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+                F.round(share, 6).alias("cum_share"),
+                F.when(share <= 0.8, "A")
+                .when(share <= 0.95, "B").otherwise("C").alias("abc_class"))
+    )
