@@ -1108,3 +1108,70 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   * (F.col("n_nodes") - 1)), 6))
                 .alias("phi"))
     )
+
+
+@query(
+    "graph_path_length_sampled",
+    f"""
+    WITH RECURSIVE eu AS (
+        SELECT src, dst FROM ({_SQL_EDGES})
+        UNION
+        SELECT dst AS src, src AS dst FROM ({_SQL_EDGES})
+    ),
+    bfs(source, id, distance) AS (
+        SELECT s, s, 0
+        FROM (VALUES ('1'), ('2'), ('3'), ('4')) seeds(s)
+        UNION
+        SELECT bfs.source, eu.dst, bfs.distance + 1
+        FROM bfs JOIN eu ON bfs.id = eu.src
+        WHERE bfs.distance < 6
+    ),
+    d AS (
+        SELECT source, id, min(distance) AS dist
+        FROM bfs GROUP BY source, id
+    ),
+    n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_vertices FROM eu)
+    SELECT source,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached,
+           round((count(*) - 1)
+                 / CAST((SELECT n_vertices FROM n) - 1 AS DOUBLE), 6)
+               AS reach_fraction,
+           round(sum(dist) / CAST(count(*) - 1 AS DOUBLE), 6)
+               AS avg_distance,
+           CAST(max(dist) AS BIGINT) AS eccentricity
+    FROM d GROUP BY source
+    """,
+)
+def graph_path_length_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-landmark path-length profile (Eppstein & Wang 2001 landmark
+    sampling): vertices reached within 6 hops, reach fraction, mean
+    shortest-path distance, and hop-bounded eccentricity — the
+    small-world summary statistics, from ONE multi-source BFS shared by
+    all 4 seeds (the harmonic-centrality frontier reused with a
+    per-source aggregate instead of a per-vertex fold). Distance sums are
+    exact integers; one division per source."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        multi_source_distances,
+        sequential_interaction_edges,
+    )
+
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    d = multi_source_distances(edges, ["1", "2", "3", "4"], max_hops=6)
+    sym = edges.select(F.col("src").alias("a")).unionByName(
+        edges.select(F.col("dst").alias("a")))
+    n_vertices = sym.distinct().count()
+    return (
+        d.groupBy("source")
+        .agg((F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
+             F.round((F.count(F.lit(1)) - 1)
+                     / F.lit(float(n_vertices - 1)), 6)
+             .alias("reach_fraction"),
+             F.round(F.sum("distance")
+                     / (F.count(F.lit(1)) - 1).cast("double"), 6)
+             .alias("avg_distance"),
+             F.max("distance").cast("bigint").alias("eccentricity"))
+    )
