@@ -35,6 +35,8 @@ _ONE_ROW_TOTAL = {
     "chi_square_independence", "doc_unigram_logprob",
     "drift_ks_two_sample", "drift_psi_value",
     "event_transition_stationary", "events_value_histogram",
+    "graph_lpa_modularity", "neyman_allocation_plan",
+    "temporal_split_leakage",
     "graph_triangle_count", "graph_rich_club", "hybrid_retrieval_rrf",
     "quality_perplexity_buckets", "sketch_hll_set_operations",
     "text_bm25_topk", "text_pmi_collocations",
