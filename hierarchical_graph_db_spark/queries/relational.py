@@ -979,3 +979,47 @@ def part_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(share <= 0.8, "A")
                 .when(share <= 0.95, "B").otherwise("C").alias("abc_class"))
     )
+
+
+@query(
+    "supplier_balance_profile",
+    """
+    WITH s AS (
+        SELECT s_suppkey, s_nationkey,
+               CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM supplier
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(bal_cents) / 100.0, 2) AS total_balance,
+           round(sum(bal_cents) / 100.0 / count(*), 4) AS avg_balance,
+           round(min(bal_cents) / 100.0, 2) AS min_balance,
+           round(max(bal_cents) / 100.0, 2) AS max_balance,
+           CAST(sum(CASE WHEN bal_cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM s JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance profile per nation (count, exact-cent
+    total/avg/min/max, negative-balance count) — the supplier-side
+    completeness query beside the TPC-H shapes; the dim broadcasts, all
+    money math is integer cents divided once."""
+    c = Catalog(spark, sf_dir)
+    s = c.supplier.select(
+        "s_suppkey", "s_nationkey",
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("bal_cents"))
+    return (
+        s.join(F.broadcast(c.nation),
+               s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.round(F.sum("bal_cents") / 100.0, 2).alias("total_balance"),
+             F.round(F.sum("bal_cents") / 100.0 / F.count(F.lit(1)), 4)
+             .alias("avg_balance"),
+             F.round(F.min("bal_cents") / 100.0, 2).alias("min_balance"),
+             F.round(F.max("bal_cents") / 100.0, 2).alias("max_balance"),
+             F.sum(F.when(F.col("bal_cents") < 0, 1).otherwise(0))
+             .cast("bigint").alias("n_negative"))
+    )
