@@ -194,3 +194,66 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
     return out
+
+
+@query(
+    "cdc_incremental_agg_view",
+    f"""
+    WITH {_CDC_CTES}
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(value_cents) AS BIGINT) AS sum_cents
+    FROM applied
+    GROUP BY event_type
+    """,
+)
+def cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A GROUP BY event_type view maintained ONLY by deltas across three
+    sequenced changelog batches (base as seq-0 inserts, then both change
+    generations): per batch, agg_view_changelog_delta produces the signed
+    (Δcount, Δsum) rows against the CURRENT snapshot, the view merges them
+    (full-outer coalesce-sum), and the snapshot advances via
+    apply_changelog — the view itself is NEVER recomputed from the data.
+    The oracle recomputes the view from the one-shot applied state, so any
+    drift in the delta algebra (missed retraction, double-counted
+    group-move, zero-group residue) across the batch chain
+    hash-mismatches. Groups whose counts cancel to zero are dropped, as a
+    recompute would."""
+    from hierarchical_graph_db_spark.operators.maintenance import (
+        agg_view_changelog_delta,
+        apply_changelog,
+    )
+
+    base, changes = _cdc_inputs(spark, sf_dir)
+    b0 = base.select(
+        "event_id", F.lit(0).alias("seq"), F.lit("I").alias("op"),
+        "user_id", "event_type", "value_cents")
+    empty = base.where(F.lit(False))
+    snapshot = empty
+    view = None
+    for batch in (b0, changes.where(F.col("seq") == 1),
+                  changes.where(F.col("seq") == 2)):
+        delta = agg_view_changelog_delta(
+            snapshot, batch, ["event_id"], "event_type", "value_cents")
+        if view is None:
+            view = delta.select(
+                "event_type", F.col("d_count").alias("n_rows"),
+                F.col("d_sum").alias("sum_cents"))
+        else:
+            d = delta.select(
+                F.col("event_type").alias("d_type"), "d_count", "d_sum")
+            view = (
+                view.join(d, view.event_type == d.d_type, "full_outer")
+                .select(
+                    F.coalesce("event_type", "d_type").alias("event_type"),
+                    (F.coalesce("n_rows", F.lit(0))
+                     + F.coalesce("d_count", F.lit(0))).cast("bigint")
+                    .alias("n_rows"),
+                    (F.coalesce("sum_cents", F.lit(0))
+                     + F.coalesce("d_sum", F.lit(0))).cast("bigint")
+                    .alias("sum_cents"))
+            )
+        view = view.localCheckpoint(eager=True)
+        snapshot = apply_changelog(snapshot, batch, ["event_id"]) \
+            .localCheckpoint(eager=True)
+    return view.where(F.col("n_rows") != 0)
