@@ -933,3 +933,105 @@ def assoc_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.to_date("ts").alias("day"), "event_type")
     return frequent_triples(ev, ["user_id", "day"], "event_type",
                             min_item_count=20, min_triple_count=2)
+
+
+@query(
+    "user_activity_entropy",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY user_id, event_type
+    ),
+    t AS (
+        SELECT user_id, CAST(sum(n) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM c GROUP BY user_id
+    )
+    SELECT c.user_id, t.n_types, t.tot,
+           round(-sum((c.n / CAST(t.tot AS DOUBLE))
+                      * ln(c.n / CAST(t.tot AS DOUBLE))), 6) AS entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.n_types, t.tot
+    """,
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral
+    diversity score (0 = single-minded, ln(5) ≈ 1.609 = uniform over the
+    five types): the segmentation feature between raw counts and the full
+    transition matrix. Counts are exact integers; the ≤5-term entropy
+    fold divides and logs once per term (the PSI ln-parity precedent),
+    rounded at 6dp. Two map-side-collapsing aggregates, join keyed on the
+    user."""
+    ev = Catalog(spark, sf_dir).events
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).alias("n_types"))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "n_types", "tot")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+@query(
+    "order_value_gini",
+    """
+    WITH o AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders JOIN customer c ON o_custkey = c_custkey
+    ),
+    ranked AS (
+        SELECT segment, cents,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY cents, o_orderkey) AS rk
+        FROM o
+    ),
+    sums AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(rk * cents) AS BIGINT) AS ws
+        FROM ranked GROUP BY segment
+    )
+    SELECT segment, n,
+           round(s / 100.0, 2) AS total_value,
+           round(2.0 * ws / (n * CAST(s AS DOUBLE))
+                 - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM sums
+    """,
+)
+def order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values per customer segment — revenue
+    concentration (0 = equal orders, → 1 = one whale), by the rank
+    formula G = 2·Σ rᵢxᵢ / (n·Σxᵢ) − (n+1)/n. Every sum is an exact
+    integer (cents × ranks — bigint-safe to ~10⁹ orders per segment at
+    max price), so the whole statistic is two divisions at the end; ranks
+    tie-break on the order key, and the rank window runs per segment."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    o = (cat.orders.join(
+        F.broadcast(cat.customer.select("c_custkey", "c_mktsegment")),
+        cat.orders.o_custkey == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("segment"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                .alias("cents"), "o_orderkey"))
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    ranked = o.withColumn("rk", F.row_number().over(w))
+    sums = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("rk") * F.col("cents")).cast("bigint").alias("ws"))
+    return sums.select(
+        "segment", "n",
+        F.round(F.col("s") / 100.0, 2).alias("total_value"),
+        F.round(F.lit(2.0) * F.col("ws")
+                / (F.col("n") * F.col("s").cast("double"))
+                - (F.col("n") + 1) / F.col("n").cast("double"), 6)
+        .alias("gini"),
+    )
