@@ -443,3 +443,49 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("t").cast("double")).cast("bigint")
                 .alias("alloc_n"))
     )
+
+
+@query(
+    "embedding_constraint_suite",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_vec,
+           CAST(sum(CASE WHEN embedding IS NOT NULL
+                          AND len(embedding) <> 64 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_wrong_dim,
+           CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(
+                    embedding, x -> isnan(CAST(x AS DOUBLE))
+                                    OR isinf(CAST(x AS DOUBLE)))) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_distinct_ids,
+           CAST(min(label) AS BIGINT) AS label_min,
+           CAST(max(label) AS BIGINT) AS label_max
+    FROM embeddings
+    """,
+)
+def embedding_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite for the EMBEDDING table — the vector
+    columns need their own contract beside the relational checks: null
+    vectors, dimension drift (≠64), non-finite components (NaN/Inf kill
+    every downstream distance silently), id uniqueness, label domain.
+    ONE conditional aggregation pass; the component scan is an exists-style
+    higher-order filter inside the project, no explode."""
+    emb = Catalog(spark, sf_dir).embeddings
+    v = F.col("embedding")
+    nonfinite = F.exists(
+        v, lambda x: F.isnan(x.cast("double"))
+        | (x.cast("double") == float("inf"))
+        | (x.cast("double") == float("-inf")))
+    return emb.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("bigint")
+        .alias("n_null_vec"),
+        F.sum(F.when(v.isNotNull() & (F.size(v) != 64), 1).otherwise(0))
+        .cast("bigint").alias("n_wrong_dim"),
+        F.sum(F.when(v.isNotNull() & nonfinite, 1).otherwise(0))
+        .cast("bigint").alias("n_nonfinite"),
+        F.countDistinct("vec_id").alias("n_distinct_ids"),
+        F.min("label").cast("bigint").alias("label_min"),
+        F.max("label").cast("bigint").alias("label_max"),
+    )
