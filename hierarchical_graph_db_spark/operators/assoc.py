@@ -154,7 +154,16 @@ def frequent_triples(baskets: DataFrame, basket_cols: list[str],
     shuffle per stage, all partial-aggregable; per-basket work is
     C(k,3) over the PRUNED item count — the ``max_basket_items``-style
     guard is the item-support prune itself. The oracle is the textbook
-    3-way self-join, an independent formulation."""
+    3-way self-join, an independent formulation.
+
+    Denominator convention: ``support`` divides by the count of baskets
+    that contain AT LEAST ONE frequent item (the post-prune basket table),
+    NOT the total input basket count — so the reported support shifts as
+    ``min_item_count`` changes. This is deliberate (it keeps the ratio a
+    pure function of the pruned lattice the triples were mined from, and
+    the oracle replays the same denominator); consumers needing textbook
+    Apriori support over ALL baskets should rescale by
+    ``n_pruned_baskets / n_total_baskets``."""
     b = baskets.select(*basket_cols, F.col(item_col).alias("item")).distinct()
     freq = (b.groupBy("item")
             .agg(F.count(F.lit(1)).alias("n"))

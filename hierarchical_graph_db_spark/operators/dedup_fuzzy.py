@@ -78,6 +78,26 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     return exploded.distinct() if distinct else exploded
 
 
+def _prune_hot_shingles(sh: DataFrame, docs: DataFrame,
+                        max_shingle_freq: int | str | None) -> DataFrame:
+    """Shared hot-shingle guard: drop shingles whose document frequency
+    exceeds the cutoff (``"auto"`` = greatest(1000, n_docs/100), folded into
+    the plan as a broadcast 1-row scalar — no eager driver job). One hot
+    stopword trigram otherwise makes a quadratic bucket in the inverted-index
+    self-join; this is the salting-equivalent skew lever at 100 TB. The
+    DuckDB oracles replay the identical df-cutoff filter."""
+    if max_shingle_freq is None:
+        return sh
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_shingle_freq == "auto":
+        nd = docs.agg(F.count(F.lit(1)).alias("nd"))
+        cutoff = F.greatest(F.lit(1000), F.floor(F.col("nd") / 100))
+        freq = freq.crossJoin(F.broadcast(nd)).where(F.col("df") <= cutoff)
+    else:
+        freq = freq.where(F.col("df") <= F.lit(max_shingle_freq))
+    return sh.join(freq, on="shingle").select("id", "shingle")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -101,17 +121,7 @@ def ngram_jaccard_pairs(
     ``None`` disables (pure-Jaccard mode).
     """
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        if max_shingle_freq == "auto":
-            # cutoff = greatest(1000, n_docs/100), folded into the plan as a
-            # broadcast scalar — same formula the oracles embed in SQL.
-            nd = docs.agg(F.count(F.lit(1)).alias("nd"))
-            cutoff = F.greatest(F.lit(1000), F.floor(F.col("nd") / 100))
-            freq = freq.crossJoin(F.broadcast(nd)).where(F.col("df") <= cutoff)
-        else:
-            freq = freq.where(F.col("df") <= F.lit(max_shingle_freq))
-        sh = sh.join(freq, on="shingle").select("id", "shingle")
+    sh = _prune_hot_shingles(sh, docs, max_shingle_freq)
     # The shingle table feeds three plan subtrees (sizes + both self-join
     # sides); without materialization Spark recomputes the tokenize/shingle
     # projection three times — at corpus scale that triples the scan.
@@ -620,7 +630,10 @@ def jaro_winkler_pairs(pairs: DataFrame, a_col: str, b_col: str,
 
     def score(batches):
         for pdf in batches:
+            # Nulls arrive from Arrow as float NaN (truthy!) — treat any
+            # non-string side as similarity 0.0 instead of crashing the batch.
             sims = [jaro_winkler(a, b)
+                    if isinstance(a, str) and isinstance(b, str) else 0.0
                     for a, b in zip(pdf[a_col], pdf[b_col])]
             out = pdf.copy()
             out[out_col] = sims
@@ -650,15 +663,7 @@ def containment_pairs(
     keep/drop rules can distinguish duplicates (high J) from containments
     (high C, low J)."""
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        if max_shingle_freq == "auto":
-            nd = docs.agg(F.count(F.lit(1)).alias("nd"))
-            cutoff = F.greatest(F.lit(1000), F.floor(F.col("nd") / 100))
-            freq = freq.crossJoin(F.broadcast(nd)).where(F.col("df") <= cutoff)
-        else:
-            freq = freq.where(F.col("df") <= F.lit(max_shingle_freq))
-        sh = sh.join(freq, on="shingle").select("id", "shingle")
+    sh = _prune_hot_shingles(sh, docs, max_shingle_freq)
     sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")

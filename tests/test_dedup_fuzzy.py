@@ -284,3 +284,18 @@ def test_prefix_filter_no_false_negatives_and_prunes(spark):
     pfx_rows = sum(
         r["s"] - int(-(-t * r["s"] // 1)) + 1 for r in sz.collect())
     assert pfx_rows < full
+
+
+def test_jaro_winkler_pairs_null_sides_score_zero(spark):
+    # Nulls arrive in the Arrow batch as NaN (truthy float) — the kernel
+    # must treat any non-string side as similarity 0.0, not crash.
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import jaro_winkler_pairs
+
+    pairs = spark.createDataFrame(
+        [("martha", "marhta"), (None, "abc"), ("abc", None), (None, None)],
+        "a string, b string")
+    kept = jaro_winkler_pairs(pairs, "a", "b", threshold=0.5).collect()
+    assert [(r["a"], r["b"]) for r in kept] == [("martha", "marhta")]
+    all_rows = jaro_winkler_pairs(pairs, "a", "b", threshold=0.0).collect()
+    sims = {(r["a"], r["b"]): r["sim"] for r in all_rows}
+    assert sims[(None, "abc")] == 0.0 and sims[("abc", None)] == 0.0

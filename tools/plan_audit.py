@@ -1,7 +1,13 @@
 """Physical-plan antipattern audit across the query registry.
 
-Builds (does NOT execute) every registry query's physical plan and greps it
-for the shapes that must never regress silently at 100 TB:
+Builds every registry query's physical plan and greps it for the shapes
+that must never regress silently at 100 TB. Plan BUILD is lazy for most
+queries, but a minority of registry entries execute real driver-side work
+during construction (e.g. ``streaming_cdc_upsert`` runs its CDC sink into a
+temp-dir store; skyline / sampled-betweenness / center-normalize collect
+bounded stats to fold literals into the plan) — so a full-registry audit
+does trigger real execution and temp-dir side effects for those entries.
+The audited shapes:
 
 * ``CartesianProduct`` — an all-pairs join slipped in;
 * ``BroadcastNestedLoopJoin`` — a non-equi join fell off the hash path;
