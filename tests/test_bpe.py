@@ -97,3 +97,29 @@ def test_pair_count_aggregate_is_two_phase(spark):
             "formatted"))
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_incremental_matches_fullagg_at_n64_and_touches_few_pairs(spark):
+    # VERDICT r6 item 3: pair counts must be maintained by DELTAS, bit-equal
+    # to full per-round re-aggregation, with per-round touched-pair counts
+    # well under the total pair-table size once early merges are done.
+    import random
+
+    from hierarchical_graph_db_spark.operators.bpe import _bpe_train_fullagg
+
+    rnd = random.Random(7)
+    vocab = ("spark stream batch merge window filter group order value "
+             "table column query scan data join hash sort key row fast "
+             "slow big small the a part line").split()
+    texts = [" ".join(rnd.choices(vocab, weights=range(len(vocab), 0, -1),
+                                  k=30)) for _ in range(120)]
+    docs = _docs(spark, texts)
+    stats: list = []
+    merges_inc, vocab_inc = bpe_train(docs, n_merges=64, stats=stats)
+    merges_ref, _ = _bpe_train_fullagg(docs, n_merges=64)
+    assert merges_inc == merges_ref
+    assert len(stats) == len(merges_inc)
+    late = [(t, tot) for rank, t, tot in stats if rank > 8]
+    assert late, "expected >8 merge rounds on this corpus"
+    ratios = [t / tot for t, tot in late]
+    assert max(ratios) < 0.5 and sum(ratios) / len(ratios) < 0.25, ratios
