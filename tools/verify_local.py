@@ -7,12 +7,22 @@ sha256). Mirrors the driver contract well enough that a local green is a
 strong predictor of CORRECTNESS_r{N}.json green.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
+       python tools/verify_local.py [sf_dir] --sample 50 --seed 7
+       python tools/verify_local.py [sf_dir] --timings-out timings.json
+
+``--sample N --seed R`` mirrors the driver's per-round random draw (VERDICT r6
+next-round item 7): a reproducible random subset so each round's local log can
+record a fresh 50 in addition to the full sweep. ``--timings-out`` writes
+per-query wall seconds as JSON, used to build the sf0.1 -> sf1 scaling table.
 """
 
 from __future__ import annotations
 
+import argparse
 import hashlib
+import json
 import math
+import random
 import sys
 import time
 import traceback
@@ -21,8 +31,17 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_ap = argparse.ArgumentParser()
+_ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+_ap.add_argument("only", nargs="*", help="run only these query names")
+_ap.add_argument("--sample", type=int, default=0,
+                 help="run a random sample of N queries instead of all")
+_ap.add_argument("--seed", type=int, default=0, help="sample RNG seed")
+_ap.add_argument("--timings-out", default=None,
+                 help="write per-query wall seconds to this JSON file")
+_ARGS = _ap.parse_args()
+SF_DIR = _ARGS.sf_dir
+ONLY = set(_ARGS.only)
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -64,9 +83,16 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    selected = ONLY
+    if _ARGS.sample:
+        pool = sorted(qs)
+        n = min(_ARGS.sample, len(pool))
+        selected = set(random.Random(_ARGS.seed).sample(pool, n))
+        print(f"sampled {n}/{len(pool)} queries (seed={_ARGS.seed})")
     failures = []
+    timings: dict[str, float] = {}
     for name, fn in qs.items():
-        if ONLY and name not in ONLY:
+        if selected and name not in selected:
             continue
         t0 = time.time()
         try:
@@ -78,6 +104,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             continue
         took = time.time() - t0
+        timings[name] = round(took, 3)
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(s_rows)} rows, {took:.1f}s)")
             continue
@@ -113,7 +140,12 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"PASS  {name} ({len(s_rows)} rows, {took:.1f}s)")
-    print(f"\n{len(failures)} failures of {len([n for n in qs if not ONLY or n in ONLY])}")
+    if _ARGS.timings_out:
+        with open(_ARGS.timings_out, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "timings": timings,
+                       "failures": failures}, f, indent=1, sort_keys=True)
+    print(f"\n{len(failures)} failures of "
+          f"{len([n for n in qs if not selected or n in selected])}")
     if failures:
         print("failed:", " ".join(failures))
     return 1 if failures else 0
