@@ -24,18 +24,25 @@ Detection ladder (first confident verdict wins):
    (chardet's ESCCharSetProber has the same priority).
 2. strict UTF-8 probe — valid UTF-8 (incl. pure ASCII) is UTF-8; random
    8-bit single-byte text is astronomically unlikely to pass.
-3. Cyrillic frequency scoring — decode under each Cyrillic candidate and
-   score how much the result looks like Russian (share of high bytes that
-   map to Cyrillic letters × how well those letters match the Russian
-   letter-frequency top set). Needs a high density of 8-bit bytes, so
-   accented western text (mostly ASCII + a few accents) never trips it.
-4. East-Asian double-byte scoring (euc-kr / gb2312 / big5 from round 4,
-   euc-jp from round 5) — strict decode under each candidate, then the
-   same coverage × common-character formula: the byte *structure* of the
-   EUC family is shared (pairs ≥ 0xA1), so what separates Korean euc-kr
-   from simplified-Chinese gb2312 from Japanese euc-jp is whether the
-   decode lands on frequent Hangul syllables, frequent hanzi, or kana —
-   exactly the signal chardet's language models encode.
+3. East-Asian double-byte scoring (euc-kr / gb2312 / big5 from round 4,
+   euc-jp from round 5; moved ahead of the single-byte arena in round 7) —
+   strict decode under each candidate, then a coverage × common-character
+   formula: the byte *structure* of the EUC family is shared (pairs
+   ≥ 0xA1), so what separates Korean euc-kr from simplified-Chinese
+   gb2312 from Japanese euc-jp is whether the decode lands on frequent
+   Hangul syllables, frequent hanzi, or kana — exactly the signal
+   chardet's language models encode. Probed first because its strict
+   decode is a hard structural filter (wrong-family text raises), whereas
+   the single-byte scorers below can only measure letter frequencies.
+4. Single-byte frequency arena (round-7 tranche widened it) — decode
+   under each candidate and score coverage of the target script block ×
+   frequent-letter share: koi8-r / windows-1251 / koi8-u for Cyrillic
+   (the East-Slavic union set lets Ukrainian's і count; koi8-u vs koi8-r
+   is decided by the box-drawing-vs-letter reassignments), windows-1255
+   for Hebrew, windows-1256 for Arabic. All five compete in one argmax —
+   cross-script confusions clear the floor but never outscore the true
+   codec. Needs a high density of 8-bit bytes, so accented western text
+   (mostly ASCII + a few accents) never trips it.
 5. Shift-JIS structural probe — lead/trail byte ranges must parse end to
    end AND the decode must actually yield CJK text. Runs after steps 3-4
    because dense Cyrillic/EUC text can be structurally valid Shift-JIS,
@@ -49,7 +56,14 @@ from __future__ import annotations
 # Most frequent Russian letters (lowercase), ~top-16 by corpus frequency —
 # public linguistic data, the same signal chardet's SBCS models encode.
 _RU_COMMON = set("оеаинтсрвлкмдпуя")
-_CYRILLIC_CANDIDATES = ("koi8-r", "windows-1251")
+# Round-7 tranche: koi8-u differs from koi8-r only where box-drawing bytes
+# were reassigned to Ukrainian і/ї/є/ґ — Russian text decodes identically
+# under both (candidate order keeps the koi8-r verdict on ties, matching
+# chardet), while Ukrainian koi8-u text loses Cyrillic coverage under the
+# koi8-r decode (і → box-drawing). The frequency set is the East-Slavic
+# union so Ukrainian's і (its 2nd most frequent letter) counts for it.
+_SLAVIC_COMMON = _RU_COMMON | set("іїєґ")
+_CYRILLIC_CANDIDATES = ("koi8-r", "windows-1251", "koi8-u")
 
 # Most frequent Hangul syllables / hanzi / kana — public corpus-frequency
 # data (top grammatical particles + pronouns dominate running text in each
@@ -163,14 +177,49 @@ def _cyrillic_score(data: bytes, codec: str) -> float:
     if not high:
         return 0.0
     cyr = [c for c in high if "Ѐ" <= c <= "ӿ"]
-    if not cyr:
-        return 0.0
+    if len(cyr) < 4:  # too little text for a frequency verdict (a 3-byte
+        return 0.0    # katakana run maps onto cp1251's І/і, for example)
     coverage = len(cyr) / len(high)
-    common = sum(1 for c in cyr if c.lower() in _RU_COMMON) / len(cyr)
+    common = sum(1 for c in cyr if c.lower() in _SLAVIC_COMMON) / len(cyr)
     # Both Cyrillic codecs map most high bytes to *some* Cyrillic letter, so
     # coverage alone cannot separate koi8-r from windows-1251 — the
     # frequency profile of the mapped letters does.
     return coverage * (0.3 + 0.7 * common)
+
+
+# Round-7 tranche: Hebrew / Arabic single-byte Windows codepages. Same
+# coverage × letter-frequency formula as the Cyrillic scorer, generalized
+# over the target Unicode block; the strict decode doubles as a structural
+# filter (both codepages leave bytes unmapped, so random 8-bit data and
+# wrong-family text usually raise). Frequent-letter sets are public corpus
+# data — the same signal chardet's Hebrew/Arabic SBCS models encode.
+_HE_COMMON = set("יהולארתשמבענ")
+_AR_COMMON = set("اليمونهربةتكعدس")
+_SBCS_CANDIDATES = (
+    ("windows-1255", "֐", "״", _HE_COMMON),
+    ("windows-1256", "؀", "ۿ", _AR_COMMON),
+)
+
+
+def _sbcs_score(data: bytes, codec: str, lo: str, hi: str,
+                common: set[str]) -> float:
+    """How strongly ``data`` reads as ``codec``'s language ∈ [0, 1]: strict
+    decode, then coverage of high chars inside the script's Unicode block ×
+    frequent-letter share (chance hits land well under the 0.6 verdict
+    threshold; true-codec prose lands ~0.7+)."""
+    try:
+        text = data.decode(codec)
+    except (UnicodeDecodeError, LookupError):
+        return 0.0
+    high = [c for c in text if ord(c) > 0x7F]
+    if not high:
+        return 0.0
+    hits = [c for c in high if lo <= c <= hi]
+    if len(hits) < 4:
+        return 0.0
+    coverage = len(hits) / len(high)
+    freq = sum(1 for c in hits if c in common) / len(hits)
+    return coverage * (0.3 + 0.7 * freq)
 
 
 def _shift_jis_plausible(data: bytes) -> bool:
@@ -262,20 +311,33 @@ def detect(data: bytes) -> str | None:
         return "utf-8"
     except UnicodeDecodeError:
         pass
-    # Single-byte Cyrillic needs *dense* 8-bit text: Russian prose is
-    # mostly letters = mostly high bytes, while accented western text is
-    # mostly ASCII. The density gate keeps latin-1 mail out.
-    visible = sum(1 for b in data if b not in (0x20, 0x09, 0x0A, 0x0D))
-    if visible and _high_bytes(data) / visible >= 0.4:
-        scores = {c: _cyrillic_score(data, c) for c in _CYRILLIC_CANDIDATES}
-        best = max(scores, key=scores.get)
-        if scores[best] >= 0.6:
-            return best
+    # Double-byte East-Asian first (round-7 reorder): the strict-decode
+    # structural filter gives it the crispest verdicts (true codec scores
+    # >= ~0.87 on the parity corpus, wrong-family <= ~0.33), while the
+    # single-byte scorers can only measure letter frequencies — dense EUC
+    # text decoded as cp1251 lands on plausible-looking Cyrillic, so the
+    # frequency arena must not get first claim.
     dbcs = {codec: _dbcs_score(data, codec, script, common)
             for codec, script, common in _DBCS_CANDIDATES}
     best = max(dbcs, key=dbcs.get)
     if dbcs[best] >= 0.5:
         return best
+    # Single-byte codepages need *dense* 8-bit text: Cyrillic / Hebrew /
+    # Arabic prose is mostly letters = mostly high bytes, while accented
+    # western text is mostly ASCII. The density gate keeps latin-1 mail
+    # out. All five candidates compete in ONE arena — cross-script
+    # confusions (Hebrew bytes read as koi8-r Cyrillic) can clear the 0.6
+    # bar, but the true codec's frequency profile always scores higher, so
+    # the argmax decides. Candidate order breaks exact ties (Russian text
+    # decodes identically under koi8-r and koi8-u → koi8-r, as chardet).
+    visible = sum(1 for b in data if b not in (0x20, 0x09, 0x0A, 0x0D))
+    if visible and _high_bytes(data) / visible >= 0.4:
+        arena = {c: _cyrillic_score(data, c) for c in _CYRILLIC_CANDIDATES}
+        for codec, lo, hi, common in _SBCS_CANDIDATES:
+            arena[codec] = _sbcs_score(data, codec, lo, hi, common)
+        best = max(arena, key=arena.get)
+        if arena[best] >= 0.6:
+            return best
     if _cp1252_probable(data):
         return "windows-1252"
     if _shift_jis_plausible(data):

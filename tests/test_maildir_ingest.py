@@ -261,3 +261,39 @@ def test_cp1252_smart_punctuation_detected():
         "windows-1252"
     # C1 control soup (a genuinely binary latin-1 blob) is not typographic
     assert detect(b"log \x81\x8d\x90 dump") is None
+
+
+def test_charset_tranche3_koi8u_hebrew_arabic():
+    """Round-7 charset tranche (r6 verdict item 6): koi8-u joins the
+    Cyrillic frequency arena (it differs from koi8-r only in the
+    box-drawing bytes reassigned to Ukrainian і/ї/є/ґ, so those letters
+    are the whole signal), and the Hebrew/Arabic Windows codepages get
+    the generalized single-byte scorer. chardet names the true codec on
+    all of these; round-tripping the original text is the parity check.
+    Russian text decodes identically under koi8-r and koi8-u — chardet
+    reports KOI8-R there, and so must the tie-break."""
+    from hierarchical_graph_db_spark.sources.charset import detect
+    from hierarchical_graph_db_spark.sources.maildir import _smart_decode
+
+    uk = ("Привіт! Зустріч відбудеться завтра о третій годині. "
+          "Надішліть, будь ласка, матеріали заздалегідь. Дякую за підтримку.")
+    he = ("שלום, הפגישה תתקיים מחר בשעה שלוש אחר הצהריים. "
+          "נא לשלוח את החומרים מראש. תודה רבה על העזרה.")
+    ar = ("مرحبا، سيبدأ الاجتماع غدا في الساعة الثالثة بعد الظهر. "
+          "يرجى إرسال المواد مسبقا. شكرا جزيلا على المساعدة.")
+    for text, codec in ((uk, "koi8-u"), (uk, "windows-1251"),
+                        (he, "windows-1255"), (ar, "windows-1256")):
+        raw = text.encode(codec)
+        assert detect(raw) == codec, codec
+        assert _smart_decode(raw) == text, codec
+    # Russian under koi8 stays on the koi8-r verdict (identical decode;
+    # candidate order must break the tie the way chardet does)
+    ru = ("Съешь же ещё этих мягких французских булок да выпей чаю. "
+          "Привет, как дела? Это письмо отправлено сегодня вечером.")
+    assert detect(ru.encode("koi8-r")) == "koi8-r"
+    # cross-script steals must not happen: EUC text outranks every
+    # single-byte frequency verdict via the structural DBCS probe
+    ko = "안녕하세요. 오늘 회의는 오후 세 시에 시작합니다. 자료는 미리 보내 주세요."
+    assert detect(ko.encode("euc-kr")) == "euc-kr"
+    ja = "こんにちは、世界。今日は良い天気ですね。会議は明日の午後です。"
+    assert detect(ja.encode("euc-jp")) == "euc-jp"
