@@ -213,8 +213,27 @@ def _argmin_literal(cents: list[tuple], cid_type) -> F.Column:
     return F.array_sort(scored)[0]
 
 
+def _assigned_cid_vec(pts: DataFrame, cents: list[tuple],
+                      use_arrow: bool) -> DataFrame:
+    """(cid, v) per point — the Lloyd-update input. Default: the pure
+    literal-argmin expression. ``use_arrow``: the bit-identical Arrow
+    kernel (``operators/arrow_kernels``), an opt-in fast path for when the
+    interpreted HOF fold is the measured bottleneck (r6 verdict item 4)."""
+    cid_type = pts.schema["pid"].dataType
+    if use_arrow:
+        from hierarchical_graph_db_spark.operators.arrow_kernels import (
+            assign_struct_udf,
+        )
+
+        best = assign_struct_udf(cents, cid_type.simpleString())(F.col("v"))
+    else:
+        best = _argmin_literal(cents, cid_type)
+    return pts.select(F.col("pid"), best["cid"].alias("cid"),
+                      best["d"].alias("d"), "v")
+
+
 def _train(pts: DataFrame, k: int, n_rounds: int,
-           oversample: int = 8) -> list[tuple]:
+           oversample: int = 8, use_arrow: bool = False) -> list[tuple]:
     """``n_rounds`` of Lloyd iteration from the oversampled seeds; centroids
     live driver-side as [(cid, c)] literals between rounds. Per round: one
     full-scan aggregate whose partials collapse map-side (shuffle O(k×dim)
@@ -222,9 +241,7 @@ def _train(pts: DataFrame, k: int, n_rounds: int,
     cents = _seed_rows(pts, k, oversample)
     if not cents:
         return []
-    cid_type = pts.schema["pid"].dataType
     for _ in range(n_rounds):
-        best = _argmin_literal(cents, cid_type)
         # Mean via fixed-point bigint sum: quantize components to 1e-6,
         # sum exactly (integer addition commutes under partial aggregation),
         # divide once — deterministic under any partitioning, where a
@@ -233,7 +250,7 @@ def _train(pts: DataFrame, k: int, n_rounds: int,
         # as the struct-field access makes the analyzer drop the struct's
         # field names (FIELD_NOT_FOUND col1/col2), so assign first.
         upd = (
-            pts.select(best["cid"].alias("cid"), "v")
+            _assigned_cid_vec(pts, cents, use_arrow).select("cid", "v")
             .select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.sum(F.round(F.col("x") * 1000000).cast("bigint"))
@@ -255,7 +272,8 @@ def _train(pts: DataFrame, k: int, n_rounds: int,
 def kmeans_centroid_rows(vectors: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", k: int = 8,
                          n_rounds: int = 3,
-                         train_sample: int | None = None) -> list[tuple]:
+                         train_sample: int | None = None,
+                         use_arrow: bool = False) -> list[tuple]:
     """Driver-side trained centroids [(cid, c)] — the literal form other
     operators (IVF ANN) bake into their plans. With ``train_sample`` the
     quantizer trains on a bounded deterministic sample: the N rows with the
@@ -277,17 +295,20 @@ def kmeans_centroid_rows(vectors: DataFrame, id_col: str = "vec_id",
             .repartition(par)
             .localCheckpoint(eager=True)
         )
-    return _train(pts, k, n_rounds)
+    return _train(pts, k, n_rounds, use_arrow=use_arrow)
 
 
 def kmeans_centroids(vectors: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding", k: int = 8,
                      n_rounds: int = 3,
-                     train_sample: int | None = None) -> DataFrame:
+                     train_sample: int | None = None,
+                     use_arrow: bool = False) -> DataFrame:
     """The trained centroid table (cid, c) as a DataFrame (k local rows).
-    Deterministic and SQL-replayable (see module docstring)."""
+    Deterministic and SQL-replayable (see module docstring); ``use_arrow``
+    opts into the bit-identical vectorized assignment kernel
+    (``operators/arrow_kernels`` — r6 verdict item 4)."""
     rows = kmeans_centroid_rows(vectors, id_col, vec_col, k, n_rounds,
-                                train_sample)
+                                train_sample, use_arrow)
     schema = StructType([
         StructField("cid", vectors.schema[id_col].dataType, False),
         StructField("c", ArrayType(DoubleType()), False),
@@ -297,7 +318,7 @@ def kmeans_centroids(vectors: DataFrame, id_col: str = "vec_id",
 
 def kmeans(vectors: DataFrame, id_col: str = "vec_id",
            vec_col: str = "embedding", k: int = 8,
-           n_rounds: int = 3) -> DataFrame:
+           n_rounds: int = 3, use_arrow: bool = False) -> DataFrame:
     """Cluster ``vectors`` into k groups; returns one row per input vector:
     (id_col, cluster, dist) where ``cluster`` is the seed vector's id and
     ``dist`` the final squared distance to the cluster centroid (6dp).
@@ -309,21 +330,21 @@ def kmeans(vectors: DataFrame, id_col: str = "vec_id",
     training rounds use: the output plan is scan + project, zero joins,
     zero exchanges."""
     pts = _project(vectors, id_col, vec_col)
-    cents = _train(pts, k, n_rounds)
+    cents = _train(pts, k, n_rounds, use_arrow=use_arrow)
     if not cents:
         return pts.where(F.lit(False)).select(
             F.col("pid").alias(id_col),
             F.col("pid").alias("cluster"),
             F.lit(0.0).alias("dist"))
-    best = _argmin_literal(cents, pts.schema["pid"].dataType)
-    return pts.select(F.col("pid").alias(id_col),
-                      best["cid"].alias("cluster"),
-                      best["d"].alias("dist"))
+    return _assigned_cid_vec(pts, cents, use_arrow).select(
+        F.col("pid").alias(id_col),
+        F.col("cid").alias("cluster"),
+        F.col("d").alias("dist"))
 
 
 def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", k: int = 8,
-                   n_rounds: int = 3) -> DataFrame:
+                   n_rounds: int = 3, use_arrow: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     method): cluster the embedding corpus, then keep ONE representative per
     semantic cluster — the member closest to its centroid (6dp distance,
@@ -338,7 +359,7 @@ def semantic_dedup(vectors: DataFrame, id_col: str = "vec_id",
     exchange moves O(k) rows, not the corpus (the round-5 verdict's fix for
     the corpus-to-k-reducers keeper window). Deterministic end to end, so
     the SQL oracle replays keeper choice exactly."""
-    assigned = kmeans(vectors, id_col, vec_col, k, n_rounds)
+    assigned = kmeans(vectors, id_col, vec_col, k, n_rounds, use_arrow)
     # min_by under the (dist, id) struct order picks the keeper; its dist is
     # by definition the cluster's min dist — three partial-aggregable
     # aggregates, no window, no sort.

@@ -87,23 +87,35 @@ def _sq_dist(vec, center: list[float]):
 
 
 def assign_lists(df: DataFrame, centers: list[list[float]],
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 use_arrow: bool = False) -> DataFrame:
     """Index step: nearest-centroid id per vector (argmin over unrolled
     distances). Output: (id, list_id, vec, norm) — what gets written
-    bucketed by list_id at scale."""
+    bucketed by list_id at scale. ``use_arrow`` flips the per-row rounded
+    argmin to the bit-identical vectorized kernel
+    (``operators/arrow_kernels.list_id_udf`` — r6 verdict item 4); the
+    default stays on the pure expression so the oracle replay holds."""
     # Distances rounded to 6dp before the argmin (ties → lowest list id):
     # the same quantize-then-compare discipline as operators/clustering.py,
     # which is what lets a SQL oracle replay the assignment bit-for-bit.
-    dists = F.array(*[
-        F.struct(F.round(_sq_dist(F.col(vec_col), c), 6).alias("d"),
-                 F.lit(i).alias("i"))
-        for i, c in enumerate(centers)
-    ])
+    if use_arrow:
+        from hierarchical_graph_db_spark.operators.arrow_kernels import (
+            list_id_udf,
+        )
+
+        list_id = list_id_udf(centers)(F.col(vec_col))
+    else:
+        dists = F.array(*[
+            F.struct(F.round(_sq_dist(F.col(vec_col), c), 6).alias("d"),
+                     F.lit(i).alias("i"))
+            for i, c in enumerate(centers)
+        ])
+        list_id = F.array_sort(dists)[0]["i"]
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         l2_norm(F.col(vec_col)).alias("norm"),
-        F.array_sort(dists)[0]["i"].alias("list_id"),
+        list_id.alias("list_id"),
     )
 
 
@@ -115,13 +127,17 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Search step: probe the ``nprobe`` nearest lists per query, exact
-    cosine inside them, top-k per query."""
+    cosine inside them, top-k per query. ``use_arrow`` vectorizes the
+    corpus-side list assignment (the measured hot loop — |corpus| × n_lists
+    interpreted folds); the query-side probe ranking stays on expressions
+    (|queries| rows, negligible)."""
     from pyspark.sql.window import Window
 
     dim = len(centers[0])
-    indexed = assign_lists(corpus, centers, id_col, vec_col)
+    indexed = assign_lists(corpus, centers, id_col, vec_col, use_arrow)
 
     dists = F.array(*[
         F.struct(F.round(_sq_dist(F.col(vec_col), c), 6).alias("d"),
