@@ -61,6 +61,15 @@ def get_spark(app_name: str = "hierarchical-graph-db-spark") -> SparkSession:
     builder = SparkSession.builder.appName(app_name)
     if not os.environ.get("SPARK_MASTER"):  # local test harness
         builder = builder.master(f"local[{_LOCAL_CPUS}]")
+        # local[N] runs driver and all N executor threads in ONE JVM whose
+        # default heap is spark.driver.memory=1g — fine at the unit-test
+        # scale factors, but an sf1 (6M-row lineitem) sweep OOMs it. Size
+        # the single JVM like the N executors it stands in for; only
+        # honored when this process launches the JVM (first session). On a
+        # real cluster the submit config owns memory and this is skipped.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     return configure(builder).getOrCreate()
 
 
