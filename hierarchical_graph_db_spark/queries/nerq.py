@@ -25,11 +25,14 @@ def _sql_hits(etype: str) -> str:
     "ner_entities",
     f"""
     SELECT doc_id,
-           array_to_string(
+           -- DuckDB's array_to_string yields NULL for an EMPTY list;
+           -- Spark's array_join yields ''. Pin the Spark convention so
+           -- zero-entity documents compare equal.
+           coalesce(array_to_string(
                list_concat(
                    list_transform({_sql_hits('op')},  t -> t || ':op'),
                    list_transform({_sql_hits('obj')}, t -> t || ':obj')
-               ), '|') AS entities_joined,
+               ), '|'), '') AS entities_joined,
            CAST(len({_sql_hits('op')}) + len({_sql_hits('obj')}) AS BIGINT)
                AS n_entities
     FROM documents
