@@ -25,7 +25,16 @@ Determinism / oracle parity: the link is the "fast sigmoid"
 ``σ(z) = 0.5 + z / (2·(1+|z|))`` — pure IEEE-754 arithmetic (add, mul,
 div, abs), so Spark, Python, and SQL produce bit-identical probabilities;
 a transcendental ``exp`` would differ across libm implementations in the
-last ulp and could flip a 6dp rounding. Features are 6dp-quantized, then
+last ulp and could flip a 6dp rounding. For the same reason EVERY 6dp
+quantization in this family is ``floor(x·1e6 + 0.5) / 1e6`` — pure IEEE
+mul/add/floor, bit-identical across engines — never the engines' decimal
+``round``: Spark rounds HALF_UP over the shortest decimal repr while
+DuckDB rounds the binary double, and the two disagree whenever a value
+prints as an exact decimal ``…5`` at the 7th place. Integer-ratio
+features hit such terminating decimals routinely (e.g. chars/tokens/10 =
+323/640 = 0.5046875 → Spark 0.504688, DuckDB 0.504687 — observed at
+sf1), and standardization amplifies the 1e-6 flip by 1/sd.
+Features are 6dp-quantized, then
 z-score standardized with fixed-point-summed moments (conditioning: the
 near-constant ratio features otherwise act as runaway biases); classes are
 balance-weighted (keep-rule positives dominate the fixture 10:1). Every
@@ -46,7 +55,6 @@ from hierarchical_graph_db_spark.functions.text import (
     stopword_hits,
     tokens,
 )
-from hierarchical_graph_db_spark.operators.clustering import _round6
 
 #: Fixed GD schedule — part of the operator contract (the oracle unrolls it).
 LR_RATE = 8.0
@@ -54,6 +62,24 @@ LR_ROUNDS = 8
 
 #: Feature names in weight order (index 0 is the bias).
 LR_FEATURES = ("bias", "stopword_ratio", "alpha_ratio", "mean_token_len")
+
+
+def _r6(x: float) -> float:
+    """Driver twin of the cross-engine-stable 6dp quantization (module
+    docstring): ``floor(x·1e6 + 0.5) / 1e6`` in plain IEEE doubles."""
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _r6c(c: F.Column) -> F.Column:
+    """Column twin of :func:`_r6` — NOT ``F.round`` (see module docstring
+    for the Spark-vs-DuckDB decimal-``…5`` divergence this avoids)."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def _cell(c: F.Column) -> F.Column:
+    """A fixed-point sum cell: ``floor(x·1e6 + 0.5)`` as BIGINT (Spark's
+    ``floor`` on DOUBLE already yields LongType)."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5))
 
 
 def lr_features(docs: DataFrame, id_col: str = "doc_id",
@@ -68,11 +94,11 @@ def lr_features(docs: DataFrame, id_col: str = "doc_id",
         docs.where(F.length(F.trim(c)) > 0)
         .select(
             F.col(id_col),
-            F.round(stopword_hits(toks) / n_tok, 6).alias("f1"),
-            F.round(F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
-                    / F.length(c), 6).alias("f2"),
-            F.round(F.length(F.regexp_replace(c, r"\s+", ""))
-                    / n_tok / 10, 6).alias("f3"),
+            _r6c(stopword_hits(toks) / n_tok).alias("f1"),
+            _r6c(F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+                 / F.length(c)).alias("f2"),
+            _r6c(F.length(F.regexp_replace(c, r"\s+", ""))
+                 / n_tok / 10).alias("f3"),
             quality_keep(c).cast("double").alias("y"),
         )
     )
@@ -84,11 +110,8 @@ def _fixed_stats(feats: DataFrame) -> dict:
     aggs = [F.count(F.lit(1)).alias("n"),
             F.sum(F.col("y").cast("bigint")).alias("npos")]
     for f in ("f1", "f2", "f3"):
-        aggs.append(F.sum(F.round(F.col(f) * 1000000).cast("bigint"))
-                    .alias(f"s_{f}"))
-        aggs.append(
-            F.sum(F.round(F.col(f) * F.col(f) * 1000000).cast("bigint"))
-            .alias(f"q_{f}"))
+        aggs.append(F.sum(_cell(F.col(f))).alias(f"s_{f}"))
+        aggs.append(F.sum(_cell(F.col(f) * F.col(f))).alias(f"q_{f}"))
     return feats.agg(*aggs).collect()[0].asDict()
 
 
@@ -100,13 +123,13 @@ def lr_norm_constants(feats: DataFrame) -> dict:
     st = _fixed_stats(feats)
     n = st["n"]
     out = {"n": n,
-           "cpos": _round6(n / (2 * st["npos"])),
-           "cneg": _round6(n / (2 * (n - st["npos"])))}
+           "cpos": _r6(n / (2 * st["npos"])),
+           "cneg": _r6(n / (2 * (n - st["npos"])))}
     for f in ("f1", "f2", "f3"):
-        mu = _round6((st[f"s_{f}"] / 1000000.0) / n)
+        mu = _r6((st[f"s_{f}"] / 1000000.0) / n)
         m2 = (st[f"q_{f}"] / 1000000.0) / n
         out[f"mu_{f}"] = mu
-        out[f"sd_{f}"] = _round6(math.sqrt(max(m2 - mu * mu, 1e-12)))
+        out[f"sd_{f}"] = _r6(math.sqrt(max(m2 - mu * mu, 1e-12)))
     return out
 
 
@@ -116,8 +139,8 @@ def _standardized(feats: DataFrame, norm: dict) -> DataFrame:
             .otherwise(F.lit(norm["cneg"])).alias("c")]
     for f in ("f1", "f2", "f3"):
         cols.append(
-            F.round((F.col(f) - F.lit(norm[f"mu_{f}"]))
-                    / F.lit(norm[f"sd_{f}"]), 6).alias(f))
+            _r6c((F.col(f) - F.lit(norm[f"mu_{f}"]))
+                 / F.lit(norm[f"sd_{f}"])).alias(f))
     return feats.select(*cols)
 
 
@@ -143,12 +166,11 @@ def lr_train(docs: DataFrame, n_rounds: int = LR_ROUNDS,
     for _ in range(n_rounds):
         r = F.col("c") * (_fast_sigmoid(_z_expr(w)) - F.col("y"))
         row = std.agg(
-            F.sum(F.round(r * 1000000).cast("bigint")).alias("s0"),
-            *[F.sum(F.round(r * F.col(f) * 1000000).cast("bigint"))
-              .alias(f"s{i}")
+            F.sum(_cell(r)).alias("s0"),
+            *[F.sum(_cell(r * F.col(f))).alias(f"s{i}")
               for i, f in enumerate(("f1", "f2", "f3"), start=1)],
         ).collect()[0]
-        w = [_round6(w[j] - rate * ((row[f"s{j}"] / 1000000.0) / n))
+        w = [_r6(w[j] - rate * ((row[f"s{j}"] / 1000000.0) / n))
              for j in range(4)]
     return w, norm
 
@@ -169,7 +191,7 @@ def lr_scores(docs: DataFrame, n_rounds: int = LR_ROUNDS,
     literal-centroid assignment."""
     w, norm = lr_train(docs, n_rounds, rate)
     std = _standardized(lr_features(docs), norm)
-    score = F.round(_fast_sigmoid(_z_expr(w)), 6)
+    score = _r6c(_fast_sigmoid(_z_expr(w)))
     return std.select(
         "doc_id",
         score.alias("score"),

@@ -8,6 +8,13 @@ previous round's weights (carried as 1-row cross-joined tables where the
 Spark plan uses driver literals). The fast-sigmoid link keeps every step
 in exact IEEE arithmetic, so the replay is bit-for-bit. Oracle text is
 GENERATED from the same LR_RATE / LR_ROUNDS constants the operator uses.
+
+Every 6dp quantization is ``floor(x * 1000000.0 + 0.5) / 1000000.0`` —
+pure IEEE ops, matching operators/lr.py exactly — NOT ``round(x, 6)``,
+because DuckDB rounds the binary double while Spark rounds HALF_UP over
+the shortest decimal repr and the two disagree on terminating decimals
+ending in 5 (see the operators/lr.py module docstring for the observed
+sf1 case).
 """
 
 from __future__ import annotations
@@ -31,14 +38,28 @@ from hierarchical_graph_db_spark.queries.textq import (  # noqa: E402
     _SQL_TOKENS,
 )
 
+#: floor-based 6dp quantization (see module docstring) as an SQL template.
+def _q6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+#: fixed-point BIGINT sum cell — floor(x*1e6 + 0.5), matching lr._cell.
+def _qcell(expr: str) -> str:
+    return f"CAST(floor(({expr}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+_F1_EXPR = f"{_SQL_HITS} / len({_SQL_TOKENS})"
+_F2_EXPR = ("length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+            " / length(text)")
+_F3_EXPR = ("length(regexp_replace(text, '\\s+', '', 'g'))"
+            f" / len({_SQL_TOKENS}) / 10")
+
 _RAW_CTE = f"""
     raw AS (
         SELECT doc_id,
-               round({_SQL_HITS} / len({_SQL_TOKENS}), 6) AS f1,
-               round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                     / length(text), 6) AS f2,
-               round(length(regexp_replace(text, '\\s+', '', 'g'))
-                     / len({_SQL_TOKENS}) / 10, 6) AS f3,
+               {_q6(_F1_EXPR)} AS f1,
+               {_q6(_F2_EXPR)} AS f2,
+               {_q6(_F3_EXPR)} AS f3,
                CASE WHEN {_QF_RULES_SQL} THEN 1.0 ELSE 0.0 END AS y
         FROM documents
         WHERE length(trim(text)) > 0
@@ -46,24 +67,21 @@ _RAW_CTE = f"""
     st AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS npos,
-               CAST(sum(CAST(round(f1 * 1000000) AS BIGINT)) AS BIGINT) AS s1,
-               CAST(sum(CAST(round(f2 * 1000000) AS BIGINT)) AS BIGINT) AS s2,
-               CAST(sum(CAST(round(f3 * 1000000) AS BIGINT)) AS BIGINT) AS s3,
-               CAST(sum(CAST(round(f1 * f1 * 1000000) AS BIGINT)) AS BIGINT)
-               AS q1,
-               CAST(sum(CAST(round(f2 * f2 * 1000000) AS BIGINT)) AS BIGINT)
-               AS q2,
-               CAST(sum(CAST(round(f3 * f3 * 1000000) AS BIGINT)) AS BIGINT)
-               AS q3
+               CAST(sum({_qcell("f1")}) AS BIGINT) AS s1,
+               CAST(sum({_qcell("f2")}) AS BIGINT) AS s2,
+               CAST(sum({_qcell("f3")}) AS BIGINT) AS s3,
+               CAST(sum({_qcell("f1 * f1")}) AS BIGINT) AS q1,
+               CAST(sum({_qcell("f2 * f2")}) AS BIGINT) AS q2,
+               CAST(sum({_qcell("f3 * f3")}) AS BIGINT) AS q3
         FROM raw
     ),
     mu AS (
         SELECT n,
-               round(n / (2.0 * npos), 6) AS cpos,
-               round(n / (2.0 * (n - npos)), 6) AS cneg,
-               round((s1 / 1000000.0) / n, 6) AS mu1,
-               round((s2 / 1000000.0) / n, 6) AS mu2,
-               round((s3 / 1000000.0) / n, 6) AS mu3,
+               {_q6("n / (2.0 * npos)")} AS cpos,
+               {_q6("n / (2.0 * (n - npos))")} AS cneg,
+               {_q6("(s1 / 1000000.0) / n")} AS mu1,
+               {_q6("(s2 / 1000000.0) / n")} AS mu2,
+               {_q6("(s3 / 1000000.0) / n")} AS mu3,
                (q1 / 1000000.0) / n AS m21,
                (q2 / 1000000.0) / n AS m22,
                (q3 / 1000000.0) / n AS m23
@@ -71,20 +89,20 @@ _RAW_CTE = f"""
     ),
     norm AS (
         SELECT n, cpos, cneg, mu1, mu2, mu3,
-               round(sqrt(greatest(m21 - mu1 * mu1, 0.000000000001)), 6)
+               {_q6("sqrt(greatest(m21 - mu1 * mu1, 0.000000000001))")}
                AS sd1,
-               round(sqrt(greatest(m22 - mu2 * mu2, 0.000000000001)), 6)
+               {_q6("sqrt(greatest(m22 - mu2 * mu2, 0.000000000001))")}
                AS sd2,
-               round(sqrt(greatest(m23 - mu3 * mu3, 0.000000000001)), 6)
+               {_q6("sqrt(greatest(m23 - mu3 * mu3, 0.000000000001))")}
                AS sd3
         FROM mu
     ),
     feats AS (
         SELECT r.doc_id, r.y,
                CASE WHEN r.y = 1.0 THEN m.cpos ELSE m.cneg END AS c,
-               round((r.f1 - m.mu1) / m.sd1, 6) AS f1,
-               round((r.f2 - m.mu2) / m.sd2, 6) AS f2,
-               round((r.f3 - m.mu3) / m.sd3, 6) AS f3,
+               {_q6("(r.f1 - m.mu1) / m.sd1")} AS f1,
+               {_q6("(r.f2 - m.mu2) / m.sd2")} AS f2,
+               {_q6("(r.f3 - m.mu3) / m.sd3")} AS f3,
                m.n AS n
         FROM raw r CROSS JOIN norm m
     ),
@@ -95,14 +113,10 @@ _RAW_CTE = f"""
 def _round_ctes(r: int) -> str:
     return f"""
     g{r} AS (
-        SELECT CAST(sum(CAST(round(c * (p - y) * 1000000) AS BIGINT))
-                    AS BIGINT) AS s0,
-               CAST(sum(CAST(round(c * (p - y) * f1 * 1000000) AS BIGINT))
-                    AS BIGINT) AS s1,
-               CAST(sum(CAST(round(c * (p - y) * f2 * 1000000) AS BIGINT))
-                    AS BIGINT) AS s2,
-               CAST(sum(CAST(round(c * (p - y) * f3 * 1000000) AS BIGINT))
-                    AS BIGINT) AS s3,
+        SELECT CAST(sum({_qcell("c * (p - y)")}) AS BIGINT) AS s0,
+               CAST(sum({_qcell("c * (p - y) * f1")}) AS BIGINT) AS s1,
+               CAST(sum({_qcell("c * (p - y) * f2")}) AS BIGINT) AS s2,
+               CAST(sum({_qcell("c * (p - y) * f3")}) AS BIGINT) AS s3,
                max(n) AS n
         FROM (
             SELECT t.*, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
@@ -114,10 +128,10 @@ def _round_ctes(r: int) -> str:
         ) s
     ),
     w{r} AS (
-        SELECT round(w.b - {LR_RATE} * ((g.s0 / 1000000.0) / g.n), 6) AS b,
-               round(w.w1 - {LR_RATE} * ((g.s1 / 1000000.0) / g.n), 6) AS w1,
-               round(w.w2 - {LR_RATE} * ((g.s2 / 1000000.0) / g.n), 6) AS w2,
-               round(w.w3 - {LR_RATE} * ((g.s3 / 1000000.0) / g.n), 6) AS w3
+        SELECT {_q6(f"w.b - {LR_RATE} * ((g.s0 / 1000000.0) / g.n)")} AS b,
+               {_q6(f"w.w1 - {LR_RATE} * ((g.s1 / 1000000.0) / g.n)")} AS w1,
+               {_q6(f"w.w2 - {LR_RATE} * ((g.s2 / 1000000.0) / g.n)")} AS w2,
+               {_q6(f"w.w3 - {LR_RATE} * ((g.s3 / 1000000.0) / g.n)")} AS w3
         FROM w{r - 1} w CROSS JOIN g{r} g
     )"""
 
@@ -136,8 +150,8 @@ _WEIGHTS_SQL = _TRAIN_CHAIN + f"""
 
 _SCORES_SQL = _TRAIN_CHAIN + f"""
     SELECT t.doc_id,
-           round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS score,
-           round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) >= 0.5 AS predicted,
+           {_q6("0.5 + z / (2.0 * (1.0 + abs(z)))")} AS score,
+           {_q6("0.5 + z / (2.0 * (1.0 + abs(z)))")} >= 0.5 AS predicted,
            CAST(t.y AS INTEGER) AS label
     FROM (
         SELECT f.doc_id, f.y,
