@@ -13,7 +13,20 @@ Oracle-parity rules (learned the hard way; keep following them):
   differently; strings are unambiguous);
 * cross-engine hashes must be sha256-hex based (never xxhash64/murmur —
   engine-specific);
-* regexp_replace needs the 'g' flag in DuckDB to match Spark's replace-all.
+* regexp_replace needs the 'g' flag in DuckDB to match Spark's replace-all;
+* when a rounded value FEEDS FURTHER COMPUTATION (fixed-point training,
+  standardization, iterative replay), never quantize with the engines'
+  decimal ``round``: Spark rounds HALF_UP over the shortest decimal repr
+  (BigDecimal.valueOf) while DuckDB rounds the binary double, and they
+  disagree whenever the double prints as an exact decimal ``…5`` one
+  place past the rounding digit — integer-ratio features (counts divided
+  by counts) hit such terminating decimals routinely (first observed at
+  sf1: 323/640 = 0.5046875 → Spark 0.504688, DuckDB 0.504687). Use
+  ``floor(x*10^k + 0.5)/10^k`` on BOTH sides instead (pure IEEE mul/add/
+  floor → bit-identical; see operators/lr.py). Plain display rounding of
+  a final aggregate is fine — a last-digit flip there needs the exact
+  boundary value, while amplified divergence needs only one row anywhere
+  in the corpus.
 """
 
 from __future__ import annotations
