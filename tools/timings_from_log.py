@@ -18,10 +18,12 @@ import sys
 def main() -> None:
     log_path, sf_dir = sys.argv[1], sys.argv[2]
     txt = open(log_path).read().replace("\r", "\n")
+    # "PASS  name (N rows, 1.2s)"  /  "ok?   name: rows-only (N rows, 1.2s)"
     timings = {
         m.group(1): float(m.group(2))
         for m in re.finditer(
-            r"^(?:PASS|ok\?)\s+(\w+)[:(][^,]*, ([0-9.]+)s\)", txt, re.M)
+            r"^(?:PASS|ok\?)\s+(\w+):?[^\n]*?\(\d+ rows, ([0-9.]+)s\)",
+            txt, re.M)
     }
     failures = re.findall(r"^FAIL\s+(\w+):", txt, re.M)
     json.dump({"sf_dir": sf_dir, "timings": timings, "failures": failures},
