@@ -39,6 +39,12 @@ _ap.add_argument("--sample", type=int, default=0,
 _ap.add_argument("--seed", type=int, default=0, help="sample RNG seed")
 _ap.add_argument("--timings-out", default=None,
                  help="write per-query wall seconds to this JSON file")
+_ap.add_argument("--duckdb-mem", default=None,
+                 help="DuckDB memory_limit (e.g. 40GB) — set when running "
+                      "several sweeps in parallel so oracles spill instead "
+                      "of fighting for RAM")
+_ap.add_argument("--duckdb-threads", type=int, default=0,
+                 help="DuckDB thread cap for parallel partitioned sweeps")
 _ARGS = _ap.parse_args()
 SF_DIR = _ARGS.sf_dir
 ONLY = set(_ARGS.only)
@@ -78,6 +84,10 @@ def main() -> int:
 
     spark = get_spark("verify-local")
     con = duckdb.connect()
+    if _ARGS.duckdb_mem:
+        con.execute(f"SET memory_limit='{_ARGS.duckdb_mem}'")
+    if _ARGS.duckdb_threads:
+        con.execute(f"SET threads={_ARGS.duckdb_threads}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
