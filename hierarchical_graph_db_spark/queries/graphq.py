@@ -86,29 +86,44 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(edges)
 
 
-@query(
-    "graph_connected_components",
-    f"""
-    WITH RECURSIVE edges AS (
-        SELECT DISTINCT src AS a, dst AS b FROM ({_SQL_EDGES})
+def _cc_oracle(n_rounds: int = 16) -> str:
+    """Unrolled hash-to-min connected components: per round each vertex
+    takes the min of its own label, its neighbors' labels (edge relax),
+    and its label's label (pointer jump). The jump step doubles label
+    shortcuts, so rounds needed is O(log diameter) — 16 covers any graph
+    these fixtures can produce. Replaces the original full-reachability
+    recursive CTE, whose working set is O(Σ component²) pairs: fine at
+    1.5k vertices, but 15k vertices / 1M edges at sf1 is ~225M pairs and
+    OOMed DuckDB at an 18 GiB cap. Per-round cost here is one O(E) join
+    + one O(N) self-join."""
+    parts = [f"""
+    eu AS MATERIALIZED (
+        SELECT src, dst FROM ({_SQL_EDGES})
         UNION
-        SELECT DISTINCT dst AS a, src AS b FROM ({_SQL_EDGES})
+        SELECT dst AS src, src AS dst FROM ({_SQL_EDGES})
     ),
-    reach(node, r) AS (
-        SELECT a, a FROM edges
-        UNION
-        SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node
-    )
-    SELECT node AS id, min(r) AS component
-    FROM reach
-    GROUP BY node
-    """,
-)
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS l FROM eu)"""]
+    for k in range(1, n_rounds + 1):
+        parts.append(f"""
+    l{k} AS MATERIALIZED (
+        SELECT v, min(l) AS l FROM (
+            SELECT v, l FROM l{k - 1}
+            UNION ALL
+            SELECT e.dst AS v, p.l FROM l{k - 1} p JOIN eu e ON e.src = p.v
+            UNION ALL
+            SELECT a.v, b.l FROM l{k - 1} a JOIN l{k - 1} b ON b.v = a.l
+        ) GROUP BY v
+    )""")
+    return ("WITH " + ",".join(parts)
+            + f"\n    SELECT v AS id, l AS component FROM l{n_rounds}")
+
+
+@query("graph_connected_components", _cc_oracle())
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4's engine: min-label-propagation connected components (used for
     thread reconstruction on the email corpus). Label = lexicographic min
-    vertex id in the component — same fixed point the recursive-CTE oracle
-    computes via full reachability."""
+    vertex id in the component — same fixed point the unrolled
+    hash-to-min oracle computes."""
     ev = Catalog(spark, sf_dir).events
     edges = sequential_interaction_edges(ev).select(
         F.col("src").cast("string").alias("src"),
