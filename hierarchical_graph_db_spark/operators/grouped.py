@@ -13,15 +13,27 @@ per-key history. Sequential recurrences are parallel-prefix-decomposed:
   rows in the scan group — both bounded, where the old whole-history group
   was an OOM.
 - :func:`user_value_trend` — OLS moments are algebraically aggregable, so
-  they reduce map-side in Catalyst (centered two-pass form for numerical
-  parity with ``regr_slope``); the pandas UDF receives ONE moment row per
-  user (the model-scoring seam stays a grouped UDF, its input no longer
-  scales with history length).
+  they reduce map-side in Catalyst (centered two-pass form: raw moments
+  would cancel catastrophically at ts ≈ 1.7e9); the pandas UDF receives
+  ONE moment row per user (the model-scoring seam stays a grouped UDF,
+  its input no longer scales with history length).
 
-``user_value_trend`` is deliberately also expressible in SQL
-(``regr_slope``), so the Python path gets a hash-checked DuckDB oracle —
-the pattern to copy for model-scoring UDFs whose contract can be mirrored
-relationally on synthetic data.
+``user_value_trend`` is deliberately also expressible in SQL, so the
+Python path gets a hash-checked DuckDB oracle — the pattern to copy for
+model-scoring UDFs whose contract can be mirrored relationally.
+Cross-engine determinism: a plain ``sum(xc·yc)`` over doubles is
+partition-order dependent, and at larger scale per-user slopes shrink
+toward 1e-6 where the 6dp output rounding has a single digit of signal —
+sf1 exposed a last-ulp sum divergence flipping one user's rounded slope
+vs DuckDB's ``regr_slope``. Both sides therefore sum FIXED-POINT cells:
+means from exact bigint sums (x is epoch seconds as int64; y quantized
+to 6dp cells), then sxy in 3dp cells and sxx in integer cells —
+``floor(·+0.5)`` of identical IEEE doubles, summed as int64, is
+partitioning- and engine-independent. Cell scales are chosen for int64
+headroom: |xc| ≤ ts-span/2, |yc| ≤ max|value|, so sxy cells stay exact
+doubles (< 2^53) and the per-user sums stay < 2^63 up to ~10M events per
+user; quantization shifts the slope by ≤ ~1e-9 relative — far below the
+6dp output rounding.
 """
 
 from __future__ import annotations
@@ -42,8 +54,12 @@ def _slope_from_moments(pdf: pd.DataFrame) -> pd.DataFrame:
     One input row per user (sxy = Σ(x-x̄)(y-ȳ), sxx = Σ(x-x̄)²) — the
     grouped-UDF seam where a real pipeline would run model scoring; the
     group no longer scales with the user's history length."""
-    sxx = pdf["sxx"].iloc[0]
-    slope = None if sxx == 0.0 else round(float(pdf["sxy"].iloc[0] / sxx), 6)
+    sxx = float(pdf["sxx_cells"].iloc[0])  # integer cells (units of 1)
+    if sxx == 0.0:
+        slope = None
+    else:
+        s = (float(pdf["sxy_cells"].iloc[0]) / 1000.0) / sxx
+        slope = math.floor(s * 1000000.0 + 0.5) / 1000000.0
     return pd.DataFrame(
         {"user_id": [int(pdf["user_id"].iloc[0])],
          "n_events": [int(pdf["n_events"].iloc[0])],
@@ -65,18 +81,22 @@ def user_value_trend(events: DataFrame) -> DataFrame:
         "user_id", F.col("ts").cast("long").alias("ts_sec"), "value"
     )
     means = prepped.groupBy("user_id").agg(
-        F.avg("ts_sec").alias("mx"),
-        F.avg("value").alias("my"),
+        F.sum("ts_sec").alias("sx"),  # exact int64 — order-free
+        F.sum(F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)))
+        .alias("sy_cells"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    xc = F.col("ts_sec").cast("double") - F.col("mx")
-    yc = F.col("value").cast("double") - F.col("my")
+    mx = F.col("sx") / F.col("n_events")
+    my = (F.col("sy_cells") / F.lit(1000000.0)) / F.col("n_events")
+    xc = F.col("ts_sec").cast("double") - mx
+    yc = F.col("value").cast("double") - my
     moments = (
         prepped.join(means, on="user_id")
         .groupBy("user_id")
         .agg(
-            F.sum(xc * yc).alias("sxy"),
-            F.sum(xc * xc).alias("sxx"),
+            F.sum(F.floor(xc * yc * F.lit(1000.0) + F.lit(0.5)))
+            .alias("sxy_cells"),
+            F.sum(F.floor(xc * xc + F.lit(0.5))).alias("sxx_cells"),
             F.first("n_events").alias("n_events"),
         )
     )
