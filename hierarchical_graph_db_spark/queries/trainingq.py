@@ -361,31 +361,71 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "feature_normalize_events",
     """
+    WITH s AS (
+        SELECT event_id, value,
+               CAST(count(*) OVER per_user AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                    OVER per_user AS BIGINT) AS sv_cells,
+               CAST(sum(CAST(floor(value * value * 1000.0 + 0.5) AS BIGINT))
+                    OVER per_user AS BIGINT) AS sq_cells,
+               min(value) OVER per_user AS vmin,
+               max(value) OVER per_user AS vmax
+        FROM events
+        WINDOW per_user AS (PARTITION BY user_id)
+    )
+    , z AS (
+        SELECT event_id, value, vmin, vmax,
+               (sv_cells / 1000000.0) / n AS mean,
+               CASE WHEN n > 1 THEN
+                   sqrt(greatest((sq_cells / 1000.0
+                                  - ((sv_cells / 1000000.0) / n)
+                                    * ((sv_cells / 1000000.0) / n) * n)
+                                 / (n - 1), 0.0))
+               END AS sd
+        FROM s
+    )
     SELECT event_id,
-           round((value - avg(value) OVER per_user)
-                 / stddev_samp(value) OVER per_user, 6) + 0 AS value_zscore,
-           round((value - min(value) OVER per_user)
-                 / (max(value) OVER per_user - min(value) OVER per_user), 6)
-               AS value_minmax
-    FROM events
-    WINDOW per_user AS (PARTITION BY user_id)
+           CASE WHEN sd > 0 THEN
+               floor((value - mean) / sd * 1000000.0 + 0.5) / 1000000.0 + 0
+           END AS value_zscore,
+           CASE WHEN vmax > vmin THEN
+               floor((value - vmin) / (vmax - vmin) * 1000000.0 + 0.5)
+                   / 1000000.0
+           END AS value_minmax
+    FROM z
     """,
 )
 def feature_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity feature scaling (the feature-prep staple): z-score and
     min-max of each event's value within its user's distribution — one
-    unordered window per user, no self-joins."""
+    unordered window per user, no self-joins. Cross-engine determinism
+    (the queries/__init__ parity rule): the mean and variance come from
+    fixed-point cell sums over the window (order-free int64), and both
+    outputs quantize floor-based — min-max of 2dp inputs lands on exact
+    decimal …5 boundaries routinely (sf1 flipped two rows under the
+    engines' decimal round), and avg/stddev float sums are
+    partition-order dependent."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id")
     value = F.col("value")
+    n = F.count(F.lit(1)).over(w)
+    sv = F.sum(F.floor(value * F.lit(1000000.0) + F.lit(0.5))).over(w)
+    sq = F.sum(F.floor(value * value * F.lit(1000.0) + F.lit(0.5))).over(w)
+    mean = (sv / F.lit(1000000.0)) / n
+    var = (sq / F.lit(1000.0) - mean * mean * n) / (n - F.lit(1))
+    sd = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+    vmin = F.min(value).over(w)
+    vmax = F.max(value).over(w)
+
+    def _q6(c):
+        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
     return Catalog(spark, sf_dir).events.select(
         "event_id",
-        (F.round((value - F.avg("value").over(w))
-                 / F.stddev_samp("value").over(w), 6)
-         + F.lit(0.0)).alias("value_zscore"),  # -0.0 → 0.0
-        F.round((value - F.min("value").over(w))
-                / (F.max("value").over(w) - F.min("value").over(w)), 6)
+        F.when(sd > 0, _q6((value - mean) / sd) + F.lit(0.0))
+        .alias("value_zscore"),
+        F.when(vmax > vmin, _q6((value - vmin) / (vmax - vmin)))
         .alias("value_minmax"),
     )
 
