@@ -904,12 +904,19 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pv AS (
         SELECT l_partkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cells
         FROM lineitem GROUP BY l_partkey
-    )
+    ),
+    pr AS (SELECT l_partkey,
+                  floor(cells / 10000.0 * 100.0 + 0.5) / 100.0 AS part_value
+           FROM pv)
     SELECT l_partkey, part_value
-    FROM pv
-    WHERE part_value > (SELECT avg(part_value) * 1.5 FROM pv)
+    FROM pr
+    WHERE part_value
+          > (SELECT (sum(CAST(floor(part_value * 100.0 + 0.5) AS BIGINT))
+                     / 100.0) / count(*) * 1.5 FROM pr)
     ORDER BY part_value DESC, l_partkey
     """,
 )
@@ -920,14 +927,24 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum×FRACTION so the cut is scale-free across fixture sizes). No
     partsupp in the fixture, so 'stock value' is revenue per part; the
     threshold re-aggregates the 2k-row per-part table (not the fact) and
-    broadcasts as one row."""
+    broadcasts as one row. Money sums run in fixed-point 4dp cells and
+    the threshold mean in 2dp cells (the queries/__init__ parity rule):
+    at sf1, ~200k parts × engine-order float-sum noise flipped the cent
+    rounding for tens of parts and drifted the avg threshold."""
     cat = Catalog(spark, sf_dir)
     pv = (
         cat.lineitem.groupBy("l_partkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-                     2).alias("part_value"))
+        .agg(F.sum(F.floor(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))
+                           * F.lit(10000.0) + F.lit(0.5))).alias("cells"))
     )
-    thresh = pv.agg((F.avg("part_value") * 1.5).alias("_cut"))
+    pv = pv.select(
+        "l_partkey",
+        (F.floor(F.col("cells") / F.lit(10000.0) * F.lit(100.0) + F.lit(0.5))
+         / F.lit(100.0)).alias("part_value"))
+    thresh = pv.agg(
+        ((F.sum(F.floor(F.col("part_value") * F.lit(100.0) + F.lit(0.5)))
+          / F.lit(100.0)) / F.count(F.lit(1)) * F.lit(1.5)).alias("_cut"))
     return (
         pv.join(F.broadcast(thresh))
         .where(F.col("part_value") > F.col("_cut"))
