@@ -464,33 +464,28 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
         JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
     ),
-    dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-    rk AS (
-        SELECT sh.id, sh.shingle,
-               row_number() OVER (PARTITION BY sh.id
-                                  ORDER BY dfq.df, sh.shingle) AS rnk
-        FROM sh JOIN dfq ON dfq.shingle = sh.shingle
-    ),
     sz AS (SELECT id, count(*) AS s FROM sh GROUP BY id),
-    pfx AS (
-        SELECT rk.id, rk.shingle
-        FROM rk JOIN sz ON sz.id = rk.id
-        WHERE rnk <= s - CAST(ceil(0.5 * s) AS BIGINT) + 1
-    ),
-    cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM pfx a JOIN pfx b ON a.shingle = b.shingle AND a.id < b.id
-    ),
-    arrs AS (SELECT id, list(shingle ORDER BY shingle) AS sset
-             FROM sh GROUP BY id)
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    -- Oracle NOTE: the engine's prefix filter is a candidate-pruning
+    -- optimization with a no-false-negative proof at t=0.5 (pinned in
+    -- tests/test_dedup_fuzzy.py): every pair with true Jaccard >= 0.5
+    -- shares a prefix shingle, and the engine scores TRUE Jaccard on
+    -- candidates. So the result set equals "all pairs sharing any
+    -- shingle with true Jaccard >= 0.5" — which this grouped self-join
+    -- computes WITHOUT materializing per-candidate shingle arrays (the
+    -- original array-intersect oracle built two ~500-element lists for
+    -- each of ~10M+ candidate pairs at sf1 and ran for over an hour at
+    -- 65 GB; this form is one hash aggregate over the shingle join).
     SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
         SELECT id_a, id_b,
-               len(list_intersect(da.sset, db.sset))
-               / CAST(len(list_distinct(list_concat(da.sset, db.sset)))
-                      AS DOUBLE) AS j
-        FROM cand
-        JOIN arrs da ON da.id = id_a
-        JOIN arrs db ON db.id = id_b
+               common / CAST(za.s + zb.s - common AS DOUBLE) AS j
+        FROM inter
+        JOIN sz za ON za.id = id_a
+        JOIN sz zb ON zb.id = id_b
     ) WHERE j >= 0.5
     """,
 )
