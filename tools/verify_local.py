@@ -84,6 +84,14 @@ def main() -> int:
 
     spark = get_spark("verify-local")
     con = duckdb.connect()
+    # Unique spill dir per process: concurrent sweeps sharing the default
+    # cwd-relative .tmp/ delete each other's temp_storage files (observed
+    # as a fatal IOException mid-sweep when two partitioned sf1 sweeps ran
+    # in parallel).
+    import os
+    import tempfile
+    tmpdir = tempfile.mkdtemp(prefix=f"duckdb_spill_{os.getpid()}_")
+    con.execute(f"SET temp_directory='{tmpdir}'")
     if _ARGS.duckdb_mem:
         con.execute(f"SET memory_limit='{_ARGS.duckdb_mem}'")
     if _ARGS.duckdb_threads:
