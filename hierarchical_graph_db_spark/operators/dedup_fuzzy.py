@@ -538,12 +538,33 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
         rk.join(sz, "id")
         .where(F.col("rnk")
                <= F.col("s") - F.ceil(F.lit(threshold) * F.col("s")) + 1)
-        .select("id", "shingle")
+        .select("id", "shingle", "rnk", "s")
     )
     a, b = pfx.alias("a"), pfx.alias("b")
+    # Two further PPJoin prunes, both output-preserving (Xiao et al. 2008
+    # lemmas, public method), applied per prefix match BEFORE the distinct
+    # so hot prefix shingles stop minting candidates:
+    #   * LENGTH filter: J ≥ t ⇒ |a∩b| ≤ min(|a|,|b|) and |a∩b| ≥
+    #     t·|a∪b| ≥ t·max(|a|,|b|) ⇒ min ≥ t·max;
+    #   * POSITIONAL filter: the overlap reachable from a match at prefix
+    #     positions (pa, pb) is ≤ min(sa−pa, sb−pb)+1, which must reach the
+    #     required α = t/(1+t)·(sa+sb). For any true pair the SMALLEST
+    #     common shingle in the global (df, shingle) order sits in both
+    #     prefixes (given the length filter) and every common shingle ranks
+    #     at or after it in both docs, so that match always passes — no
+    #     false negatives (pinned in tests/test_dedup_fuzzy.py).
+    # The 1e-9 slack absorbs float rounding in t·max and α so a borderline
+    # integer-exact pair can never be dropped by IEEE noise.
+    alpha = (F.lit(threshold / (1.0 + threshold))
+             * (F.col("a.s") + F.col("b.s")) - F.lit(1e-9))
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
+               & (F.col("a.id") < F.col("b.id"))
+               & (F.least(F.col("a.s"), F.col("b.s"))
+                  >= F.lit(threshold) * F.greatest(F.col("a.s"), F.col("b.s"))
+                  - F.lit(1e-9))
+               & (F.least(F.col("a.s") - F.col("a.rnk"),
+                          F.col("b.s") - F.col("b.rnk")) + 1 >= alpha))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

@@ -269,6 +269,85 @@ def _score_pairs_arrow(pairs: DataFrame, threshold: float) -> DataFrame:
     ).where(F.col("score") >= threshold)
 
 
+def _score_buckets_grouped(banded: DataFrame, threshold: float,
+                           chunk_rows: int = 1024) -> DataFrame:
+    """Bucket-local pairwise cosine: one ``applyInPandas`` group per
+    (band, bucket-key), each vector shipped across the Arrow boundary ONCE
+    per band — O(n_bands·N) transfer instead of the O(candidate-pairs)
+    a pair-frame kernel pays. Inside a group the full pairwise score matrix
+    is built as 64 vectorized outer-product accumulations (LEFT-FOLD over
+    dimensions, so every matrix cell is the same ``t0 + t1 + …`` chain as
+    the unrolled Catalyst expression and the oracle's ``list_sum``), in
+    ``chunk_rows``-row blocks so peak memory is chunk_rows × bucket_size
+    doubles regardless of bucket size. Rounding stays in Catalyst exactly
+    as in :func:`_score_pairs_arrow` (conservative ``threshold - 1e-5``
+    numpy pre-filter, exact ``F.round(_, 5) >= threshold`` Spark-side).
+
+    Parallelism = number of (band, key) groups — tune ``band_planes`` so
+    bucket count ≫ cores at the target scale (production near-dup runs use
+    8-16 planes/band → 256-65k buckets; the fixture's 2-bit keys give 4/band,
+    calibrated for recall on its near-random synthetic vectors).
+    """
+    import numpy as np
+    import pandas as pd
+
+    guard = threshold - 1e-5
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].values
+        vecs = np.stack(pdf["vec"].values).astype(np.float64)
+        norms = pdf["norm"].values
+        out_a, out_b, out_s = [], [], []
+        # Two-pass parity trick: a BLAS GEMM (cache-blocked, ~10× less
+        # memory traffic than 64 outer-product sweeps) finds candidates at
+        # a slack threshold, then the exact LEFT-FOLD chain recomputes only
+        # the survivors. GEMM and left-fold disagree by ≲1e-13 relative
+        # (64-term double sums), so the 1e-6 slack can only ADD candidates
+        # — the emitted scores are pure left-fold, bit-identical to the
+        # unrolled Catalyst expression and the oracle.
+        pre_guard = guard - 1e-6
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            a = vecs[lo:hi]
+            approx = a @ vecs.T
+            denom = np.multiply.outer(norms[lo:hi], norms)
+            s_pre = np.where(denom == 0, 0.0,
+                             approx / np.where(denom == 0, 1.0, denom))
+            # strict upper triangle: id_a < id_b (ids sorted, distinct)
+            rows, cols = np.nonzero(
+                (s_pre >= pre_guard)
+                & (np.arange(n)[None, :] > (lo + np.arange(hi - lo))[:, None]))
+            if len(rows) == 0:
+                continue
+            va, vb = vecs[rows + lo], vecs[cols]
+            acc = va[:, 0] * vb[:, 0]
+            for d in range(1, vecs.shape[1]):
+                acc = acc + va[:, d] * vb[:, d]  # left-fold: exact parity
+            dpair = denom[rows, cols]
+            s = np.where(dpair == 0, 0.0,
+                         acc / np.where(dpair == 0, 1.0, dpair))
+            keep = s >= guard
+            out_a.append(ids[rows + lo][keep])
+            out_b.append(ids[cols][keep])
+            out_s.append(s[keep])
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else [],
+            "id_b": np.concatenate(out_b) if out_b else [],
+            "score": np.concatenate(out_s) if out_s else [],
+        })
+
+    id_t = banded.schema["id"].dataType.simpleString()
+    scored = banded.groupBy("band", "key").applyInPandas(
+        score, f"id_a {id_t}, id_b {id_t}, score double")
+    return scored.select(
+        "id_a", "id_b", F.round("score", 5).alias("score")
+    ).where(F.col("score") >= threshold)
+
+
 def near_duplicate_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -328,8 +407,18 @@ def near_duplicate_pairs(
     # key is a substring slice — the projection tree is built/compiled ONCE
     # instead of once per band.
     sig = hyperplane_signature("vec", n_bands * band_planes, dim)
+    # The band table CARRIES (vec, norm): candidate generation + rescore is
+    # ONE shuffle of 8 rows per vector into (band, key) groups, scored
+    # bucket-locally by the grouped numpy kernel. The earlier shape — bare
+    # (id_a, id_b) candidate self-join, .distinct(), two vector re-joins,
+    # pair-frame rescore — shuffles and Arrow-transfers the full QUADRATIC
+    # candidate set (measured 116× sf0.1→sf1 wall growth); this shape moves
+    # O(n_bands·N) rows total, and the quadratic part is vectorized compute
+    # inside each group. Pairs colliding in several bands are scored once
+    # per band — identical scores, so the final dropDuplicates is
+    # deterministic.
     banded = v.withColumn("_sig", sig).select(
-        "id",
+        "id", "vec", "norm",
         F.explode(
             F.array(*[
                 F.struct(
@@ -340,30 +429,16 @@ def near_duplicate_pairs(
                 for b in range(n_bands)
             ])
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # Materialize: the banded table feeds BOTH self-join sides, and its
-    # 1024-term signature tree would otherwise be duplicated into each —
-    # Catalyst re-optimizes the whole tree per subtree (seconds of driver
-    # time) and the signatures would compute twice. Same pattern as the
-    # shingle index in dedup_fuzzy.
+    ).select("id", "vec", "norm",
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Materialize before grouping: the 1024-term signature tree costs
+    # Catalyst seconds of driver-side optimization when embedded in the
+    # grouped-UDF plan; checkpointing truncates the lineage so the group
+    # stage plans against a flat scan. Same pattern as the shingle index in
+    # dedup_fuzzy.
     banded = banded.localCheckpoint(eager=True)
-    pa, pb = banded.alias("a"), banded.alias("b")
-    cand = (
-        pa.join(pb, (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    pairs = (
-        cand.join(v.select(F.col("id").alias("id_a"),
-                           F.col("vec").alias("vec_a"),
-                           F.col("norm").alias("norm_a")), on="id_a")
-        .join(v.select(F.col("id").alias("id_b"),
-                       F.col("vec").alias("vec_b"),
-                       F.col("norm").alias("norm_b")), on="id_b")
-    )
-    return _score_pairs_arrow(pairs, threshold)
+    return (_score_buckets_grouped(banded, threshold)
+            .dropDuplicates(["id_a", "id_b"]))
 
 
 def hard_negatives(

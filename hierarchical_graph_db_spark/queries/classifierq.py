@@ -97,7 +97,7 @@ _RAW_CTE = f"""
                AS sd3
         FROM mu
     ),
-    feats AS (
+    feats AS MATERIALIZED (
         SELECT r.doc_id, r.y,
                CASE WHEN r.y = 1.0 THEN m.cpos ELSE m.cneg END AS c,
                {_q6("(r.f1 - m.mu1) / m.sd1")} AS f1,
@@ -112,7 +112,7 @@ _RAW_CTE = f"""
 
 def _round_ctes(r: int) -> str:
     return f"""
-    g{r} AS (
+    g{r} AS MATERIALIZED (
         SELECT CAST(sum({_qcell("c * (p - y)")}) AS BIGINT) AS s0,
                CAST(sum({_qcell("c * (p - y) * f1")}) AS BIGINT) AS s1,
                CAST(sum({_qcell("c * (p - y) * f2")}) AS BIGINT) AS s2,
@@ -127,7 +127,7 @@ def _round_ctes(r: int) -> str:
             ) t
         ) s
     ),
-    w{r} AS (
+    w{r} AS MATERIALIZED (
         SELECT {_q6(f"w.b - {LR_RATE} * ((g.s0 / 1000000.0) / g.n)")} AS b,
                {_q6(f"w.w1 - {LR_RATE} * ((g.s1 / 1000000.0) / g.n)")} AS w1,
                {_q6(f"w.w2 - {LR_RATE} * ((g.s2 / 1000000.0) / g.n)")} AS w2,

@@ -9,6 +9,12 @@ replacement, so greedy non-overlap semantics agree bit-for-bit (verified:
 `` a a a `` + (a,a) → `` aa a `` in both). The oracle string is GENERATED
 from the same ``BPE_MERGES`` constant the Spark operator uses, so the round
 count cannot drift.
+
+Every round CTE is ``MATERIALIZED``: round r references v{r-1} TWICE (pair
+counts + merge apply), so left to the inliner the chain expands to 2^n
+evaluations of the corpus split — measured 30× slower at sf0.01 and a
+68 GB / >45 min blowup at sf1. Materialization makes the oracle the same
+linear chain the Spark operator runs.
 """
 
 from __future__ import annotations
@@ -26,13 +32,13 @@ from hierarchical_graph_db_spark.queries import query
 BPE_MERGES = 8
 
 _WORDS_CTE = """
-    words AS (
+    words AS MATERIALIZED (
         SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
         FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
               FROM documents) t
         GROUP BY w
     ),
-    v0 AS (
+    v0 AS MATERIALIZED (
         SELECT word, freq,
                ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') || '</w> '
                AS seq
@@ -45,7 +51,7 @@ def _round_ctes(r: int) -> str:
     """CTE block for merge round ``r``: pair counts over v{r-1}, the argmax
     merge m{r}, and the merged vocabulary v{r}."""
     return f"""
-    p{r} AS (
+    p{r} AS MATERIALIZED (
         SELECT q.p.l AS left_sym, q.p.r AS right_sym,
                CAST(sum(q.freq) AS BIGINT) AS pair_count
         FROM (
@@ -58,14 +64,14 @@ def _round_ctes(r: int) -> str:
         ) q
         GROUP BY q.p.l, q.p.r
     ),
-    m{r} AS (
+    m{r} AS MATERIALIZED (
         SELECT {r} AS merge_rank, left_sym, right_sym,
                left_sym || right_sym AS merged, pair_count
         FROM p{r}
         ORDER BY pair_count DESC, left_sym, right_sym
         LIMIT 1
     ),
-    v{r} AS (
+    v{r} AS MATERIALIZED (
         SELECT word, freq,
                replace(seq, ' ' || m.left_sym || ' ' || m.right_sym || ' ',
                        ' ' || m.merged || ' ') AS seq
