@@ -33,7 +33,7 @@ from hierarchical_graph_db_spark.queries.textq import _SQL_PIECES  # noqa: E402
 
 #: Tokenized-position CTE shared by every shingle oracle (same as dedup.py).
 _TOKS_CTE = f"""
-    toks AS (
+    toks AS MATERIALIZED (
         SELECT id, u.s.tok AS tok, u.s.pos AS pos
         FROM (
             SELECT doc_id AS id,
@@ -64,7 +64,7 @@ DECON_NGRAM = 5
     "decontaminate_ngram_overlap",
     f"""
     WITH {_TOKS_CTE},
-    sh AS (
+    sh AS MATERIALIZED (
         SELECT DISTINCT t0.id,
                t0.tok || ' ' || t1.tok || ' ' || t2.tok || ' ' ||
                t3.tok || ' ' || t4.tok AS shingle
