@@ -118,16 +118,22 @@ def _banded_sql(n_bands: int = 8, band_planes: int = 2, dim: int = 64) -> str:
 
 @query(
     "embedding_near_duplicates_lsh",
+    # banded is MATERIALIZED (two self-join references); the DISTINCT moves
+    # AFTER the threshold filter — deduping the raw candidate stream is a
+    # quadratic-size hash table (the sf1 oracle's dominant cost), deduping
+    # the filtered output is trivial, and scores are identical per pair so
+    # the result set is unchanged. Mirrors the Spark plan's shape.
     f"""
-    WITH banded AS (
+    WITH banded AS MATERIALIZED (
 {_banded_sql()}
     ),
     cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        SELECT a.id AS id_a, b.id AS id_b
         FROM banded a
         JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
     )
-    SELECT id_a, id_b, {_sql_cosine('va.embedding', 'vb.embedding')} AS score
+    SELECT DISTINCT id_a, id_b,
+           {_sql_cosine('va.embedding', 'vb.embedding')} AS score
     FROM cand
     JOIN embeddings va ON va.vec_id = id_a
     JOIN embeddings vb ON vb.vec_id = id_b
@@ -1032,34 +1038,46 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_dedup_resolution",
+    # Same candidate restructure as embedding_near_duplicates_lsh (DISTINCT
+    # after the cosine filter, banded materialized), and the recursive
+    # full-reachability closure is replaced by unrolled hash-to-min rounds
+    # (edge relax + pointer jump per round, same treatment as graphq's
+    # _cc_oracle): the closure's working set is O(Σ component²), which at
+    # sf1's quarter-million near-dup pairs is a multi-minute 40 GB stall;
+    # 16 shortcutting rounds cover any fixture diameter at O(E) per round.
     f"""
-    WITH RECURSIVE banded AS (
+    WITH banded AS MATERIALIZED (
 {_banded_sql()}
     ),
-    cand AS (
+    pairs AS MATERIALIZED (
         SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM banded a
         JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    ),
-    pairs AS MATERIALIZED (
-        SELECT id_a, id_b
-        FROM cand
-        JOIN embeddings va ON va.vec_id = id_a
-        JOIN embeddings vb ON vb.vec_id = id_b
+        JOIN embeddings va ON va.vec_id = a.id
+        JOIN embeddings vb ON vb.vec_id = b.id
         WHERE {_sql_cosine('va.embedding', 'vb.embedding')} >= 0.45
     ),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-    reach(node, r) AS (
-        SELECT a, a FROM sym
+    eu AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
-        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+        SELECT id_b AS src, id_a AS dst FROM pairs
     ),
-    comp AS (SELECT node AS id, min(r) AS keep_id FROM reach GROUP BY node)
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS l FROM eu),"""
+    + ",".join(f"""
+    l{k} AS MATERIALIZED (
+        SELECT v, min(l) AS l FROM (
+            SELECT v, l FROM l{k - 1}
+            UNION ALL
+            SELECT e.dst AS v, p.l FROM l{k - 1} p JOIN eu e ON e.src = p.v
+            UNION ALL
+            SELECT a.v, b.l FROM l{k - 1} a JOIN l{k - 1} b ON b.v = a.l
+        ) GROUP BY v
+    )""" for k in range(1, 17))
+    + """
     SELECT e.vec_id,
-           coalesce(comp.keep_id, e.vec_id) AS keep_id,
-           coalesce(comp.keep_id, e.vec_id) <> e.vec_id AS is_duplicate
-    FROM embeddings e LEFT JOIN comp ON comp.id = e.vec_id
+           coalesce(comp.l, e.vec_id) AS keep_id,
+           coalesce(comp.l, e.vec_id) <> e.vec_id AS is_duplicate
+    FROM embeddings e LEFT JOIN l16 comp ON comp.v = e.vec_id
     """,
 )
 def embedding_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
