@@ -92,6 +92,15 @@ def main() -> int:
     import tempfile
     tmpdir = tempfile.mkdtemp(prefix=f"duckdb_spill_{os.getpid()}_")
     con.execute(f"SET temp_directory='{tmpdir}'")
+    # Remove the spill dir on ANY exit, including SIGTERM: a killed sweep
+    # otherwise strands its spill files (observed: two killed sf1 sweeps
+    # left 30 GB each and a later oracle died on a full disk).
+    import atexit
+    import shutil
+    import signal
+    atexit.register(shutil.rmtree, tmpdir, True)
+    for _sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(_sig, lambda *_: sys.exit(143))
     if _ARGS.duckdb_mem:
         con.execute(f"SET memory_limit='{_ARGS.duckdb_mem}'")
     if _ARGS.duckdb_threads:
