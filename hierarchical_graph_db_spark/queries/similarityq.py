@@ -104,40 +104,74 @@ def _sql_bucket(col: str, n_planes: int = 8, dim: int = 64,
     return " || ".join(planes)
 
 
+def _sql_dot_unrolled(a: str, b: str, dim: int = 64) -> str:
+    """Unrolled scalar dot product — value-identical to ``_SQL_DOT``'s
+    ``list_sum`` (both are the left-fold ``t0 + t1 + …`` chain in IEEE
+    doubles) but with ZERO per-row list allocations; the list form costs
+    three list materializations per evaluation, which dominated the sf1
+    banded self-join oracle (hours of single-thread churn)."""
+    return " + ".join(
+        f"CAST({a}[{d + 1}] AS DOUBLE) * CAST({b}[{d + 1}] AS DOUBLE)"
+        for d in range(dim)
+    )
+
+
 def _banded_sql(n_bands: int = 8, band_planes: int = 2, dim: int = 64) -> str:
     """Per-band bucket keys as a UNION ALL — the DuckDB twin of the banded
     signature explode in ``near_duplicate_pairs`` (same sha256 plane stream,
-    band b uses planes [b·band_planes, (b+1)·band_planes))."""
+    band b uses planes [b·band_planes, (b+1)·band_planes)). Carries the
+    embedding and its precomputed L2 norm so the pair stage computes ONE
+    dot per candidate instead of three."""
+    norm = f"sqrt({_sql_dot_unrolled('embedding', 'embedding', dim)})"
     return "\n        UNION ALL\n".join(
         f"        SELECT vec_id AS id, {b} AS band, "
-        f"{_sql_bucket('embedding', band_planes, dim, b * band_planes)} AS key "
-        f"FROM embeddings"
+        f"{_sql_bucket('embedding', band_planes, dim, b * band_planes)} AS key"
+        f", embedding, {norm} AS norm FROM embeddings"
         for b in range(n_bands)
+    )
+
+
+def _banded_pairs_sql(n_slices: int = 8, dim: int = 64,
+                      threshold: float = 0.45) -> str:
+    """The banded self-join as a UNION ALL over ``a.id % n_slices`` probe
+    slices. The slices partition the probe rows (result-identical); they
+    exist because DuckDB parallelizes a hash-join probe by base-table
+    morsels, and the ~160k-row band table is only two morsels — one thread
+    ends up owning virtually all of the quadratic candidate work. Each
+    slice is its own pipeline. Score is computed ONCE (rounded, as the
+    Spark side does) and filtered ≥ threshold inside the slice, so only
+    true near-dup pairs cross the union."""
+    dot = _sql_dot_unrolled("a.embedding", "b.embedding", dim)
+    return "\n        UNION ALL\n".join(
+        f"""        SELECT a.id AS id_a, b.id AS id_b,
+               round(({dot}) / (a.norm * b.norm), 5) AS score
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        WHERE a.id % {n_slices} = {k}
+          AND round(({dot}) / (a.norm * b.norm), 5) >= {threshold}"""
+        for k in range(n_slices)
     )
 
 
 @query(
     "embedding_near_duplicates_lsh",
-    # banded is MATERIALIZED (two self-join references); the DISTINCT moves
-    # AFTER the threshold filter — deduping the raw candidate stream is a
-    # quadratic-size hash table (the sf1 oracle's dominant cost), deduping
-    # the filtered output is trivial, and scores are identical per pair so
-    # the result set is unchanged. Mirrors the Spark plan's shape.
+    # banded is MATERIALIZED (self-join references) and CARRIES the
+    # embedding + precomputed norm, so the whole oracle is a sliced
+    # self-join with the cosine filter inline and the DISTINCT applied to
+    # the filtered output only — the previous shape (bare-id candidates,
+    # DISTINCT, two embedding re-joins, three list-op dots per pair) let
+    # the planner build a hash table on the quadratic candidate stream
+    # (tens-of-GB disk spill at sf1) and then serialized the surviving
+    # work onto one thread. Mirrors the Spark plan's shape; see
+    # _banded_pairs_sql for the slice rationale.
     f"""
     WITH banded AS MATERIALIZED (
 {_banded_sql()}
-    ),
-    cand AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM banded a
-        JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
     )
-    SELECT DISTINCT id_a, id_b,
-           {_sql_cosine('va.embedding', 'vb.embedding')} AS score
-    FROM cand
-    JOIN embeddings va ON va.vec_id = id_a
-    JOIN embeddings vb ON vb.vec_id = id_b
-    WHERE {_sql_cosine('va.embedding', 'vb.embedding')} >= 0.45
+    SELECT DISTINCT id_a, id_b, score
+    FROM (
+{_banded_pairs_sql()}
+    )
     """,
 )
 def embedding_near_duplicates_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1050,12 +1084,10 @@ def ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 {_banded_sql()}
     ),
     pairs AS MATERIALIZED (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM banded a
-        JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
-        JOIN embeddings va ON va.vec_id = a.id
-        JOIN embeddings vb ON vb.vec_id = b.id
-        WHERE {_sql_cosine('va.embedding', 'vb.embedding')} >= 0.45
+        SELECT DISTINCT id_a, id_b
+        FROM (
+{_banded_pairs_sql()}
+        )
     ),
     eu AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
