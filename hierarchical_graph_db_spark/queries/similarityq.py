@@ -29,6 +29,18 @@ _SQL_DOT = (
 )
 
 
+def _sql_dot_unrolled(a: str, b: str, dim: int = 64) -> str:
+    """Unrolled scalar dot product — value-identical to ``_SQL_DOT``'s
+    ``list_sum`` (both are the left-fold ``t0 + t1 + …`` chain in IEEE
+    doubles) but with ZERO per-row list allocations; the list form costs
+    three list materializations per evaluation, which dominated the sf1
+    banded self-join oracle (hours of single-thread churn)."""
+    return " + ".join(
+        f"CAST({a}[{d + 1}] AS DOUBLE) * CAST({b}[{d + 1}] AS DOUBLE)"
+        for d in range(dim)
+    )
+
+
 def _sql_cosine(a: str, b: str) -> str:
     dot = _SQL_DOT.format(a=a, b=b)
     na = f"sqrt({_SQL_DOT.format(a=a, b=a)})"
@@ -67,13 +79,24 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_near_duplicates",
-    f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_sql_cosine('a.embedding', 'b.embedding')} AS score
-    FROM embeddings a
-    JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.45
-    """,
+    # Same oracle mechanics as _banded_pairs_sql (precomputed norms,
+    # unrolled value-identical dot, probe sliced by vec_id % 8 so the
+    # all-pairs scan parallelizes instead of living in one 20k-row morsel).
+    "\n    WITH v AS MATERIALIZED (\n"
+    "        SELECT vec_id AS id, embedding, "
+    f"sqrt({_sql_dot_unrolled('embedding', 'embedding')}) AS norm"
+    " FROM embeddings\n    )\n"
+    "    SELECT id_a, id_b, score FROM (\n"
+    + "\n    UNION ALL\n".join(
+        f"""    SELECT a.id AS id_a, b.id AS id_b,
+           round(({_sql_dot_unrolled('a.embedding', 'b.embedding')})
+                 / (a.norm * b.norm), 5) AS score
+    FROM v a JOIN v b ON a.id < b.id
+    WHERE a.id % 8 = {k}
+      AND round(({_sql_dot_unrolled('a.embedding', 'b.embedding')})
+                / (a.norm * b.norm), 5) >= 0.45"""
+        for k in range(8))
+    + "\n    )\n    ",
 )
 def embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, EXACT all-pairs form — the
@@ -102,18 +125,6 @@ def _sql_bucket(col: str, n_planes: int = 8, dim: int = 64,
         )
         planes.append(f"CASE WHEN ({terms}) >= 0 THEN '1' ELSE '0' END")
     return " || ".join(planes)
-
-
-def _sql_dot_unrolled(a: str, b: str, dim: int = 64) -> str:
-    """Unrolled scalar dot product — value-identical to ``_SQL_DOT``'s
-    ``list_sum`` (both are the left-fold ``t0 + t1 + …`` chain in IEEE
-    doubles) but with ZERO per-row list allocations; the list form costs
-    three list materializations per evaluation, which dominated the sf1
-    banded self-join oracle (hours of single-thread churn)."""
-    return " + ".join(
-        f"CAST({a}[{d + 1}] AS DOUBLE) * CAST({b}[{d + 1}] AS DOUBLE)"
-        for d in range(dim)
-    )
 
 
 def _banded_sql(n_bands: int = 8, band_planes: int = 2, dim: int = 64) -> str:
