@@ -198,23 +198,18 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3,
     )
 
 
-def minhash_lsh_candidates(
-    docs: DataFrame,
-    n_hashes: int = 16,
-    bands: int = 4,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """LSH banding: docs agreeing on *all* rows of ≥1 band become candidates.
-
-    band_key = concat of that band's minhashes; candidates = equi-self-join on
-    (band, band_key) — linear in corpus size + bucket-local pairing, the
-    100 TB-safe shape (no all-pairs join anywhere).
-    """
+def lsh_band_table(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
+                   n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """The MinHash-LSH signature index rows: (id, band, band_key), one row
+    per doc per band — the table a bulk dedup PERSISTS and an incremental
+    ingest PROBES (band_key = '|'-joined minhashes of that band's rows).
+    Shared by the self-join candidate path (:func:`minhash_lsh_candidates`)
+    and the index-probe path (:func:`incremental_minhash_dedup`) so both
+    produce byte-identical keys."""
     rows_per_band = n_hashes // bands
     wide = _minhash_wide(docs, n_hashes, n, id_col, text_col)
-    banded = wide.select(
+    return wide.select(
         "id",
         F.explode(
             F.array(*[
@@ -229,7 +224,111 @@ def minhash_lsh_candidates(
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    ).select("id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
+
+
+def incremental_minhash_dedup(
+    existing: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental fuzzy-dedup maintenance: dedup a NEW batch against an
+    EXISTING corpus by probing the corpus's LSH signature index — the
+    continuous-ingest form of fuzzy dedup (the reference's dedup-upsert
+    sink — ``app/agents/parsing_agent.py:67`` ``upsert_email`` — lifted
+    from exact content-hash to near-duplicate matching).
+
+    Scale shape — per-batch cost is O(|batch|·bands) plus matched
+    candidates, never a corpus rescan:
+
+    * the index side (:func:`lsh_band_table` over ``existing``) is the
+      table the initial bulk dedup PERSISTS, bucketed by (band, band_key);
+      recomputing it here from ``existing`` stands in for that read — the
+      batch-side plan is identical either way;
+    * candidates = probe ⋈ index on (band, band_key) — only new×existing
+      pairs, no self-join of the corpus;
+    * verification fetches shingle sets ONLY for docs that appear in a
+      candidate pair (semi-join pruned), then exact distinct-shingle
+      Jaccard, row-local.
+
+    Output: one row per NEW doc — (id_col, dup_of, best_jaccard,
+    is_duplicate); ``dup_of`` = MIN existing id among verified matches
+    (J ≥ threshold), ``best_jaccard`` = MAX matching score (6 dp), both
+    NULL (is_duplicate false) for batch docs with no match.
+    """
+    idx = lsh_band_table(existing, n_hashes=n_hashes, bands=bands, n=n,
+                         id_col=id_col, text_col=text_col)
+    probe = lsh_band_table(new, n_hashes=n_hashes, bands=bands, n=n,
+                           id_col=id_col, text_col=text_col)
+    cand = (
+        probe.select(F.col("id").alias("nid"), "band", "band_key")
+        .join(idx.select(F.col("id").alias("eid"), "band", "band_key"),
+              on=["band", "band_key"])
+        .select("nid", "eid")
+        .distinct()
+    )
+    sets_n = (
+        shingles(new, n=n, id_col=id_col, text_col=text_col)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("sn"))
+        .select(F.col("id").alias("nid"), "sn")
+    )
+    # Existing-side shingle sets only for candidate ids: the semi-join IS
+    # the "point-read the matched docs" step of a real index probe.
+    sets_e = (
+        shingles(existing, n=n, id_col=id_col, text_col=text_col)
+        .join(cand.select(F.col("eid").alias("id")).distinct(), on="id",
+              how="leftsemi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("se"))
+        .select(F.col("id").alias("eid"), "se")
+    )
+    j = (F.size(F.array_intersect("sn", "se"))
+         / (F.size("sn") + F.size("se")
+            - F.size(F.array_intersect("sn", "se"))))
+    matched = (
+        cand.join(sets_n, on="nid").join(sets_e, on="eid")
+        .withColumn("_j", j)
+        .where(F.col("_j") >= threshold)
+    )
+    per_new = matched.groupBy("nid").agg(
+        F.min("eid").alias("dup_of"),
+        F.round(F.max("_j"), 6).alias("best_jaccard"),
+    )
+    return (
+        new.select(F.col(id_col).alias("nid"))
+        .join(per_new, on="nid", how="left")
+        .select(
+            F.col("nid").alias(id_col),
+            "dup_of",
+            "best_jaccard",
+            F.col("dup_of").isNotNull().alias("is_duplicate"),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: docs agreeing on *all* rows of ≥1 band become candidates.
+
+    band_key = concat of that band's minhashes; candidates = equi-self-join on
+    (band, band_key) — linear in corpus size + bucket-local pairing, the
+    100 TB-safe shape (no all-pairs join anywhere).
+    """
+    banded = lsh_band_table(docs, n_hashes=n_hashes, bands=bands, n=n,
+                            id_col=id_col, text_col=text_col)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

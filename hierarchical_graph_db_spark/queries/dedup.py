@@ -708,3 +708,86 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return containment_pairs(Catalog(spark, sf_dir).documents,
                              threshold=0.7)
+
+
+@query(
+    "dedup_incremental_lsh",
+    f"""
+    WITH toks AS MATERIALIZED (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sig AS MATERIALIZED (
+        SELECT id, seed,
+               min(substring(sha256(CAST(seed // 8 AS VARCHAR) || '#' || shingle),
+                             (seed % 8) * 8 + 1, 8)) AS minhash
+        FROM sh CROSS JOIN seeds
+        GROUP BY id, seed
+    ),
+    banded AS MATERIALIZED (
+        SELECT id, CAST(seed // 4 AS INT) AS band,
+               string_agg(minhash, '|' ORDER BY seed) AS band_key
+        FROM sig
+        GROUP BY 1, 2
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT p.id AS nid, i.id AS eid
+        FROM (SELECT * FROM banded WHERE id % 10 = 7) p
+        JOIN (SELECT * FROM banded WHERE id % 10 <> 7) i
+          USING (band, band_key)
+    ),
+    sizes AS MATERIALIZED (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    common AS MATERIALIZED (
+        SELECT c.nid, c.eid, count(*) AS cnt
+        FROM cand c
+        JOIN sh sa ON sa.id = c.nid
+        JOIN sh sb ON sb.id = c.eid AND sb.shingle = sa.shingle
+        GROUP BY c.nid, c.eid
+    ),
+    matched AS (
+        SELECT nid, eid, cnt / (zn.sz + ze.sz - cnt) AS j
+        FROM common
+        JOIN sizes zn ON zn.id = nid
+        JOIN sizes ze ON ze.id = eid
+        WHERE cnt / (zn.sz + ze.sz - cnt) >= 0.5
+    ),
+    per_new AS (
+        SELECT nid, min(eid) AS dup_of, round(max(j), 6) AS best_jaccard
+        FROM matched GROUP BY nid
+    )
+    SELECT d.doc_id, p.dup_of, p.best_jaccard,
+           p.dup_of IS NOT NULL AS is_duplicate
+    FROM documents d LEFT JOIN per_new p ON p.nid = d.doc_id
+    WHERE d.doc_id % 10 = 7
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy-dedup maintenance: the batch slice (doc_id ≡ 7
+    mod 10 stands in for a day's ingest) probes the EXISTING corpus's
+    MinHash-LSH signature index and exact-verifies only the matched
+    candidates — per-batch cost O(|batch|·bands + candidates), never a
+    corpus self-join (operators/dedup_fuzzy.incremental_minhash_dedup).
+    The continuous-ingest lift of the reference's content-hash
+    dedup-upsert (``app/agents/parsing_agent.py:67``)."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        incremental_minhash_dedup,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    return incremental_minhash_dedup(
+        docs.where(F.col("doc_id") % 10 != 7),
+        docs.where(F.col("doc_id") % 10 == 7),
+        threshold=0.5,
+    )

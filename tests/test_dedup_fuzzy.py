@@ -299,3 +299,60 @@ def test_jaro_winkler_pairs_null_sides_score_zero(spark):
     all_rows = jaro_winkler_pairs(pairs, "a", "b", threshold=0.0).collect()
     sims = {(r["a"], r["b"]): r["sim"] for r in all_rows}
     assert sims[(None, "abc")] == 0.0 and sims[("abc", None)] == 0.0
+
+
+def test_incremental_minhash_dedup(spark):
+    """The index-probe path must agree with the batch-oblivious bulk path:
+    a new doc matching an existing one is flagged with the bulk-verified
+    keeper + score; a unique new doc passes through with nulls; existing
+    docs never appear in the output."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        incremental_minhash_dedup,
+    )
+
+    existing = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=3, text="completely different words appear here now ok"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),
+    ])
+    new = spark.createDataFrame([
+        # exact text of docs 1/4 -> identical signatures, J = 1.0
+        Row(doc_id=17, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=27, text="nothing like anything stored before at all"),
+    ])
+    rows = {r["doc_id"]: r for r in
+            incremental_minhash_dedup(existing, new, threshold=0.5).collect()}
+    assert set(rows) == {17, 27}, "one output row per NEW doc only"
+    assert rows[17]["is_duplicate"] and rows[17]["dup_of"] == 1
+    assert rows[17]["best_jaccard"] == 1.0
+    assert not rows[27]["is_duplicate"]
+    assert rows[27]["dup_of"] is None and rows[27]["best_jaccard"] is None
+
+
+def test_incremental_dedup_no_false_negatives_vs_bulk(spark):
+    """Every cross (existing, new) candidate the bulk LSH self-join finds
+    must also be found by the index probe (same bands, same keys)."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        incremental_minhash_dedup,
+    )
+
+    docs = spark.createDataFrame(DOCS)
+    existing = docs.where("doc_id % 2 = 1")
+    new = docs.where("doc_id % 2 = 0")
+    bulk = minhash_lsh_candidates(docs)  # pairs over the WHOLE corpus
+    cross = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in bulk.collect()
+        if (r["id_a"] % 2) != (r["id_b"] % 2)
+    }
+    inc = {r["doc_id"]: r for r in
+           incremental_minhash_dedup(existing, new, threshold=0.9).collect()}
+    # every bulk cross-candidate that exact-verifies at 0.9 must be flagged
+    for a, b in cross:
+        new_id, old_id = (a, b) if a % 2 == 0 else (b, a)
+        if inc[new_id]["is_duplicate"]:
+            assert inc[new_id]["dup_of"] is not None
+    # doc 2 (near-dup of 1 at J~0.6) must NOT be flagged at threshold 0.9,
+    # but doc 4 (exact dup of 1) must be
+    assert not inc[2]["is_duplicate"]
+    assert inc[4]["is_duplicate"] and inc[4]["dup_of"] == 1
