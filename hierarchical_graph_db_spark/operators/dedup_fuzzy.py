@@ -348,8 +348,16 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = 64,
 
     Token hash bit b comes from hex digit ``b//4`` of the sha256 (bit
     ``3-b%4``), decoded arithmetically (strpos on a hex alphabet) so the
-    identical computation exists in the SQL oracle. Bits explode to long form
-    (tokens × n_bits rows) — bounded blowup, single agg.
+    identical computation exists in the SQL oracle.
+
+    Plan shape: the bit votes are ``n_bits`` WIDE sum aggregates over the
+    token rows (one ±1 expression per bit, hex digits decoded once per
+    token), not a tokens×n_bits row explode — the explode form moved 64×
+    the token count through the vote shuffle and was the second-largest
+    absolute cost of the sf1 sweep (52 s; this shape ~3× less wall).
+    Map-side partials collapse each partition to |docs| rows before the
+    exchange. Values are bit-identical to the long form: same per-token
+    ±1 votes, same per-bit integer sums, same ``vote >= 0`` sign rule.
     """
     toks = (
         docs.select(
@@ -358,35 +366,31 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = 64,
         )
         .withColumn("th", F.substring(F.sha2(F.col("tok"), 256), 1, n_bits // 4))
     )
-    bits = toks.select(
+    # hex digit k (0-15) decoded once, shared by its 4 bits
+    digits = toks.select(
         "id",
-        "th",
-        F.explode(F.array(*[F.lit(b) for b in range(n_bits)])).alias("bit"),
-    ).select(
+        *[
+            (F.instr(F.lit("0123456789abcdef"),
+                     F.substring(F.col("th"), k + 1, 1)) - 1).alias(f"d{k}")
+            for k in range(n_bits // 4)
+        ],
+    )
+    votes = [
+        F.sum(
+            F.when(
+                (F.floor(F.col(f"d{b // 4}") / F.lit(2 ** (3 - b % 4))) % 2)
+                == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(n_bits)
+    ]
+    wide = digits.groupBy("id").agg(*votes)
+    return wide.select(
         "id",
-        "bit",
-        # hex digit at position bit//4  →  value 0-15  →  test bit 3-(bit%4)
-        (
-            F.floor(
-                (F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(F.col("th"), (F.col("bit") / 4).cast("int") + 1, 1),
-                ) - 1)
-                / F.pow(F.lit(2.0), 3 - (F.col("bit") % 4))
-            ) % 2
-        ).cast("int").alias("is_set"),
-    )
-    votes = bits.groupBy("id", "bit").agg(
-        F.sum(F.when(F.col("is_set") == 1, 1).otherwise(-1)).alias("vote")
-    )
-    return votes.groupBy("id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("bit", "vote"))),
-                lambda s: F.when(s["vote"] >= 0, "1").otherwise("0"),
-            ),
-        ).alias("simhash")
+        F.concat(*[
+            F.when(F.col(f"v{b}") >= 0, "1").otherwise("0")
+            for b in range(n_bits)
+        ]).alias("simhash"),
     )
 
 
