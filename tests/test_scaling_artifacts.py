@@ -52,3 +52,16 @@ def test_flagged_set_is_the_documented_one():
         q for q in set(small) & set(large)
         if small[q] > 0 and large[q] / small[q] > 15.0 and large[q] > 10.0)
     assert flagged == ["embedding_near_duplicates"], flagged
+
+
+def test_bench_sf1_artifact_is_consistent():
+    """BENCH_sf1.json (the 10x-decade headline bench) must stay parseable,
+    cover only registry queries, and have a total that equals its parts."""
+    with open(os.path.join(ROOT, "BENCH_sf1.json")) as f:
+        b = json.load(f)
+    from hierarchical_graph_db_spark.queries import load
+
+    registry = set(load())
+    assert set(b["queries"]) <= registry
+    assert b["sf"] == 1.0 and b["unit"] == "sec"
+    assert abs(b["value"] - sum(b["queries"].values())) < 1.0
