@@ -62,6 +62,8 @@ def test_bench_sf1_artifact_is_consistent():
     from hierarchical_graph_db_spark.queries import load
 
     registry = set(load())
-    assert set(b["queries"]) <= registry
+    # bench.py times one extra non-registry entry (the dedup-sink replay,
+    # timed inline at bench.py:198) alongside the registry HEADLINE set
+    assert set(b["queries"]) - registry <= {"dedup_sink_two_batches"}
     assert b["sf"] == 1.0 and b["unit"] == "sec"
     assert abs(b["value"] - sum(b["queries"].values())) < 1.0
