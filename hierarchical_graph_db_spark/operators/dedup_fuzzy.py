@@ -63,8 +63,19 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         tokens(normalized_text(F.col(text_col))).alias("toks"),
     )
-    toks = F.col("toks")
-    shingle_arr = F.when(
+    exploded = toked.select(
+        "id", F.explode(shingle_array_from_tokens(F.col("toks"), n)).alias("shingle"))
+    return exploded.distinct() if distinct else exploded
+
+
+def shingle_array_from_tokens(toks, n: int = 3):
+    """Row-local word n-gram shingle ARRAY from a pre-materialized token
+    array column (doc order, duplicates kept) — the expression form of
+    :func:`shingles`, usable where a groupBy is unavailable (e.g. computing
+    per-row signatures inside a stream). Pass an already-projected token
+    array column, not the raw tokenization expression (see the comment in
+    ``shingles``)."""
+    return F.when(
         F.size(toks) < n, F.array().cast("array<string>")
     ).otherwise(
         F.transform(
@@ -74,8 +85,6 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
             ),
         )
     )
-    exploded = toked.select("id", F.explode(shingle_arr).alias("shingle"))
-    return exploded.distinct() if distinct else exploded
 
 
 def _prune_hot_shingles(sh: DataFrame, docs: DataFrame,

@@ -710,9 +710,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.7)
 
 
-@query(
-    "dedup_incremental_lsh",
-    f"""
+#: Oracle for BOTH incremental-dedup forms (batch index probe and the
+#: streaming stream-static twin in streamingq.py) — identical output
+#: contract: one row per batch doc (doc_id ≡ 7 mod 10).
+INCREMENTAL_LSH_SQL = f"""
     WITH toks AS MATERIALIZED (
         SELECT id, u.s.tok AS tok, u.s.pos AS pos
         FROM (
@@ -771,8 +772,10 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.dup_of IS NOT NULL AS is_duplicate
     FROM documents d LEFT JOIN per_new p ON p.nid = d.doc_id
     WHERE d.doc_id % 10 = 7
-    """,
-)
+    """
+
+
+@query("dedup_incremental_lsh", INCREMENTAL_LSH_SQL)
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental fuzzy-dedup maintenance: the batch slice (doc_id ≡ 7
     mod 10 stands in for a day's ingest) probes the EXISTING corpus's

@@ -469,3 +469,118 @@ def streaming_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("event_id", "user_id", "ts", "attr_at_ts", "version"),
         output_mode="append",
     )
+
+
+def _incremental_oracle() -> str:
+    from hierarchical_graph_db_spark.queries.dedup import INCREMENTAL_LSH_SQL
+
+    return INCREMENTAL_LSH_SQL
+
+
+@query("streaming_incremental_dedup", _incremental_oracle())
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS-ingest fuzzy dedup: the document stream (batch slice
+    doc_id ≡ 7 mod 10 standing in for arriving files) probes the STATIC
+    MinHash-LSH signature index of the existing corpus — the streaming twin
+    of ``dedup_incremental_lsh``, same output row per new doc, same oracle.
+
+    Stream-side signatures are ROW-LOCAL expressions (shingle array →
+    two sha256 digests per shingle → 16 substring minima → 4 band keys),
+    no per-doc aggregation before the join, so the only stateful operator
+    is the final per-doc rollup — state bounded by in-flight batch keys,
+    never corpus size. The static side (band index ⋈ shingle sets, the
+    table a bulk dedup persists) broadcasts and is re-resolved per
+    micro-batch, exactly like the SCD/static-enrichment patterns above.
+    Jaccard verification is a row-local array intersect inside the joined
+    stream. Lift of the reference's per-message content-hash dedup-upsert
+    (``app/agents/parsing_agent.py:67``) to near-duplicate semantics.
+    """
+    from hierarchical_graph_db_spark.io import Catalog as _Cat
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        lsh_band_table,
+        shingle_array_from_tokens,
+        shingles,
+    )
+    from hierarchical_graph_db_spark.functions.hashing import normalized_text
+    from hierarchical_graph_db_spark.functions.text import tokens
+    from hierarchical_graph_db_spark.streaming.ingest import (
+        fixture_document_stream,
+    )
+
+    n_hashes, bands, rows_per_band, threshold = 16, 4, 4, 0.5
+
+    # ---- static index (what the initial bulk dedup persists) ----------
+    existing = _Cat(spark, sf_dir).documents.where(F.col("doc_id") % 10 != 7)
+    idx = lsh_band_table(existing).select(
+        F.col("id").alias("eid"), "band", "band_key")
+    se_sets = (
+        shingles(existing)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("se"))
+        .select(F.col("id").alias("eid"), "se")
+    )
+    static_idx = idx.join(se_sets, on="eid")
+
+    # ---- stream side: row-local signatures ----------------------------
+    new = fixture_document_stream(spark, sf_dir).where(F.col("doc_id") % 10 == 7)
+    toked = new.select(
+        "doc_id", tokens(normalized_text(F.col("text"))).alias("toks"))
+    base = toked.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(
+            shingle_array_from_tokens(F.col("toks"), 3))).alias("sn"),
+    )
+    # two digests per shingle (the chunked family: hash i = 8-hex window
+    # i%8 of digest i//8), then 16 per-row minima — no groupBy. The
+    # closures are built by factories, NOT `lambda x, i=i:` defaults —
+    # F.transform dispatches on lambda ARITY, and a binary lambda receives
+    # (element, array_index), silently shadowing the bound variable.
+    def _digest(src: int):
+        return lambda s: F.sha2(F.concat(F.lit(f"{src}#"), s), 256)
+
+    def _window(i: int):
+        return lambda h: F.substring(h, (i % 8) * 8 + 1, 8)
+
+    digs = base.select(
+        "doc_id", "sn",
+        *[
+            F.transform(F.col("sn"), _digest(src)).alias(f"d{src}")
+            for src in range(n_hashes // 8)
+        ],
+    )
+    mins = digs.select(
+        "doc_id", "sn",
+        *[
+            F.array_min(F.transform(F.col(f"d{i // 8}"), _window(i)))
+            .alias(f"m{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    banded = mins.select(
+        "doc_id", "sn",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col(f"m{b * rows_per_band + r}")
+                                   for r in range(rows_per_band)]).alias("band_key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc_id", "sn", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
+
+    # ---- probe + row-local verify + single stateful rollup ------------
+    joined = banded.join(F.broadcast(static_idx), on=["band", "band_key"],
+                         how="left")
+    common = F.size(F.array_intersect("sn", "se"))
+    j = common / (F.size("sn") + F.size("se") - common)
+    hit = F.col("eid").isNotNull() & (j >= threshold)
+    agg = joined.groupBy("doc_id").agg(
+        F.min(F.when(hit, F.col("eid"))).alias("dup_of"),
+        F.round(F.max(F.when(hit, j)), 6).alias("best_jaccard"),
+    )
+    out = drain_to_dataframe(agg)
+    return out.select(
+        "doc_id", "dup_of", "best_jaccard",
+        F.col("dup_of").isNotNull().alias("is_duplicate"),
+    )

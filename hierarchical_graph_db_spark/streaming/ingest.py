@@ -75,6 +75,17 @@ def fixture_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def fixture_document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the driver's ``documents`` fixture (same
+    directory + glob-filter trick as :func:`fixture_event_stream`; the
+    documents schema has no timestamp vintage issues)."""
+    return (
+        spark.readStream.schema(FIXTURES["documents"])
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+
+
 def drain_to_dataframe(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a streaming aggregate to completion (Trigger.AvailableNow) into a
     memory sink and return the result as a normal DataFrame — the bridge that
