@@ -142,6 +142,11 @@ HEADLINE = [
     # robust-outlier pass.
     "cdc_apply_changelog",
     "anomaly_mad_outliers",
+    # round-7 representatives: the incremental ingest-dedup pair — batch
+    # LSH index probe and its stream-static streaming twin (regressions to
+    # corpus self-joins or pre-join stream aggregations show up here).
+    "dedup_incremental_lsh",
+    "streaming_incremental_dedup",
 ]
 
 
