@@ -502,7 +502,7 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     return kmeans(emb, id_col="vec_id", vec_col="embedding",
-                  k=_KM_K, n_rounds=_KM_ROUNDS)
+                  k=_KM_K, n_rounds=_KM_ROUNDS, use_arrow=True)
 
 
 def _sql_semantic_dedup() -> str:
@@ -531,7 +531,7 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     return semantic_dedup(emb, id_col="vec_id", vec_col="embedding",
-                          k=_KM_K, n_rounds=_KM_ROUNDS)
+                          k=_KM_K, n_rounds=_KM_ROUNDS, use_arrow=True)
 
 
 _SH_K, _SH_ROUNDS, _SH_OVERSAMPLE = 2, 2, 8
@@ -928,7 +928,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = deterministic_centroids(emb, n_lists=_IVF_LISTS,
                                       n_rounds=_IVF_ROUNDS)
     out = ivf_topk(emb.where(F.col("vec_id") < 8), emb, centers,
-                   k=_IVF_TOPK, nprobe=_IVF_NPROBE)
+                   k=_IVF_TOPK, nprobe=_IVF_NPROBE, use_arrow=True)
     return out.select("query_id", "neighbor_id", "score",
                       F.col("rank").cast("long").alias("rank"))
 
