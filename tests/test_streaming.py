@@ -760,3 +760,21 @@ def test_store_time_travel_reads_archived_snapshots(spark, tmp_path):
     store.vacuum(keep_last=1)
     assert {(r["k"], r["payload"])
             for r in store.read().collect()} == live
+
+
+def test_streaming_incremental_dedup_equals_batch(spark):
+    """The stream-static index probe and the batch index probe are twins:
+    same candidates (identical band keys), same verification, same output
+    contract — drift between them is a correctness bug even when each
+    passes its own oracle."""
+    from hierarchical_graph_db_spark.queries.dedup import dedup_incremental_lsh
+    from hierarchical_graph_db_spark.queries.streamingq import (
+        streaming_incremental_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r["doc_id"]: (r["dup_of"], r["best_jaccard"], r["is_duplicate"])
+             for r in dedup_incremental_lsh(spark, sf).collect()}
+    stream = {r["doc_id"]: (r["dup_of"], r["best_jaccard"], r["is_duplicate"])
+              for r in streaming_incremental_dedup(spark, sf).collect()}
+    assert batch == stream
