@@ -117,3 +117,29 @@ def quality_keep(text: Column | str) -> Column:
     return (~blank & (m["n_tokens"] >= 8) & (m["n_tokens"] <= 100000)
             & (m["alpha_ratio"] >= 0.6) & (m["stopword_ratio"] >= 0.01))
 
+
+
+def nfc_normalize_docs(docs, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Unicode NFC normalization — (id, text_nfc) via one Arrow
+    ``mapInPandas`` stage. Catalyst has no normalization expression, so
+    this is a real Python seam (same class as the RFC822 parser):
+    ``unicodedata.normalize`` implements Unicode canonical composition,
+    the same standard algorithm behind DuckDB's utf8proc-backed
+    ``nfc_normalize``, which is what lets the oracle compare the
+    normalized strings themselves. Multilingual curation needs this
+    BEFORE hashing/shingling: visually-identical composed/decomposed
+    sequences otherwise fingerprint differently and defeat dedup."""
+    import unicodedata
+
+    def norm(batches):
+        for pdf in batches:
+            out = pdf[[id_col]].copy()
+            out["text_nfc"] = [
+                unicodedata.normalize("NFC", t) if t is not None else None
+                for t in pdf[text_col]
+            ]
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(
+        norm, f"{id_col} bigint, text_nfc string")

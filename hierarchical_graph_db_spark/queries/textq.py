@@ -755,3 +755,52 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.asc("phrase"))
         .limit(15)
     )
+
+
+@query(
+    "text_nfc_normalize",
+    """
+    WITH dec AS (
+        SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(t) AS BIGINT)                    AS len_decomposed,
+           CAST(length(nfc_normalize(t)) AS BIGINT)     AS len_nfc,
+           CAST(length(t) - length(nfc_normalize(t)) AS BIGINT)
+                                                        AS n_composed,
+           length(t) <> length(nfc_normalize(t))        AS changed
+    FROM dec
+    """,
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization stats per doc. The ASCII fixture is first
+    given deterministic decomposed sequences (every 'e' → 'e' + U+0301
+    combining acute) IN BOTH ENGINES, then normalized — NFC composes each
+    pair to 'é', so ``n_composed`` counts the compositions and both
+    engines' length/arithmetic agree exactly
+    (functions/text.py:nfc_normalize_docs; the seam a multilingual corpus
+    runs before any fingerprint/shingle stage)."""
+    from hierarchical_graph_db_spark.functions.text import nfc_normalize_docs
+
+    docs = Catalog(spark, sf_dir).documents
+    dec = docs.select(
+        "doc_id",
+        # the DECOMPOSED sequence, written as an escape on purpose —
+        # a literal would invite silent editor/tooling renormalization
+        F.regexp_replace("text", "e", "e\u0301").alias("text"),
+    )
+    lens = dec.select("doc_id", F.length("text").cast("long").alias("len_decomposed"))
+    nfc = nfc_normalize_docs(dec)
+    return (
+        lens.join(nfc, on="doc_id")
+        .select(
+            "doc_id",
+            "len_decomposed",
+            F.length("text_nfc").cast("long").alias("len_nfc"),
+            (F.col("len_decomposed") - F.length("text_nfc").cast("long"))
+            .alias("n_composed"),
+            (F.col("len_decomposed") != F.length("text_nfc").cast("long"))
+            .alias("changed"),
+        )
+    )
