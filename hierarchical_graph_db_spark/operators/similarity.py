@@ -348,6 +348,110 @@ def _score_buckets_grouped(banded: DataFrame, threshold: float,
     ).where(F.col("score") >= threshold)
 
 
+def _score_block_pairs(v: DataFrame, threshold: float, n_blocks: int = 8,
+                       chunk_rows: int = 1024) -> DataFrame:
+    """Exact all-pairs cosine via triangular block decomposition: block =
+    ``id % n_blocks``; every vector is shipped to the B block-pair groups
+    its block participates in (B rows per vector), every unordered vector
+    pair lands in EXACTLY one (min(block), max(block)) group, and each
+    group scores its pairs with the same chunked GEMM-prefilter +
+    exact-left-fold-rescore the LSH bucket kernel uses. B(B+1)/2 groups
+    drive parallelism; Arrow transfer is O(B·N) rows — the crossJoin form
+    this replaces shipped the full O(N²) pair frame through Arrow
+    (measured 52× sf0.1→sf1 wall growth). No dedup pass is needed: block
+    pairs partition the pair space."""
+    import numpy as np
+    import pandas as pd
+
+    guard = threshold - 1e-5
+    pre_guard = guard - 1e-6
+
+    # Block assignment only needs to be deterministic within the job — ANY
+    # partition of the vectors yields the same pair set and scores, so an
+    # engine-private hash is fine here (nothing for an oracle to replay)
+    # and keeps the kernel id-type-agnostic (string ids included).
+    blk = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_blocks)) \
+           .cast("int")
+    member = v.withColumn("_b", blk).select(
+        "id", "vec", "norm",
+        F.explode(F.array(*[
+            F.struct(
+                (F.least(F.col("_b"), F.lit(j)) * n_blocks
+                 + F.greatest(F.col("_b"), F.lit(j))).alias("grp"),
+                (F.col("_b") > F.lit(j)).alias("high"),
+            )
+            for j in range(n_blocks)
+        ])).alias("m"),
+    ).select("id", "vec", "norm",
+             F.col("m.grp").alias("grp"), F.col("m.high").alias("high"))
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf[~pdf["high"]].sort_values("id", kind="mergesort")
+        hi = pdf[pdf["high"]].sort_values("id", kind="mergesort")
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "score": []})
+        out_a, out_b, out_s = [], [], []
+
+        def cross(ids_a, vecs_a, norms_a, ids_b, vecs_b, norms_b, diag):
+            na = len(ids_a)
+            for start in range(0, na, chunk_rows):
+                stop = min(start + chunk_rows, na)
+                a = vecs_a[start:stop]
+                approx = a @ vecs_b.T
+                denom = np.multiply.outer(norms_a[start:stop], norms_b)
+                s_pre = np.where(denom == 0, 0.0,
+                                 approx / np.where(denom == 0, 1.0, denom))
+                mask = s_pre >= pre_guard
+                if diag:  # strict upper triangle of the same block
+                    mask &= (np.arange(len(ids_b))[None, :]
+                             > (start + np.arange(stop - start))[:, None])
+                rows, cols = np.nonzero(mask)
+                if len(rows) == 0:
+                    continue
+                va, vb = vecs_a[rows + start], vecs_b[cols]
+                acc = va[:, 0] * vb[:, 0]
+                for d in range(1, vecs_a.shape[1]):
+                    acc = acc + va[:, d] * vb[:, d]  # left-fold: parity
+                dpair = denom[rows, cols]
+                s = np.where(dpair == 0, 0.0,
+                             acc / np.where(dpair == 0, 1.0, dpair))
+                keep = s >= guard
+                ia, ib = ids_a[rows + start][keep], ids_b[cols][keep]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+                out_s.append(s[keep])
+
+        # The within-lo triangle belongs to the DIAGONAL group only (hi is
+        # empty exactly there); an off-diagonal group's lo side holds the
+        # whole of block i, and pairing inside it would re-score every
+        # same-block pair once per group it rides along to.
+        if len(hi) == 0 and len(lo) >= 2:
+            ids = lo["id"].values
+            vecs = np.stack(lo["vec"].values).astype(np.float64)
+            norms = lo["norm"].values
+            cross(ids, vecs, norms, ids, vecs, norms, diag=True)
+        if len(lo) >= 1 and len(hi) >= 1:
+            cross(lo["id"].values,
+                  np.stack(lo["vec"].values).astype(np.float64),
+                  lo["norm"].values,
+                  hi["id"].values,
+                  np.stack(hi["vec"].values).astype(np.float64),
+                  hi["norm"].values, diag=False)
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "score": np.concatenate(out_s),
+        })
+
+    id_t = v.schema["id"].dataType.simpleString()
+    scored = member.groupBy("grp").applyInPandas(
+        score, f"id_a {id_t}, id_b {id_t}, score double")
+    return scored.select(
+        "id_a", "id_b", F.round("score", 5).alias("score")
+    ).where(F.col("score") >= threshold)
+
+
 def near_duplicate_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
@@ -369,30 +473,24 @@ def near_duplicate_pairs(
     1-(1-(1-θ/π)^band_planes)^n_bands. Requires ``dim``.
 
     ``exact=True`` is the all-pairs O(n²) brute force — the correctness
-    oracle, for small corpora / differential tests only.
+    oracle, for small corpora / differential tests only. It runs as the
+    classic TRIANGULAR BLOCK decomposition (:func:`_score_block_pairs`):
+    each vector joins the B block-pair groups its ``id % B`` block touches,
+    every unordered pair lands in exactly one group, and each group is one
+    chunked GEMM — O(B·N) rows moved instead of the crossJoin's O(N²)
+    Arrow pair frame, quadratic work stays vectorized compute.
 
-    Both paths rescore through the Arrow numpy kernel
-    (:func:`_score_pairs_arrow`), whose float semantics are bit-identical to
-    the unrolled Catalyst expression (see its docstring).
+    Both paths share the GEMM-prefilter / exact-left-fold-rescore kernels,
+    whose float semantics are bit-identical to the unrolled Catalyst
+    expression (see :func:`_score_pairs_arrow`'s docstring).
     """
     if exact:
-        spark = vectors.sparkSession
-        a = vectors.select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("vec_a"),
-            l2_norm(F.col(vec_col)).alias("norm_a"),
+        v = vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            l2_norm(F.col(vec_col)).alias("norm"),
         )
-        # The stream side drives pair-stage parallelism; a single-file local
-        # fixture arrives as ONE partition, which would serialize the whole
-        # O(n²) scan into one task. Linear-cost reshuffle, quadratic win.
-        a = a.repartition(spark.sparkContext.defaultParallelism)
-        b = vectors.select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("vec_b"),
-            l2_norm(F.col(vec_col)).alias("norm_b"),
-        )
-        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-        return _score_pairs_arrow(pairs, threshold)
+        return _score_block_pairs(v, threshold)
 
     if dim is None:
         raise ValueError("bucketed near_duplicate_pairs requires dim "

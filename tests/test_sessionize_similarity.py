@@ -120,11 +120,15 @@ def test_near_duplicate_pairs_bucketed_plan_no_cross_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # whereas the exact oracle form is the cross join, by declaration
+    # the exact form is no longer a cross join either: the triangular
+    # block decomposition ships O(B·N) rows into B(B+1)/2 grouped-GEMM
+    # tasks (round 7), so the all-pairs work is compute, not a join
     exact_plan = near_duplicate_pairs(
         df, threshold=0.5, id_col="emb_id", vec_col="embedding", exact=True
     )._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" in exact_plan or "BroadcastNestedLoopJoin" in exact_plan
+    assert "CartesianProduct" not in exact_plan
+    assert "BroadcastNestedLoopJoin" not in exact_plan
+    assert "FlatMapGroupsInPandas" in exact_plan
 
 
 def test_near_duplicate_pairs_string_ids(spark):
