@@ -54,14 +54,12 @@ _BROADCAST_PROBE = {
     "ann_bruteforce_topk", "ann_hamming_topk", "ann_pq_adc_topk",
     "ann_hard_negatives",
 }
-_EXACT_ORACLE_MODE = {
-    # documented exact=True all-pairs correctness baseline (the LSH twin
-    # embedding_near_duplicates_lsh is the scale path and must stay clean).
-    "embedding_near_duplicates",
-}
+# (round 7: the former _EXACT_ORACLE_MODE allowlist entry for
+# embedding_near_duplicates is gone — the exact all-pairs baseline now
+# runs as the triangular block decomposition, no join to allow.)
 ALLOW: dict[str, set[str]] = {
     name: {"BroadcastNestedLoopJoin"}
-    for name in (_ONE_ROW_TOTAL | _BROADCAST_PROBE | _EXACT_ORACLE_MODE)
+    for name in (_ONE_ROW_TOTAL | _BROADCAST_PROBE)
 }
 
 PATTERNS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
