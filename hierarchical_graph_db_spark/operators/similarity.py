@@ -348,42 +348,18 @@ def _score_buckets_grouped(banded: DataFrame, threshold: float,
     ).where(F.col("score") >= threshold)
 
 
-def _score_block_pairs(v: DataFrame, threshold: float, n_blocks: int = 8,
-                       chunk_rows: int = 1024) -> DataFrame:
-    """Exact all-pairs cosine via triangular block decomposition: block =
-    ``id % n_blocks``; every vector is shipped to the B block-pair groups
-    its block participates in (B rows per vector), every unordered vector
-    pair lands in EXACTLY one (min(block), max(block)) group, and each
-    group scores its pairs with the same chunked GEMM-prefilter +
-    exact-left-fold-rescore the LSH bucket kernel uses. B(B+1)/2 groups
-    drive parallelism; Arrow transfer is O(B·N) rows — the crossJoin form
-    this replaces shipped the full O(N²) pair frame through Arrow
-    (measured 52× sf0.1→sf1 wall growth). No dedup pass is needed: block
-    pairs partition the pair space."""
+def _make_block_pair_scorer(threshold: float, chunk_rows: int = 1024):
+    """Pandas group-scorer for one block-pair group (the body of
+    :func:`_score_block_pairs`'s ``applyInPandas``), exposed as a factory
+    so property tests drive the REAL kernel on constructed frames
+    (tests/test_pair_kernel_properties.py). Emits RAW left-fold scores at
+    the conservative ``threshold - 1e-5`` guard; the exact
+    ``round(_, 5) >= threshold`` decision stays Catalyst-side."""
     import numpy as np
     import pandas as pd
 
     guard = threshold - 1e-5
     pre_guard = guard - 1e-6
-
-    # Block assignment only needs to be deterministic within the job — ANY
-    # partition of the vectors yields the same pair set and scores, so an
-    # engine-private hash is fine here (nothing for an oracle to replay)
-    # and keeps the kernel id-type-agnostic (string ids included).
-    blk = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_blocks)) \
-           .cast("int")
-    member = v.withColumn("_b", blk).select(
-        "id", "vec", "norm",
-        F.explode(F.array(*[
-            F.struct(
-                (F.least(F.col("_b"), F.lit(j)) * n_blocks
-                 + F.greatest(F.col("_b"), F.lit(j))).alias("grp"),
-                (F.col("_b") > F.lit(j)).alias("high"),
-            )
-            for j in range(n_blocks)
-        ])).alias("m"),
-    ).select("id", "vec", "norm",
-             F.col("m.grp").alias("grp"), F.col("m.high").alias("high"))
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         lo = pdf[~pdf["high"]].sort_values("id", kind="mergesort")
@@ -444,6 +420,41 @@ def _score_block_pairs(v: DataFrame, threshold: float, n_blocks: int = 8,
             "score": np.concatenate(out_s),
         })
 
+    return score
+
+
+def _score_block_pairs(v: DataFrame, threshold: float, n_blocks: int = 8,
+                       chunk_rows: int = 1024) -> DataFrame:
+    """Exact all-pairs cosine via triangular block decomposition: block =
+    ``id % n_blocks``; every vector is shipped to the B block-pair groups
+    its block participates in (B rows per vector), every unordered vector
+    pair lands in EXACTLY one (min(block), max(block)) group, and each
+    group scores its pairs with the same chunked GEMM-prefilter +
+    exact-left-fold-rescore the LSH bucket kernel uses. B(B+1)/2 groups
+    drive parallelism; Arrow transfer is O(B·N) rows — the crossJoin form
+    this replaces shipped the full O(N²) pair frame through Arrow
+    (measured 52× sf0.1→sf1 wall growth). No dedup pass is needed: block
+    pairs partition the pair space."""
+    # Block assignment only needs to be deterministic within the job — ANY
+    # partition of the vectors yields the same pair set and scores, so an
+    # engine-private hash is fine here (nothing for an oracle to replay)
+    # and keeps the kernel id-type-agnostic (string ids included).
+    blk = F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_blocks)) \
+           .cast("int")
+    member = v.withColumn("_b", blk).select(
+        "id", "vec", "norm",
+        F.explode(F.array(*[
+            F.struct(
+                (F.least(F.col("_b"), F.lit(j)) * n_blocks
+                 + F.greatest(F.col("_b"), F.lit(j))).alias("grp"),
+                (F.col("_b") > F.lit(j)).alias("high"),
+            )
+            for j in range(n_blocks)
+        ])).alias("m"),
+    ).select("id", "vec", "norm",
+             F.col("m.grp").alias("grp"), F.col("m.high").alias("high"))
+
+    score = _make_block_pair_scorer(threshold, chunk_rows)
     id_t = v.schema["id"].dataType.simpleString()
     scored = member.groupBy("grp").applyInPandas(
         score, f"id_a {id_t}, id_b {id_t}, score double")
