@@ -794,3 +794,96 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 10 == 7),
         threshold=0.5,
     )
+
+
+@query(
+    "dedup_simhash_band_pairs",
+    """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(string_split_regex(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   '\\s+')) AS tok
+        FROM documents
+    ),
+    th AS (SELECT doc_id, substr(sha256(tok), 1, 16) AS th FROM toks),
+    bits AS (
+        SELECT doc_id, b.bit,
+               CAST(floor((strpos('0123456789abcdef',
+                                  substr(th, (b.bit // 4) + 1, 1)) - 1)
+                          / pow(2, 3 - (b.bit % 4))) AS INT) % 2 AS is_set
+        FROM th, (SELECT unnest(range(0, 64)) AS bit) b
+    ),
+    votes AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN is_set = 1 THEN 1 ELSE -1 END) AS vote
+        FROM bits GROUP BY doc_id, bit
+    ),
+    fp AS MATERIALIZED (
+        SELECT doc_id AS id,
+               string_agg(CASE WHEN vote >= 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY bit) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS MATERIALIZED (
+        SELECT id, CAST(simhash AS BIT) AS sh_bits, b.band,
+               substr(simhash, b.band * 16 + 1, 16) AS key
+        FROM fp, (SELECT unnest(range(0, 4)) AS band) b
+    )
+    SELECT DISTINCT fa.id AS id_a, fb.id AS id_b,
+           CAST(bit_count(xor(fa.sh_bits, fb.sh_bits)) AS BIGINT) AS hamming
+    FROM banded fa
+    JOIN banded fb ON fa.band = fb.band AND fa.key = fb.key AND fa.id < fb.id
+    WHERE bit_count(xor(fa.sh_bits, fb.sh_bits)) <= 3
+    """,
+)
+def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs END TO END: banded candidates (pairs agreeing
+    on ≥1 of 4 contiguous 16-bit bands — by pigeonhole that catches every
+    pair within 3 bit flips; Manku et al. 2007 web-dedup banding, public
+    method) verified by the EXACT Hamming distance, emitting only pairs at
+    ≤ 3 flips. Completes the SimHash family: fingerprints were already
+    hash-checked, this exposes the candidate join + verification
+    (operators/dedup_fuzzy.simhash_band_candidates); the band table is
+    what a 100 TB dedup persists, bucketed by (band, key), and the raw
+    candidate stream (18M rows at sf1 on this collision-heavy synthetic
+    corpus) never leaves the plan."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        simhash_fingerprints,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    fp = simhash_fingerprints(docs)
+    # the band table CARRIES the fingerprint, so candidates arrive with
+    # both strings and verification is inline — no re-join of the (18M at
+    # sf1) candidate stream against fp, and the dedup runs on the tiny
+    # verified output (same shape as the banded-LSH and block-pair paths)
+    # the fingerprint rides the band table packed into two 32-bit integer
+    # halves, so verification is two xor+popcount integer ops per candidate
+    # (the 64-term substring-comparison chain cost ~100 s at sf1 over the
+    # collision-heavy synthetic corpus's ~50M in-flight candidates)
+    h1 = F.conv(F.substring("simhash", 1, 32), 2, 10).cast("long")
+    h2 = F.conv(F.substring("simhash", 33, 32), 2, 10).cast("long")
+    banded = fp.select(
+        "id", h1.alias("h1"), h2.alias("h2"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.substring("simhash", i * 16 + 1, 16).alias("key"))
+            for i in range(4)
+        ])).alias("bk"),
+    ).select("id", "h1", "h2", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    fa = banded.select(F.col("id").alias("id_a"), F.col("h1").alias("a1"),
+                       F.col("h2").alias("a2"), "band", "key")
+    fb = banded.select(F.col("id").alias("id_b"), F.col("h1").alias("b1"),
+                       F.col("h2").alias("b2"), "band", "key")
+    ham = (F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+           + F.bit_count(F.col("a2").bitwiseXOR(F.col("b2"))))
+    return (
+        fa.join(fb, on=["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
