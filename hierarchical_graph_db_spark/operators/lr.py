@@ -160,7 +160,13 @@ def lr_train(docs: DataFrame, n_rounds: int = LR_ROUNDS,
     one 4-cell fixed-point gradient aggregate + a driver update."""
     feats = lr_features(docs)
     norm = lr_norm_constants(feats)
-    std = _standardized(feats, norm)
+    # Materialize the standardized feature table ONCE: every GD round's
+    # gradient aggregate otherwise re-evaluates the full lineage — regex
+    # feature extraction over the whole corpus, n_rounds+1 corpus scans
+    # where one suffices (at 100 TB this is the persisted feature table a
+    # training job writes before the optimization loop). Values unchanged:
+    # the checkpoint stores exactly the rows the lineage would produce.
+    std = _standardized(feats, norm).localCheckpoint(eager=True)
     n = norm["n"]
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(n_rounds):
