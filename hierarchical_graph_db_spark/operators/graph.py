@@ -201,6 +201,12 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     1-row aggregate inside the plan, never a driver collect. Multi-edges
     weight by multiplicity, matching :func:`pagerank`.
     """
+    # Materialize the edge table once: each of the 2·n_iter half-step
+    # joins otherwise re-evaluates the caller's edge derivation (for the
+    # interaction graph, a window over the full events table — 16 corpus
+    # scans at n_iter=8). Same treatment the other iteratives give their
+    # sym/und/edges_deg tables.
+    edges = edges.localCheckpoint(eager=True)
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
