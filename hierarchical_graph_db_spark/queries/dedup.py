@@ -887,3 +887,47 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+@query(
+    "dedup_lsh_index_table",
+    f"""
+    WITH toks AS MATERIALIZED (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    sig AS MATERIALIZED (
+        SELECT id, seed,
+               min(substring(sha256(CAST(seed // 8 AS VARCHAR) || '#' || shingle),
+                             (seed % 8) * 8 + 1, 8)) AS minhash
+        FROM sh CROSS JOIN seeds
+        GROUP BY id, seed
+    )
+    SELECT id, CAST(seed // 4 AS INT) AS band,
+           string_agg(minhash, '|' ORDER BY seed) AS band_key
+    FROM sig
+    GROUP BY 1, 2
+    """,
+)
+def dedup_lsh_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED MinHash-LSH signature index itself — (id, band,
+    band_key), the table a bulk dedup writes bucketed by (band, band_key)
+    and every later ingest batch probes (``dedup_incremental_lsh``,
+    ``streaming_incremental_dedup``). Hash-checking the index rows — not
+    just the candidate pairs derived from them — pins the on-disk artifact
+    contract across engine versions (operators/dedup_fuzzy.lsh_band_table)."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import lsh_band_table
+
+    return lsh_band_table(Catalog(spark, sf_dir).documents)
