@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 #: End-of-word marker appended to every word's symbol sequence.
 EOW = "</w>"
 
@@ -145,7 +147,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     string replaces would otherwise blow the plan). If ``stats`` is given,
     ``(round, touched_pairs, total_pairs)`` is appended per round."""
     vocab = initial_vocab(word_frequencies(docs, text_col))
-    pc = _pair_counts(vocab).localCheckpoint(eager=True)
+    pc = _pair_counts(vocab).transform(materialize)
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -175,12 +177,12 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
             .groupBy("left_sym", "right_sym")
             .agg(F.sum("pair_count").alias("pair_count"))
             .where(F.col("pair_count") > 0)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         vocab = vocab.withColumn(
             "seq", F.replace(F.col("seq"), F.lit(pat), F.lit(rep)))
         if rank % checkpoint_every == 0:
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = vocab.transform(materialize)
     return merges, vocab
 
 

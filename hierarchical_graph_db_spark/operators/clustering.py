@@ -52,6 +52,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 
 def _sq_dist(a, b) -> F.Column:
     """Σ (aᵢ-bᵢ)² as a sequential left fold (deterministic order)."""
@@ -293,7 +295,7 @@ def kmeans_centroid_rows(vectors: DataFrame, id_col: str = "vec_id",
                         F.col("pid"))
             .limit(train_sample)
             .repartition(par)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return _train(pts, k, n_rounds, use_arrow=use_arrow)
 

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 from hierarchical_graph_db_spark.functions.hashing import fingerprint, normalized_text
 from hierarchical_graph_db_spark.functions.text import tokens
 
@@ -134,7 +136,7 @@ def ngram_jaccard_pairs(
     # The shingle table feeds three plan subtrees (sizes + both self-join
     # sides); without materialization Spark recomputes the tokenize/shingle
     # projection three times — at corpus scale that triples the scan.
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(materialize)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -640,7 +642,7 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     pinned in tests/test_dedup_fuzzy.py. Returns (id_a, id_b, jaccard)
     with jaccard ≥ t at 6 dp."""
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col) \
-        .localCheckpoint(eager=True)   # feeds df, ranks, and both arrays
+        .transform(materialize)   # feeds df, ranks, and both arrays
     dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rk = sh.join(dfq, "shingle").withColumn(
         "rnk", F.row_number().over(
@@ -797,7 +799,7 @@ def containment_pairs(
     (high C, low J)."""
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sh = _prune_hot_shingles(sh, docs, max_shingle_freq)
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(materialize)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

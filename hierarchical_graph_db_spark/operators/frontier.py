@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 
 def skyline_2d(df: DataFrame, x_col: str, y_col: str,
                payload: dict[str, F.Column],
@@ -53,7 +55,7 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str,
     # aggregate and the survivor filter (else the stage-1 agg runs twice)
     pts = (df.groupBy(F.col(x_col), F.col(y_col))
            .agg(*[v.alias(k) for k, v in payload.items()])
-           .withColumn("_b", bucket)).localCheckpoint(eager=True)
+           .withColumn("_b", bucket)).transform(materialize)
 
     # Coarse prune: prefix max of per-bucket best y, strictly-earlier
     # buckets only. Bounded collect (n_buckets rows) -> broadcast join.

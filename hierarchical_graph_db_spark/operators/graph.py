@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 
 def communication_edges(emails: DataFrame) -> DataFrame:
     """G3: explode recipient arrays into (src, dst, kind, date) edges.
@@ -84,12 +86,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(materialize)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -115,7 +117,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 "id",
                 F.coalesce("_jumped", F.col("component")).alias("component"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="id")
@@ -139,17 +141,17 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     n = vertices.count()
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # Pre-join edges with out-degree ONCE (degree is iteration-invariant);
     # each iteration then joins only (src → rank), not two joins.
     edges_deg = (
         edges.join(out_deg.withColumnRenamed("id", "src"), on="src")
         .select("src", "dst", "out_degree")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
 
     for _ in range(n_iter):
@@ -179,7 +181,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
                     + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
                 ).alias("rank"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     return ranks
 
 
@@ -206,12 +208,12 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     # interaction graph, a window over the full events table — 16 corpus
     # scans at n_iter=8). Same treatment the other iteratives give their
     # sym/und/edges_deg tables.
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.transform(materialize)
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     hubs = vertices.withColumn("hub", F.lit(1.0))
     auths = None
     for _ in range(n_iter):
@@ -228,7 +230,7 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
             .select("id", F.round(
                 F.coalesce(F.col("s") / F.col("m"), F.lit(0.0)), 6
             ).alias("auth"))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         h_raw = (
             edges.join(auths.withColumnRenamed("id", "dst"), on="dst")
             .groupBy(F.col("src").alias("id"))
@@ -242,7 +244,7 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
             .select("id", F.round(
                 F.coalesce(F.col("s") / F.col("m"), F.lit(0.0)), 6
             ).alias("hub"))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     return hubs.join(auths, on="id").select("id", "hub", "auth")
 
 
@@ -295,11 +297,11 @@ def shortest_paths(edges: DataFrame, landmark: str, max_hops: int = 10,
     if not directed:
         e = e.union(edges.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
-    e = e.where(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=True)
+    e = e.where(F.col("src") != F.col("dst")).distinct().transform(materialize)
 
     visited = e.sparkSession.createDataFrame(
         [(landmark, 0)], "id string, distance int"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     frontier = visited
 
     for hop in range(1, max_hops + 1):
@@ -309,10 +311,10 @@ def shortest_paths(edges: DataFrame, landmark: str, max_hops: int = 10,
             .distinct()
             .join(visited, on="id", how="left_anti")
             .withColumn("distance", F.lit(hop))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
     return visited
 
@@ -333,7 +335,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -366,10 +368,10 @@ def weighted_distances(edges: DataFrame, landmark: str,
     unrolled SQL oracle).
     """
     e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("cost"))
-    e = e.localCheckpoint(eager=True)
+    e = e.transform(materialize)
     dist = e.sparkSession.createDataFrame(
         [(landmark, 0.0)], "id string, distance double"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     for _ in range(max_rounds):
         relaxed = (
@@ -381,7 +383,7 @@ def weighted_distances(edges: DataFrame, landmark: str,
             dist.unionByName(relaxed)
             .groupBy("id")
             .agg(F.min("distance").alias("distance"))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         improved = (
             new_dist.alias("n")
             .join(dist.alias("o"), on="id", how="left")
@@ -416,11 +418,11 @@ def label_propagation_communities(edges: DataFrame, n_iter: int = 5) -> DataFram
         .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
         .withColumn("community", F.col("id"))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
 
     for _ in range(n_iter):
         counts = (
@@ -440,7 +442,7 @@ def label_propagation_communities(edges: DataFrame, n_iter: int = 5) -> DataFram
             labels.select("id")
             .join(best, on="id", how="left")
             .select("id", F.coalesce("community", F.col("id")).alias("community"))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     return labels
 
 
@@ -495,9 +497,9 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     src_ids = vertices.join(sources.select("id").distinct(), on="id",
-                            how="left_semi").localCheckpoint(eager=True)
+                            how="left_semi").transform(materialize)
     n_s = src_ids.count()
     if n_s == 0:
         raise ValueError("no source vertex appears in the edge set")
@@ -505,14 +507,14 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
         vertices.join(src_ids.withColumn("reset", F.lit(1.0 / n_s)),
                       on="id", how="left")
         .select("id", F.coalesce("reset", F.lit(0.0)).alias("reset"))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     edges_deg = (
         edges.join(out_deg.withColumnRenamed("id", "src"), on="src")
         .select("src", "dst", "out_degree")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     ranks = base.select("id", F.col("reset").alias("rank"))
 
     for _ in range(n_iter):
@@ -540,7 +542,7 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
                     + F.lit(damping) * F.coalesce("in_rank", F.lit(0.0))
                 ).alias("rank"),
             )
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     return ranks
 
 
@@ -607,7 +609,7 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 256) -> DataFrame:
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     alive = sym
     n_prev = alive.count()
     for _ in range(max_rounds):
@@ -622,7 +624,7 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 256) -> DataFrame:
                        how="left_semi")
             .join(keep.withColumnRenamed("id", "dst"), on="dst",
                   how="left_semi")
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         n_new = alive.count()
         # n_new == 0 is itself a provable fixed point (nothing left to peel)
         # — break NOW, or a drain on the final permitted round would fall
@@ -659,7 +661,7 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     deg = (
         e.select(F.col("a").alias("id"))
@@ -706,11 +708,11 @@ def multi_source_distances(edges: DataFrame, sources: list[str],
         e = e.union(edges.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
     e = e.where(F.col("src") != F.col("dst")).distinct() \
-        .localCheckpoint(eager=True)
+        .transform(materialize)
 
     visited = e.sparkSession.createDataFrame(
         [(s, s, 0) for s in sources], "source string, id string, distance int"
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     frontier = visited
     for hop in range(1, max_hops + 1):
         nxt = (
@@ -719,10 +721,10 @@ def multi_source_distances(edges: DataFrame, sources: list[str],
             .distinct()
             .join(visited, on=["source", "id"], how="left_anti")
             .withColumn("distance", F.lit(hop))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
     return visited
 
@@ -769,10 +771,10 @@ def weighted_textrank(edges: DataFrame, n_iter: int = 8,
     identical. Callers pass symmetric edges for the undirected TextRank
     semantics (every vertex then has out-strength > 0 — no dangling term)."""
     vertices = edges.select(F.col("src").alias("id")).distinct() \
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))
     ew = edges.join(outw, on="src") \
-        .select("src", "dst", "weight", "outw").localCheckpoint(eager=True)
+        .select("src", "dst", "weight", "outw").transform(materialize)
     scores = vertices.withColumn("score", F.lit(1.0))
     for _ in range(n_iter):
         contrib = (
@@ -788,7 +790,7 @@ def weighted_textrank(edges: DataFrame, n_iter: int = 8,
                 F.lit(1 - damping)
                 + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)), 6
             ).alias("score"))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     return scores
 
 
@@ -819,11 +821,11 @@ def betweenness_sampled(edges: DataFrame, sources: list[str],
     jobs), every shuffle keyed on the vertex id."""
     spark = edges.sparkSession
     e = (edges.select("src", "dst").where(F.col("src") != F.col("dst"))
-         .distinct().localCheckpoint(eager=True))
+         .distinct().transform(materialize))
     visited = spark.createDataFrame(
         [(s, s, 0, 1) for s in sources],
         "source string, id string, dist int, sigma bigint",
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     frontier = visited
     depths = 0
     for hop in range(1, max_hops + 1):
@@ -834,10 +836,10 @@ def betweenness_sampled(edges: DataFrame, sources: list[str],
             .join(visited, on=["source", "id"], how="left_anti")
             .withColumn("dist", F.lit(hop))
             .select("source", "id", "dist", "sigma")
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
         depths = hop
 
@@ -876,7 +878,7 @@ def betweenness_sampled(edges: DataFrame, sources: list[str],
             .select("source", "id", "sigma",
                     F.round(F.coalesce(F.col("s"), F.lit(0.0)), 6)
                     .alias("delta"))
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
     return (
         acc.groupBy("id")
         .agg(F.round(
@@ -905,7 +907,7 @@ def ktruss_edges(edges: DataFrame, k: int = 4,
     und = (edges.select(F.least("src", "dst").alias("a"),
                         F.greatest("src", "dst").alias("b"))
            .where(F.col("a") != F.col("b"))
-           .distinct().localCheckpoint(eager=True))
+           .distinct().transform(materialize))
     e = und
     min_sup = k - 2
     for _ in range(n_rounds):
@@ -922,7 +924,7 @@ def ktruss_edges(edges: DataFrame, k: int = 4,
                .agg(F.count(F.lit(1)).alias("support")))
         e = (e.join(sup, on=["a", "b"], how="left")
              .where(F.coalesce("support", F.lit(0)) >= min_sup)
-             .select("a", "b")).localCheckpoint(eager=True)
+             .select("a", "b")).transform(materialize)
     # final support over the surviving subgraph, reported with the edges
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")) \
         .unionByName(e.select(F.col("b").alias("u"), F.col("a").alias("v")))

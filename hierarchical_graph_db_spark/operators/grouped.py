@@ -44,6 +44,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 
 TREND_SCHEMA = "user_id long, n_events long, slope double"
 
@@ -203,7 +205,7 @@ def ewma_values(events: DataFrame, alpha: float = 0.3,
     local = rows.select(
         "user_id", "event_id", "chunk_id", "pos",
         lnum.alias("lnum"), lden.alias("lden"),
-    ).localCheckpoint(eager=True)  # reused by summaries AND the final join
+    ).transform(materialize)  # reused by summaries AND the final join
 
     summaries = local.groupBy("user_id", "chunk_id").agg(
         F.max_by("lnum", "pos").alias("num_end"),

@@ -50,6 +50,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 from hierarchical_graph_db_spark.functions.text import (
     quality_keep,
     stopword_hits,
@@ -166,7 +168,7 @@ def lr_train(docs: DataFrame, n_rounds: int = LR_ROUNDS,
     # where one suffices (at 100 TB this is the persisted feature table a
     # training job writes before the optimization loop). Values unchanged:
     # the checkpoint stores exactly the rows the lineage would produce.
-    std = _standardized(feats, norm).localCheckpoint(eager=True)
+    std = _standardized(feats, norm).transform(materialize)
     n = norm["n"]
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(n_rounds):

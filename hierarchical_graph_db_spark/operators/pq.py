@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 from hierarchical_graph_db_spark.operators.clustering import (
     _sq_dist,
     sharded_kmeans_state,
@@ -78,7 +80,7 @@ def pq_codebooks(corpus: DataFrame, dim: int, m: int = M_SUBSPACES,
                         F.col("pid"))
             .limit(train_sample)
             .repartition(par)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     sub = (
         pts.select(

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 from hierarchical_graph_db_spark.functions.vectors import (
     cosine_from_parts,
     dot,
@@ -545,7 +547,7 @@ def near_duplicate_pairs(
     # grouped-UDF plan; checkpointing truncates the lineage so the group
     # stage plans against a flat scan. Same pattern as the shingle index in
     # dedup_fuzzy.
-    banded = banded.localCheckpoint(eager=True)
+    banded = banded.transform(materialize)
     return (_score_buckets_grouped(banded, threshold)
             .dropDuplicates(["id_a", "id_b"]))
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 from hierarchical_graph_db_spark.functions.hashing import fingerprint
 from hierarchical_graph_db_spark.functions.text import quality_keep
 from hierarchical_graph_db_spark.io import Catalog, write_parquet
@@ -63,14 +65,14 @@ def curate_corpus(
     # semi-joins below consume the same pinned frames. The pinned frames
     # are id-only — tiny next to the corpus.
     quality = quality_keep_mask(docs).where("keep").select("doc_id") \
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     step1 = docs.join(quality, on="doc_id", how="left_semi")
 
     keepers = (
         step1.select("doc_id", fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     step2 = step1.join(keepers, on="doc_id", how="left_semi")
 
@@ -79,7 +81,7 @@ def curate_corpus(
     clean_ids = (
         decontaminate(train, bench)
         .where(~F.col("contaminated")).select("doc_id")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     step3 = train.join(clean_ids, on="doc_id", how="left_semi")
 
@@ -87,11 +89,11 @@ def curate_corpus(
         stratified_sample(step3, rates=sample_rates or {},
                           default_rate=default_rate)
         .where("keep").select("doc_id")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     curated = step3.join(sampled_ids, on="doc_id", how="left_semi")
     # Pin the survivor rows once so packing and the curated write share them.
-    curated = curated.localCheckpoint(eager=True)
+    curated = curated.transform(materialize)
 
     write_parquet(curated, f"{out_dir}/curated", partition_by=["lang"])
     packs = pack_sequences(curated, ctx_tokens=ctx_tokens)

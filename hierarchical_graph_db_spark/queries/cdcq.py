@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 from hierarchical_graph_db_spark.io import Catalog
 from hierarchical_graph_db_spark.queries import query
 
@@ -190,7 +192,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink(changes.where(F.col("seq") == 2), batch_id=2)
         out = (read_cdc_store(spark, store_dir)
                .select("event_id", "user_id", "event_type", "value_cents")
-               .localCheckpoint(eager=True))
+               .transform(materialize))
     finally:
         shutil.rmtree(store_dir, ignore_errors=True)
     return out
@@ -253,7 +255,7 @@ def cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + F.coalesce("d_sum", F.lit(0))).cast("bigint")
                     .alias("sum_cents"))
             )
-        view = view.localCheckpoint(eager=True)
+        view = view.transform(materialize)
         snapshot = apply_changelog(snapshot, batch, ["event_id"]) \
-            .localCheckpoint(eager=True)
+            .transform(materialize)
     return view.where(F.col("n_rows") != 0)

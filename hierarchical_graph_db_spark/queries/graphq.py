@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.materialize import materialize
+
 from hierarchical_graph_db_spark.io import Catalog
 from hierarchical_graph_db_spark.operators.graph import (
     connected_components,
@@ -1012,7 +1014,7 @@ def graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (edges.select(F.least("src", "dst").alias("x"),
                         F.greatest("src", "dst").alias("y"))
            .where(F.col("x") != F.col("y")).distinct()
-           .localCheckpoint(eager=True))
+           .transform(materialize))
     m = und.count()
     deg = (und.select(F.col("x").alias("id"))
            .unionByName(und.select(F.col("y").alias("id")))
@@ -1096,7 +1098,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.greatest(F.col("src").cast("string"),
                               F.col("dst").cast("string")).alias("b"))
            .where(F.col("a") != F.col("b")).distinct()
-           .localCheckpoint(eager=True))
+           .transform(materialize))
     deg = (und.select(F.col("a").alias("id"))
            .unionByName(und.select(F.col("b").alias("id")))
            .groupBy("id").agg(F.count(F.lit(1)).alias("d")))

@@ -22,6 +22,16 @@ _LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
     """Apply the engine's Spark conf to any builder (local or cluster)."""
+    # Executor-side Python workers must be able to import this package.
+    # local[N] inherits the driver's sys.path for free (same process tree);
+    # multi-JVM masters (local-cluster, standalone, YARN) spawn workers with
+    # a clean environment, so ship the repo root — in a real deployment this
+    # is `--py-files engine.zip` instead.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pypath = os.pathsep.join(
+        p for p in (_repo_root, os.environ.get("PYTHONPATH", "")) if p
+    )
+    builder = builder.config("spark.executorEnv.PYTHONPATH", _pypath)
     return (
         builder
         # Adaptive execution: runtime partition coalescing, skew-join
@@ -59,7 +69,14 @@ def get_spark(app_name: str = "hierarchical-graph-db-spark") -> SparkSession:
     master comes from spark-submit instead.
     """
     builder = SparkSession.builder.appName(app_name)
-    if not os.environ.get("SPARK_MASTER"):  # local test harness
+    master = os.environ.get("SPARK_MASTER")
+    if master:
+        # Explicit master (e.g. local-cluster[2,4,4096] for the
+        # multi-executor sweep, or a real cluster URL). local-cluster spawns
+        # separate executor JVMs, so executor memory/cores must be set to the
+        # values encoded in the master string.
+        builder = builder.master(master)
+    else:  # local test harness
         builder = builder.master(f"local[{_LOCAL_CPUS}]")
         # local[N] runs driver and all N executor threads in ONE JVM whose
         # default heap is spark.driver.memory=1g — fine at the unit-test
@@ -70,7 +87,15 @@ def get_spark(app_name: str = "hierarchical-graph-db-spark") -> SparkSession:
         builder = builder.config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-    return configure(builder).getOrCreate()
+    spark = configure(builder).getOrCreate()
+    # Durable lineage cuts: when a checkpoint dir is configured, every
+    # iterative operator's materialize() call writes checkpoint blocks there
+    # (survives executor loss on a real cluster) instead of localCheckpoint
+    # (executor-local, lineage-unsafe). See materialize.py.
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir and spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+    return spark
 
 
 def stop_spark() -> None:

@@ -19,9 +19,7 @@ per-query wall seconds as JSON, used to build the sf0.1 -> sf1 scaling table.
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
-import math
 import random
 import sys
 import time
@@ -53,29 +51,7 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
-def canon_value(v) -> str:
-    if v is None:
-        return "\\N"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # driver-style canonicalization: trim float noise
-        return f"{v:.9g}"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def frame_digest(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x1f".join(canon_value(r[i]) for i in order) for r in rows
-    )
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\n")
-    return h.hexdigest()
+from result_digest import canon_value, frame_digest  # noqa: E402  (shared canonicalization)
 
 
 def main() -> int:
