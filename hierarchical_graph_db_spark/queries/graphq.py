@@ -138,7 +138,9 @@ def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
     """DuckDB twin of ``operators.graph.pagerank``: the fixed iteration count
     unrolls into chained CTEs (recursive CTEs can't aggregate per step), each
     computing exactly the Spark update — same dangling-mass redistribution,
-    same operator order, so doubles agree to well past the 6dp rounding."""
+    same operator order, and the same order-independent fixed-point bigint
+    mass sums (round(x·1e12) partials), so every iteration is
+    bit-reproducible across engines AND across Spark partitionings."""
     iters = []
     prev = "r0"
     for i in range(1, n_iter + 1):
@@ -150,14 +152,16 @@ def _pagerank_oracle(n_iter: int = 10, d: float = 0.85) -> str:
     {cur} AS MATERIALIZED (
         SELECT v.id,
                (1 - {d}) / nn.n
-               + {d} * (SELECT coalesce(sum({prev}.rank), 0)
+               + {d} * (SELECT coalesce(sum(CAST(round({prev}.rank * 1000000000000)
+                                         AS BIGINT)) / 1000000000000.0, 0)
                         FROM {prev} LEFT JOIN out_deg od ON {prev}.id = od.id
                         WHERE od.id IS NULL) / nn.n
                + {d} * coalesce(c.in_rank, 0) AS rank
         FROM vertices v
         CROSS JOIN nn
         LEFT JOIN (
-            SELECT e.dst AS id, sum(p.rank / e.out_degree) AS in_rank
+            SELECT e.dst AS id, sum(CAST(round(p.rank / e.out_degree * 1000000000000) AS BIGINT))
+                   / 1000000000000.0 AS in_rank
             FROM edges_deg e JOIN {prev} p ON e.src = p.id
             GROUP BY e.dst
         ) c ON v.id = c.id
@@ -498,13 +502,15 @@ def _ppr_oracle(n_iter: int = 10, d: float = 0.85) -> str:
     {cur} AS MATERIALIZED (
         SELECT b.id,
                (1 - {d}) * b.reset
-               + {d} * (SELECT coalesce(sum({prev}.rank), 0)
+               + {d} * (SELECT coalesce(sum(CAST(round({prev}.rank * 1000000000000)
+                                         AS BIGINT)) / 1000000000000.0, 0)
                         FROM {prev} LEFT JOIN out_deg od ON {prev}.id = od.id
                         WHERE od.id IS NULL) * b.reset
                + {d} * coalesce(c.in_rank, 0) AS rank
         FROM base b
         LEFT JOIN (
-            SELECT e.dst AS id, sum(p.rank / e.out_degree) AS in_rank
+            SELECT e.dst AS id, sum(CAST(round(p.rank / e.out_degree * 1000000000000) AS BIGINT))
+                   / 1000000000000.0 AS in_rank
             FROM edges_deg e JOIN {prev} p ON e.src = p.id
             GROUP BY e.dst
         ) c ON b.id = c.id
