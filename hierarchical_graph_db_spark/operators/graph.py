@@ -20,7 +20,7 @@ which are shallow).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from hierarchical_graph_db_spark.materialize import materialize
@@ -42,6 +42,18 @@ def _fp_sum(col):
     to 1e-12 as bigint, sum exactly, rescale. NULL-on-empty like ``sum``."""
     return (F.sum(F.round(col * F.lit(_RANK_FP)).cast("bigint"))
             / F.lit(float(_RANK_FP)))
+
+
+def _materialize_counted(df: DataFrame) -> tuple[DataFrame, Observation]:
+    """Materialize a loop-state frame with its row count riding the same job
+    as an ``observe()`` metric. Frontier loops (BFS, sigma-BFS) previously
+    ran a ``limit(1).count()`` job after each round's materialization just
+    to test emptiness — one extra (cheap but nonzero) job per iteration.
+    ``obs.get["n"]`` is available as soon as the eager materialization ran.
+    """
+    obs = Observation()
+    out = df.observe(obs, F.count(F.lit(1)).alias("n")).transform(materialize)
+    return out, obs
 
 
 def communication_edges(emails: DataFrame) -> DataFrame:
@@ -122,6 +134,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             labels.join(neighbor_min, on="id", how="left")
             .select(
                 "id",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
@@ -130,22 +143,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         jump_target = propagated.select(
             F.col("id").alias("component"), F.col("component").alias("_jumped")
         )
+        # Convergence check rides the materialization job as an observe()
+        # metric: the old label is threaded through the jump join and the
+        # changed-count accumulates while the round's result is computed —
+        # zero extra jobs per iteration (previously a join + limit(1).count()
+        # job per round, O(log diameter) extra jobs total).
+        obs = Observation()
         new_labels = (
             propagated.join(jump_target, on="component", how="left")
             .select(
                 "id",
+                "_old",
                 F.coalesce("_jumped", F.col("component")).alias("component"),
             )
+            .observe(obs, F.coalesce(F.sum(
+                (F.col("component") != F.col("_old")).cast("long")
+            ), F.lit(0)).alias("changed"))
+            .select("id", "component")
         ).transform(materialize)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     return labels
 
@@ -330,14 +347,14 @@ def shortest_paths(edges: DataFrame, landmark: str, max_hops: int = 10,
     frontier = visited
 
     for hop in range(1, max_hops + 1):
-        nxt = (
+        nxt, n_obs = _materialize_counted(
             frontier.join(e, frontier.id == e.src)
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited, on="id", how="left_anti")
             .withColumn("distance", F.lit(hop))
-        ).transform(materialize)
-        if nxt.limit(1).count() == 0:
+        )
+        if n_obs.get["n"] == 0:
             break
         visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
@@ -404,23 +421,28 @@ def weighted_distances(edges: DataFrame, landmark: str,
             .select(F.col("dst").alias("id"),
                     (F.col("distance") + F.col("cost")).alias("distance"))
         )
+        # The old distance rides the same aggregate as a tagged min, so the
+        # improved-count is an observe() metric on the materialization job —
+        # the per-round comparison join is gone (same trick as
+        # connected_components' convergence check).
+        obs = Observation()
         new_dist = (
-            dist.unionByName(relaxed)
+            dist.withColumn("_src", F.lit(1))
+            .unionByName(relaxed.withColumn("_src", F.lit(0)))
             .groupBy("id")
-            .agg(F.min("distance").alias("distance"))
-        ).transform(materialize)
-        improved = (
-            new_dist.alias("n")
-            .join(dist.alias("o"), on="id", how="left")
-            .where(
-                F.col("o.distance").isNull()
-                | (F.col("n.distance") < F.col("o.distance"))
+            .agg(
+                F.min("distance").alias("distance"),
+                F.min(F.when(F.col("_src") == 1, F.col("distance")))
+                .alias("_old"),
             )
-            .limit(1)
-            .count()
-        )
+            .observe(obs, F.coalesce(F.sum(
+                (F.col("_old").isNull()
+                 | (F.col("distance") < F.col("_old"))).cast("long")
+            ), F.lit(0)).alias("improved"))
+            .select("id", "distance")
+        ).transform(materialize)
         dist = new_dist
-        if improved == 0:
+        if obs.get["improved"] == 0:
             return dist
     raise RuntimeError(
         f"weighted_distances did not converge within max_rounds={max_rounds}; "
@@ -740,14 +762,14 @@ def multi_source_distances(edges: DataFrame, sources: list[str],
     ).transform(materialize)
     frontier = visited
     for hop in range(1, max_hops + 1):
-        nxt = (
+        nxt, n_obs = _materialize_counted(
             frontier.join(e, frontier.id == e.src)
             .select("source", F.col("dst").alias("id"))
             .distinct()
             .join(visited, on=["source", "id"], how="left_anti")
             .withColumn("distance", F.lit(hop))
-        ).transform(materialize)
-        if nxt.limit(1).count() == 0:
+        )
+        if n_obs.get["n"] == 0:
             break
         visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
@@ -854,15 +876,15 @@ def betweenness_sampled(edges: DataFrame, sources: list[str],
     frontier = visited
     depths = 0
     for hop in range(1, max_hops + 1):
-        nxt = (
+        nxt, n_obs = _materialize_counted(
             frontier.join(e, frontier.id == e.src)
             .groupBy("source", F.col("dst").alias("id"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited, on=["source", "id"], how="left_anti")
             .withColumn("dist", F.lit(hop))
             .select("source", "id", "dist", "sigma")
-        ).transform(materialize)
-        if nxt.limit(1).count() == 0:
+        )
+        if n_obs.get["n"] == 0:
             break
         visited = visited.unionByName(nxt).transform(materialize)
         frontier = nxt
