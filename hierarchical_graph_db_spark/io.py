@@ -111,7 +111,8 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
-def write_bucketed(df: DataFrame, table: str, path: str, key: str,
+def write_bucketed(df: DataFrame, table: str, path: str,
+                   key: str | list[str],
                    n_buckets: int = 64,
                    sort_by: list[str] | None = None,
                    mode: str = "overwrite") -> None:
@@ -130,10 +131,15 @@ def write_bucketed(df: DataFrame, table: str, path: str, key: str,
     uses the SAME murmur3 hash as ``bucketBy``, so each task then holds
     exactly one bucket and writes one file. Readers use
     ``spark.table(table)``; the session catalog carries the bucket spec
-    (at 100 TB: an external metastore)."""
-    (df.repartition(n_buckets, F.col(key))
+    (at 100 TB: an external metastore).
+
+    ``key`` may be a list for composite bucket keys (e.g. the LSH signature
+    index bucketed on (band, band_key)); an exchange-free join then requires
+    the join keys to equal the bucket columns exactly."""
+    keys = [key] if isinstance(key, str) else list(key)
+    (df.repartition(n_buckets, *[F.col(k) for k in keys])
        .write.mode(mode)
        .option("path", path)
-       .bucketBy(n_buckets, key)
-       .sortBy(*(sort_by or [key]))
+       .bucketBy(n_buckets, keys[0], *keys[1:])
+       .sortBy(*(sort_by or keys))
        .saveAsTable(table))

@@ -248,6 +248,7 @@ def incremental_minhash_dedup(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental fuzzy-dedup maintenance: dedup a NEW batch against an
     EXISTING corpus by probing the corpus's LSH signature index — the
@@ -258,10 +259,13 @@ def incremental_minhash_dedup(
     Scale shape — per-batch cost is O(|batch|·bands) plus matched
     candidates, never a corpus rescan:
 
-    * the index side (:func:`lsh_band_table` over ``existing``) is the
-      table the initial bulk dedup PERSISTS, bucketed by (band, band_key);
-      recomputing it here from ``existing`` stands in for that read — the
-      batch-side plan is identical either way;
+    * the index side is the (id, band, band_key) table the initial bulk
+      dedup PERSISTS, bucketed by (band, band_key). Pass it as ``index``
+      (e.g. ``spark.table("lsh_index")`` over a ``bucketBy(N, "band",
+      "band_key")`` table — then the probe join leaves the index side
+      exchange-free, pinned in ``tests/test_storage_layout.py``); when
+      ``index`` is None it is recomputed from ``existing``, which produces
+      byte-identical keys (same :func:`lsh_band_table`);
     * candidates = probe ⋈ index on (band, band_key) — only new×existing
       pairs, no self-join of the corpus;
     * verification fetches shingle sets ONLY for docs that appear in a
@@ -273,8 +277,9 @@ def incremental_minhash_dedup(
     (J ≥ threshold), ``best_jaccard`` = MAX matching score (6 dp), both
     NULL (is_duplicate false) for batch docs with no match.
     """
-    idx = lsh_band_table(existing, n_hashes=n_hashes, bands=bands, n=n,
-                         id_col=id_col, text_col=text_col)
+    idx = index if index is not None else lsh_band_table(
+        existing, n_hashes=n_hashes, bands=bands, n=n,
+        id_col=id_col, text_col=text_col)
     probe = lsh_band_table(new, n_hashes=n_hashes, bands=bands, n=n,
                            id_col=id_col, text_col=text_col)
     cand = (

@@ -35,3 +35,26 @@ def test_pinned_subset_is_clean(sf_dir):
     result = audit(sf_dir, names=SUBSET)
     assert result["checked"] == len(SUBSET)
     assert result["violations"] == [], result["violations"]
+
+
+def test_strict_allowlist_equals_hit_set(sf_dir):
+    """VERDICT r7 item 4: ALLOW must be *exactly* the strict-audit BNLJ hit
+    set over the full registry — a retired pattern (query stops producing a
+    BroadcastNestedLoopJoin) makes its stale allowlist entry fail here, and
+    a new BNLJ can't slip in unjustified (it fails the default audit).
+    Full-registry pass (~2-3 min): every plan is built once."""
+    from tools.plan_audit import ALLOW
+
+    result = audit(sf_dir, strict=True)
+    assert not [v for v in result["violations"]
+                if v["pattern"] == "PLAN_ERROR"], result["violations"]
+    bnlj_hits = {v["query"] for v in result["violations"]
+                 if v["pattern"] == "BroadcastNestedLoopJoin"}
+    assert bnlj_hits == set(ALLOW), (
+        f"stale allowlist entries: {sorted(set(ALLOW) - bnlj_hits)}; "
+        f"unallowed new BNLJ: {sorted(bnlj_hits - set(ALLOW))}"
+    )
+    # the other two patterns have no allowlist at all
+    other = {v["query"] for v in result["violations"]
+             if v["pattern"] in ("CartesianProduct", "BatchEvalPython")}
+    assert other == set(), other
