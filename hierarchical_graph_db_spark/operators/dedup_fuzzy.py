@@ -801,7 +801,24 @@ def containment_pairs(
     candidate machinery and hot-shingle guard as
     :func:`ngram_jaccard_pairs`; both scores are reported so downstream
     keep/drop rules can distinguish duplicates (high J) from containments
-    (high C, low J)."""
+    (high C, low J).
+
+    Why this deliberately stays the plain inverted-index count-aggregate
+    while :func:`prefix_filter_jaccard_pairs` uses PPJoin prefix filtering —
+    a MEASURED negative result (round 8, sf1 = 50k docs):
+
+    * containment has no LENGTH filter (any size ratio can reach C = 1)
+      and its required overlap α = ⌈t·min(|A|,|B|)⌉ is PAIR-dependent, so
+      no per-doc prefix can be cut from the index up front — the
+      positional bound can only run inside the join condition;
+    * measured: that per-pair positional filter cut the matched-occurrence
+      stream 116M → 31M pairs, but exact verification then needs the two
+      docs' shingle ARRAYS per candidate instead of this plan's single
+      count-aggregate over small (id_a, id_b) rows — 32.6 s → 192 s at
+      sf1, a 6× regression. One wide shuffle of small rows with map-side
+      partial aggregation beats a 3.7×-pruned candidate set that ships
+      arrays. The hot-shingle guard remains the skew lever.
+    """
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sh = _prune_hot_shingles(sh, docs, max_shingle_freq)
     sh = sh.transform(materialize)

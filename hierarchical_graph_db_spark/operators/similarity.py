@@ -166,6 +166,15 @@ def lsh_topk(
     untouched, so the same prebuilt bucketed corpus serves both modes) —
     recall of a coarser table at the bucket-size of a finer one, the
     classic multi-probe LSH trade.
+
+    Scale guidance (measured at the sf1 embedding shape, 20k x 64 dims,
+    tests/test_similarity_recall_sf1.py): when true nearest neighbors sit at
+    wide angles (~59 deg mean there — the normal high-dimensional regime),
+    a random hyperplane separates a true pair with p ~ 1/3 and NO
+    table/plane/probe configuration reaches 0.8 recall below ~50% corpus
+    scanned. Use :func:`hierarchical_graph_db_spark.operators.ivf.ivf_topk`
+    for top-k at that shape (>= 0.9 recall probing 20%); hyperplane BANDING
+    stays right for threshold near-dup (:func:`near_duplicate_pairs`).
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),

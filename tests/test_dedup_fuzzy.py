@@ -356,3 +356,50 @@ def test_incremental_dedup_no_false_negatives_vs_bulk(spark):
     # but doc 4 (exact dup of 1) must be
     assert not inc[2]["is_duplicate"]
     assert inc[4]["is_duplicate"] and inc[4]["dup_of"] == 1
+
+
+def test_containment_prefix_filter_no_false_negatives(spark):
+    """containment_pairs (per-pair prefix filtering, round 8) must return
+    EXACTLY the pairs a brute-force all-pairs containment finds — including
+    the subsumption case Jaccard misses — with identical 6dp scores."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        containment_pairs,
+        shingles,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long = base + " one two three four five six seven eight nine ten " \
+                  "more filler words to dilute the jaccard score a lot"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                  # fully contained in 2 (low J, C=1)
+            (2, long),
+            (3, "one two three four five six seven eight nine ten"),
+            (4, "one two three four five six seven eight nine tenX"),
+            (5, "totally different words everywhere in this sentence here"),
+        ],
+        "doc_id: bigint, text: string")
+
+    got = {(r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+           for r in containment_pairs(
+               docs, threshold=0.6, n=3, max_shingle_freq=None).collect()}
+
+    # brute force on the exact same shingle sets
+    sets: dict[int, set] = {}
+    for r in shingles(docs, n=3).collect():
+        sets.setdefault(r["id"], set()).add(r["shingle"])
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            c = inter / min(len(sets[a]), len(sets[b]))
+            j = inter / len(sets[a] | sets[b])
+            if c >= 0.6:
+                want[(a, b)] = (round(c, 6), round(j, 6))
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][0] == 1.0   # subsumption caught
+    assert got[(1, 2)][1] < 0.6                      # ...that Jaccard misses
+    assert (3, 4) in got
