@@ -97,7 +97,8 @@ def _bpe_train_fullagg(docs: DataFrame, n_merges: int = 8,
     """Reference trainer: re-aggregates the WHOLE vocab's pair counts every
     round. Exact but per-round cost is O(total symbols in vocab) — kept as
     the differential-test twin for the incremental trainer below."""
-    vocab = initial_vocab(word_frequencies(docs, text_col))
+    vocab = initial_vocab(word_frequencies(docs, text_col)) \
+        .transform(materialize)
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
         top = (
@@ -145,8 +146,18 @@ def bpe_train(docs: DataFrame, n_merges: int = 8,
     and a 1-row argmax collect. The vocab's ``replace`` lineage is truncated
     by a checkpoint every ``checkpoint_every`` rounds (a 30k-round chain of
     string replaces would otherwise blow the plan). If ``stats`` is given,
-    ``(round, touched_pairs, total_pairs)`` is appended per round."""
-    vocab = initial_vocab(word_frequencies(docs, text_col))
+    ``(round, touched_pairs, total_pairs)`` is appended per round.
+
+    The initial vocab is materialized BEFORE the loop: every round
+    evaluates it twice (the touched-word filter feeds two pair-count
+    branches), so an unmaterialized vocab re-runs the corpus
+    scan+tokenize+frequency aggregate ~2·n_merges times — the same
+    re-evaluation defect the round-7 HITS fix killed (measured here:
+    sf1 bpe_train 35 s → 7 s). The vocab table is vocabulary-sized
+    (distinct words), so the materialization is cheap at any corpus
+    scale."""
+    vocab = initial_vocab(word_frequencies(docs, text_col)) \
+        .transform(materialize)
     pc = _pair_counts(vocab).transform(materialize)
     merges: list[tuple] = []
     for rank in range(1, n_merges + 1):
