@@ -403,11 +403,12 @@ def weighted_distances(edges: DataFrame, landmark: str,
     min over (u,v) of dist[u] + cost). One join + one agg per round, keyed on
     the vertex id — the distributed-friendly SSSP (Dijkstra's priority queue
     is inherently sequential; relaxation rounds are how SSSP scales out).
-    The convergence probe is a 1-row early-exit count on rows that improved
-    (limit(1) — never materializes the comparison), the same loop-control
-    pattern as :func:`connected_components`; per-round ``localCheckpoint``
-    keeps the lineage flat. Unreachable vertices are absent (same as the
-    unrolled SQL oracle).
+    The convergence probe is an ``observe()`` metric riding the round's own
+    materialization job (the old distance travels through the min-aggregate
+    as a tagged min — zero extra jobs), the same loop-control pattern as
+    :func:`connected_components`; the per-round materialization keeps the
+    lineage flat. Unreachable vertices are absent (same as the unrolled SQL
+    oracle).
     """
     e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("cost"))
     e = e.transform(materialize)
@@ -537,7 +538,7 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
 
     Same plan shape as :func:`pagerank` (degree pre-join, per-iteration
     contribution aggregate, dangling mass as a broadcast 1-row aggregate,
-    ``localCheckpoint`` per round to cut lineage); the only delta is the
+    materialization per round to cut lineage); the only delta is the
     per-vertex ``reset`` column replacing the uniform 1/N terms.
     """
     vertices = (
@@ -647,7 +648,7 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 256) -> DataFrame:
 
     Each round is one degree aggregate + two semi-joins on the vertex id —
     the same keyed-join discipline as every iterative op here;
-    ``localCheckpoint`` per round cuts the lineage. Convergence is detected
+    per-round materialization cuts the lineage. Convergence is detected
     by the surviving directed-edge count (peeling is monotone — an unchanged
     count IS the fixed point), a 1-row driver read per round.
     """
@@ -748,7 +749,7 @@ def multi_source_distances(edges: DataFrame, sources: list[str],
     seeds (k× the frontier state, NOT k separate BFS jobs). Each hop is one
     join shuffled on the vertex id plus an anti-join against the visited
     set; rounds = min(diameter, ``max_hops``). The per-round
-    ``localCheckpoint`` keeps lineage flat, same contract as the other
+    per-round materialization keeps lineage flat, same contract as the other
     iterative graph operators."""
     e = edges.select("src", "dst")
     if not directed:
