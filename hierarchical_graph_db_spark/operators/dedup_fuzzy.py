@@ -116,6 +116,7 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int | str | None = "auto",
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_set_size: int = 0,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for pairs sharing ≥1 shingle.
 
@@ -130,6 +131,12 @@ def ngram_jaccard_pairs(
     the shingle table), and the DuckDB oracles replay the same df-cutoff
     filter, so the hash check holds even on a corpus where the guard binds.
     ``None`` disables (pure-Jaccard mode).
+
+    ``min_set_size`` (with an aggressive absolute ``max_shingle_freq``):
+    Jaccard over heavily pruned sets is noisy — two docs whose retained
+    sets shrink to a handful of rare shingles can spuriously clear the
+    threshold. Pairs where either side's retained set is smaller than
+    ``min_set_size`` abstain (are not emitted); 0 disables.
     """
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sh = _prune_hot_shingles(sh, docs, max_shingle_freq)
@@ -159,6 +166,8 @@ def ngram_jaccard_pairs(
         # the output column is rounded — else a pair just under the threshold
         # that rounds up would flip the differential check.
         .where(F.col("_j") >= threshold)
+        .where((F.least("size_a", "size_b") >= F.lit(min_set_size))
+               if min_set_size else F.lit(True))
         .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
     )
 

@@ -159,6 +159,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH toks AS (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    ),
+    sh AS (
+        SELECT DISTINCT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    -- ABSOLUTE cutoff (64), mirroring max_shingle_freq=64 in the Spark plan
+    shf AS (
+        SELECT sh.id, sh.shingle
+        FROM sh
+        JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) f
+          USING (shingle)
+        WHERE f.df <= 64
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+      AND least(sa.n, sb.n) >= 20
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard near-dups under an ABSOLUTE hot-shingle cap
+    (``max_shingle_freq=64``) — the documented scale mode of the
+    inverted-index family. The default ``auto`` cutoff (max(1000, N/100))
+    scales with corpus size to keep scores comparable across scale factors,
+    which admits Σdf² ∝ N² matched pairs on bounded-vocabulary data (the
+    measured sf1→sf3 behavior, PLANS.md §Round-8). A fixed cap c bounds the
+    matched-pair stream at Σ_{{df≤c}} df² ≤ c·|shingle rows| — LINEAR in
+    corpus size — at the cost of scoring on more aggressively pruned
+    shingle sets (shingles in >c docs stop counting toward Jaccard), and
+    docs whose retained set shrinks below ``min_set_size=20`` abstain
+    (Jaccard over a handful of surviving rare shingles is noise, not a
+    duplicate verdict). Same operator, same oracle replay, different
+    cutoff contract. On the synthetic bounded-vocabulary fixture the cap
+    degenerates at sf≥3 (every trigram is hot → no verdicts) — real
+    corpora grow vocabulary with size, so df distributions stay spread."""
+    return ngram_jaccard_pairs(Catalog(spark, sf_dir).documents,
+                               threshold=0.5, max_shingle_freq=64,
+                               min_set_size=20)
+
+
+@query(
     "dedup_minhash_lsh",
     f"""
     WITH toks AS (
