@@ -43,6 +43,11 @@ _ap.add_argument("--duckdb-mem", default=None,
                       "of fighting for RAM")
 _ap.add_argument("--duckdb-threads", type=int, default=0,
                  help="DuckDB thread cap for parallel partitioned sweeps")
+_ap.add_argument("--no-oracle", action="store_true",
+                 help="timing-only sweep: run and collect each Spark query "
+                      "but skip the DuckDB comparison (for scale-factor "
+                      "timing curves where the oracle replay itself is the "
+                      "bottleneck, e.g. the quadratic dedup oracles at sf3)")
 _ARGS = _ap.parse_args()
 SF_DIR = _ARGS.sf_dir
 ONLY = set(_ARGS.only)
@@ -108,6 +113,9 @@ def main() -> int:
             continue
         took = time.time() - t0
         timings[name] = round(took, 3)
+        if _ARGS.no_oracle:
+            print(f"time  {name}: {len(s_rows)} rows, {took:.1f}s")
+            continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only ({len(s_rows)} rows, {took:.1f}s)")
             continue
