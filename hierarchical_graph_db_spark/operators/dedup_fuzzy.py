@@ -248,6 +248,43 @@ def lsh_band_table(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
              F.col("bk.band_key").alias("band_key"))
 
 
+def _validate_lsh_index(index: DataFrame, n_hashes: int, bands: int) -> None:
+    """Fail loudly when a persisted LSH index was built with different
+    parameters than the probe side (ADVICE r8): a mismatched index makes
+    the sha-derived band keys never collide, so every batch doc would be
+    silently reported non-duplicate. Three cheap checks:
+
+    * schema: the (id, band, band_key) columns must exist (no job);
+    * band range: ``max(band) == bands - 1`` — parquet aggregate pushdown
+      answers this from footer stats, no data scan on a persisted table;
+    * rows-per-band: one LIMIT-1 row's band_key must '|'-join exactly
+      ``n_hashes // bands`` minhashes.
+
+    An empty index (fresh corpus) passes — there is nothing to mismatch.
+    """
+    missing = {"id", "band", "band_key"} - set(index.columns)
+    if missing:
+        raise ValueError(
+            f"LSH index is missing column(s) {sorted(missing)}; expected the "
+            "(id, band, band_key) table produced by lsh_band_table()")
+    probe_rows = n_hashes // bands
+    max_band = index.select(F.max("band").alias("mb")).first()["mb"]
+    if max_band is None:
+        return
+    if max_band != bands - 1:
+        raise ValueError(
+            f"LSH index max(band) == {max_band} but the probe side expects "
+            f"{bands - 1} (bands={bands}): index and probe parameters "
+            "disagree")
+    head = index.select("band_key").limit(1).collect()
+    got_rows = len(head[0]["band_key"].split("|"))
+    if got_rows != probe_rows:
+        raise ValueError(
+            f"LSH index band_key joins {got_rows} minhashes per band but the "
+            f"probe side expects {probe_rows} (n_hashes={n_hashes} / "
+            f"bands={bands}): index and probe parameters disagree")
+
+
 def incremental_minhash_dedup(
     existing: DataFrame,
     new: DataFrame,
@@ -286,6 +323,8 @@ def incremental_minhash_dedup(
     (J ≥ threshold), ``best_jaccard`` = MAX matching score (6 dp), both
     NULL (is_duplicate false) for batch docs with no match.
     """
+    if index is not None:
+        _validate_lsh_index(index, n_hashes=n_hashes, bands=bands)
     idx = index if index is not None else lsh_band_table(
         existing, n_hashes=n_hashes, bands=bands, n=n,
         id_col=id_col, text_col=text_col)

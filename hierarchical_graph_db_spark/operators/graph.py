@@ -27,19 +27,30 @@ from hierarchical_graph_db_spark.materialize import materialize
 
 
 #: Fixed-point scale for order-independent rank-mass sums in the iterative
-#: algorithms. Rank-type state lives in [0, 1] and each aggregate's total
-#: mass is ≤ 1, so ``round(x·1e12)`` sums stay ≤ 1e12 — 6 decimal orders of
-#: headroom under bigint — while keeping 12 significant decimals, far past
-#: the 6dp output rounding. Integer addition commutes exactly under partial
-#: aggregation, so every iteration is bit-reproducible across partitionings
-#: and engines (the ``hits()`` treatment, VERDICT r7 item 2, applied to the
-#: one remaining order-dependent double accumulation).
-_RANK_FP = 1_000_000_000_000
+#: algorithms. This is an ABSOLUTE 1e-15 grid (15 decimal *places*, not 15
+#: significant decimals): rank-type state lives in [0, 1] and each
+#: aggregate's total mass is ≤ 1, so ``round(x·1e15)`` sums stay ≤ 1e15 —
+#: well under both the bigint ceiling (9.2e18, ~9000× headroom) and 2^53
+#: (9.0e15), so the double multiply + round that produces each quantum is
+#: still exact integer arithmetic. Integer addition commutes exactly under
+#: partial aggregation, so every iteration is bit-reproducible across
+#: partitionings and engines (the ``hits()`` treatment, VERDICT r7 item 2,
+#: applied to the one remaining order-dependent double accumulation).
+#:
+#: Precision ceiling (absolute grid → scale-dependent significant digits):
+#: per-vertex ranks are ~1/|V|, so a vertex keeps ``15 - log10(|V|)``
+#: significant digits — 9 at a million vertices, 6 at a billion. Per-edge
+#: contributions ``rank/out_degree`` truncate to 0 below 5e-16, so mass is
+#: silently lost once ``|V| · max_out_degree`` approaches 1e15; beyond that
+#: regime, quantize ``rank·|V|`` instead (relative grid) and rescale the
+#: oracle identically.
+_RANK_FP = 1_000_000_000_000_000
 
 
 def _fp_sum(col):
     """Order-independent sum of a [0,1] rank-mass column: quantize each term
-    to 1e-12 as bigint, sum exactly, rescale. NULL-on-empty like ``sum``."""
+    to an absolute 1e-15 grid as bigint, sum exactly, rescale. NULL-on-empty
+    like ``sum``. See the ``_RANK_FP`` note for the |V| precision ceiling."""
     return (F.sum(F.round(col * F.lit(_RANK_FP)).cast("bigint"))
             / F.lit(float(_RANK_FP)))
 
@@ -594,7 +605,8 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     return ranks
 
 
-def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
+def link_prediction(edges: DataFrame, min_common: int = 2,
+                    per_source_k: int | None = None) -> DataFrame:
     """Common-neighbors / Adamic-Adar link prediction for NON-adjacent pairs.
 
     Undirected neighbor lists from the (possibly directed) edge set; a
@@ -604,6 +616,17 @@ def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
     (the same inverted-index discipline as the shingle joins — quadratic
     work is per-witness, bounded by max degree, never all-pairs), then an
     anti-join against the edge set.
+
+    ``per_source_k`` bounds the RESULT shape the way link prediction is
+    actually consumed — "top suggestions per vertex": keep only the k best
+    candidates per pair-anchor ``a`` (highest Adamic-Adar, ties broken by
+    common-neighbor count then partner id — fully deterministic since ``b``
+    is unique within an ``a`` group). The window is a rank-k filter, so
+    Spark plans it as WindowGroupLimit (per-partition partial top-k before
+    the shuffle) and the output is O(|V|·k) instead of O(candidate pairs) —
+    at sf1 the unbounded result was ~all candidate pairs and dominated wall
+    time (VERDICT r8 item 4). ``None`` keeps the full candidate set (the
+    exact-baseline/oracle shape).
 
     North-star graph addition — the reference's graph layer is declared but
     empty (README.md:86-88).
@@ -630,11 +653,19 @@ def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
         )
         .where(F.col("common_neighbors") >= min_common)
     )
-    return pairs.join(
+    out = pairs.join(
         sym.select(F.col("src").alias("a"), F.col("dst").alias("b")),
         on=["a", "b"],
         how="left_anti",
     )
+    if per_source_k is None:
+        return out
+    w = Window.partitionBy("a").orderBy(
+        F.col("adamic_adar").desc(), F.col("common_neighbors").desc(),
+        F.col("b").asc())
+    return (out.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= per_source_k)
+            .drop("_rn"))
 
 
 def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 256) -> DataFrame:

@@ -28,13 +28,23 @@ from pyspark.sql import functions as F
 
 def resample_gapfill(events: DataFrame, key_col: str = "user_id",
                      ts_col: str = "ts", value_col: str = "value",
-                     step: str = "1 hour") -> DataFrame:
+                     step: str = "1 hour",
+                     trailing: int | None = None) -> DataFrame:
     """LOCF resampling: per key, a dense ``step`` grid from its first to last
     bucket; missing buckets carry the last observed reading forward.
 
     The per-bucket observation is the LAST reading by event time (requires
     (key, ts) unique — true of any event stream with a tiebroken timestamp;
     the fixture guarantees it). Returns (key, bucket, reading, gap_filled).
+
+    ``trailing`` bounds the RESULT shape to each key's last N buckets — the
+    dashboard-window consumption shape (a chart reads a recent window, not
+    a key's whole history). The LOCF window still runs over the key's FULL
+    grid before the filter (carry-forward seeds from observations older
+    than the window are preserved; a filter on a non-partition column
+    cannot be pushed through the window function), so fill semantics are
+    identical — only the emitted rows shrink from O(keys·span) to
+    O(keys·N). ``None`` returns the full grid.
     """
     # Grid alignment requires a whole-unit step: buckets are date_trunc'd to
     # the unit and the grid strides by the step, so any sub-unit step (e.g.
@@ -58,6 +68,7 @@ def resample_gapfill(events: DataFrame, key_col: str = "user_id",
         .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
         .select(
             key_col,
+            "hi",
             F.explode(
                 F.sequence("lo", "hi", F.expr(f"interval {step}"))
             ).alias("bucket"),
@@ -69,13 +80,20 @@ def resample_gapfill(events: DataFrame, key_col: str = "user_id",
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return joined.select(
+    filled = joined.select(
         F.col(key_col),
         F.col("bucket"),
+        F.col("hi"),
         F.round(F.last("obs_reading", ignorenulls=True).over(w), 2)
         .alias("reading"),
         F.col("obs_reading").isNull().alias("gap_filled"),
     )
+    if trailing is not None:
+        filled = filled.where(
+            F.col("bucket") >= F.col("hi") - F.expr(
+                f"interval {trailing - 1} {unit}")
+        )
+    return filled.drop("hi")
 
 
 def funnel(events: DataFrame, steps: list[str],

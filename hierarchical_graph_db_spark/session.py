@@ -55,6 +55,11 @@ def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
         # 100 TB of parquet (≈800k tasks at 128 MiB → AQE coalesces).
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # Durable checkpoints (materialize.py writes one per iteration of
+        # every iterative operator when SPARK_GRAFT_CHECKPOINT_DIR is set);
+        # without this the checkpoint dir grows without bound over long runs
+        # — Spark never deletes them by default (ADVICE r8).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # The synthetic events table stores TIMESTAMP(NANOS) which Spark's
         # parquet reader rejects; read as long nanos, Catalog converts to a
         # micros timestamp (exact integer division — no double round-trip).

@@ -403,3 +403,45 @@ def test_containment_prefix_filter_no_false_negatives(spark):
     assert (1, 2) in got and got[(1, 2)][0] == 1.0   # subsumption caught
     assert got[(1, 2)][1] < 0.6                      # ...that Jaccard misses
     assert (3, 4) in got
+
+
+def test_incremental_dedup_rejects_mismatched_index(spark):
+    """A persisted LSH index built with different (n_hashes, bands) than the
+    probe side must fail loudly — a silent mismatch reports every batch doc
+    as non-duplicate (ADVICE r8). Compatible and empty indexes pass."""
+    import pytest
+
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        incremental_minhash_dedup,
+        lsh_band_table,
+    )
+
+    existing = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog")])
+    new = spark.createDataFrame([
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog")])
+
+    # wrong bands: max(band) mismatch
+    idx8 = lsh_band_table(existing, n_hashes=16, bands=8)
+    with pytest.raises(ValueError, match="max\\(band\\)"):
+        incremental_minhash_dedup(existing, new, bands=4, n_hashes=16,
+                                  index=idx8).collect()
+    # same bands, different n_hashes: rows-per-band mismatch in band_key
+    idx32 = lsh_band_table(existing, n_hashes=32, bands=4)
+    with pytest.raises(ValueError, match="minhashes per band"):
+        incremental_minhash_dedup(existing, new, bands=4, n_hashes=16,
+                                  index=idx32).collect()
+    # missing columns
+    with pytest.raises(ValueError, match="missing column"):
+        incremental_minhash_dedup(
+            existing, new, index=idx8.drop("band_key")).collect()
+    # compatible index passes and finds the duplicate
+    ok = lsh_band_table(existing, n_hashes=16, bands=4)
+    rows = {r["doc_id"]: r for r in incremental_minhash_dedup(
+        existing, new, n_hashes=16, bands=4, index=ok).collect()}
+    assert rows[2]["is_duplicate"] and rows[2]["dup_of"] == 1
+    # empty index (fresh corpus) is fine: nothing matches
+    empty = ok.where("1 = 0")
+    rows = {r["doc_id"]: r for r in incremental_minhash_dedup(
+        existing.where("1 = 0"), new, index=empty).collect()}
+    assert not rows[2]["is_duplicate"]

@@ -288,3 +288,30 @@ def test_hits_multi_edge_weighting(spark):
     out = {r["id"]: r["auth"] for r in hits(edges, n_iter=3).collect()}
     assert out["a"] == 1.0          # max-normalized top authority
     assert 0.0 < out["b"] < out["a"]
+
+
+def test_link_prediction_per_source_k(spark):
+    """per_source_k bounds the result to the k best candidates per pair-
+    anchor and is a strict subset of the unbounded result with identical
+    scores (the window is a rank filter AFTER scoring, not a re-score)."""
+    from hierarchical_graph_db_spark.operators.graph import link_prediction
+
+    # hub w0..w3 connect a to b,c,d with varying witness counts:
+    # a-b share w0,w1,w2 ; a-c share w0,w1 ; a-d share w0 (below min_common)
+    edges = spark.createDataFrame(
+        [("a", w) for w in ("w0", "w1", "w2")]
+        + [("b", w) for w in ("w0", "w1", "w2")]
+        + [("c", w) for w in ("w0", "w1")]
+        + [("d", "w0")],
+        "src string, dst string")
+    full = {(r["a"], r["b"]): r for r in
+            link_prediction(edges, min_common=2).collect()}
+    top1 = {(r["a"], r["b"]): r for r in
+            link_prediction(edges, min_common=2, per_source_k=1).collect()}
+    assert set(top1) <= set(full)
+    # anchor 'a' keeps only its best partner (b: 3 witnesses > c: 2)
+    a_rows = [k for k in top1 if k[0] == "a"]
+    assert a_rows == [("a", "b")]
+    for k, r in top1.items():
+        assert r["adamic_adar"] == full[k]["adamic_adar"]
+        assert r["common_neighbors"] == full[k]["common_neighbors"]

@@ -37,7 +37,7 @@ def test_pagerank_mass_conserved(spark):
     edges = spark.createDataFrame(EDGES, SCHEMA)
     total = pagerank(edges, n_iter=10).agg(F.sum("rank")).collect()[0][0]
     # dangling redistribution keeps the distribution normalized; 1e-9 slack
-    # covers the 1e-12 fixed-point quantization over 10 rounds
+    # covers the 1e-15 fixed-point quantization over 10 rounds
     assert abs(total - 1.0) < 1e-9
 
 

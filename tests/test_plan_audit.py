@@ -2,7 +2,7 @@
 
 tools/plan_audit.py greps every registry query's physical plan for
 CartesianProduct / BroadcastNestedLoopJoin / row-at-a-time Python UDFs.
-The full 204-query audit runs standalone (~minutes); this pytest pins a
+The full-registry audit (every queries() entry) runs standalone (~minutes); this pytest pins a
 representative subset across every family so a regression in the common
 builders (Catalog, joins, the fuzzy-dedup candidate paths) fails fast."""
 

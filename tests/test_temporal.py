@@ -187,3 +187,21 @@ def test_point_in_time_join_boundaries_and_unmatched(spark):
     assert rows[102] == (None, None)  # before history
     assert rows[103] == (None, None)  # unknown key
     assert rows[104] == ("b", 2)      # open-ended current row
+
+
+def test_resample_gapfill_trailing_window(spark):
+    """trailing=N keeps each key's last N buckets but LOCF still seeds from
+    observations OLDER than the emitted window (the filter runs after the
+    carry-forward window function, not before)."""
+    ev = spark.createDataFrame([
+        Row(user_id=1, ts=_ts(1, 0), value=10.0),   # outside trailing window
+        Row(user_id=1, ts=_ts(6, 0), value=60.0),   # hours 2..5 are gaps
+    ])
+    rows = {r["bucket"].hour: r
+            for r in resample_gapfill(ev, trailing=3).collect()}
+    # span is hours 1..6; trailing 3 keeps hours 4,5,6 only
+    assert set(rows) == {4, 5, 6}
+    # hours 4,5 are gap-filled from the hour-1 observation OUTSIDE the window
+    assert rows[4]["reading"] == 10.0 and rows[4]["gap_filled"]
+    assert rows[5]["reading"] == 10.0 and rows[5]["gap_filled"]
+    assert rows[6]["reading"] == 60.0 and not rows[6]["gap_filled"]
