@@ -90,7 +90,11 @@ def test_cluster_mode_actually_multi_jvm_and_durable(sweeps):
 @pytest.mark.parametrize("name", QUERIES)
 def test_hash_identical_across_execution_modes(sweeps, name):
     local, cluster = sweeps
-    assert local["results"][name] == cluster["results"][name], (
+    def strip_timing(r):
+        return {k: v for k, v in r.items() if k != "secs"}
+
+    assert (strip_timing(local["results"][name])
+            == strip_timing(cluster["results"][name])), (
         f"{name}: local[N] and local-cluster+durable-checkpoint results "
         f"diverge — plan is not partitioning-deterministic or the durable "
         f"checkpoint path changed semantics"

@@ -212,8 +212,89 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         json.dump({"sf": sf, "seed": seed, "generator": "tools/gen_fixtures.py"}, f)
 
 
+def generate_documents_only(sf: float, outdir: str, seed: int = 42,
+                            mode: str = "heaps") -> None:
+    """Documents-ONLY fixture, two vocabulary regimes:
+
+    ``mode="heaps"`` — Heaps'-law growing vocabulary with a Zipfian unigram
+    distribution, the adversarially-realistic counterpart to the base
+    fixture's fixed 31-word vocab (which manufactures Σdf² ∝ N² for the
+    exact-Jaccard family, VERDICT r8 item 3). Vocabulary size V = 3·√T for
+    T total tokens (Heaps β = 0.5, K = 3 — mid-range of published English
+    estimates of K ∈ [10, 100] at β ≈ 0.4-0.6 once T is tokens not
+    characters); word probabilities Zipf rank⁻¹. This is deliberately NOT a
+    uniform draw over the growing vocab: real corpora keep a Zipf head, so
+    the hottest 3-gram shingle's df still grows ∝ N and the measurement
+    shows what vocabulary growth does and does NOT buy the Σdf²-shaped
+    inverted-index joins.
+
+    ``mode="fixed"`` — the base fixture's fixed 31-word uniform vocabulary,
+    for growing the documents table past the full-fixture scales (the
+    capped-dedup sf3→sf10 decade, VERDICT r8 item 6) without paying for
+    15M-row orders tables nobody reads. NOTE: same distributional shape as
+    ``generate()``'s documents but NOT byte-identical at the same sf (the
+    full generator's rng state has advanced through the other tables).
+
+    Same exact-dup (~0.2%) and near-dup (~0.3%) injection as the base
+    fixture so the dedup queries return non-trivial pair sets. Other tables
+    are absent on purpose — Catalog resolves lazily and the exact-dedup
+    family reads only ``documents``.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(outdir, exist_ok=True)
+    n_doc = int(50_000 * sf)
+    nw = rng.integers(10, 101, n_doc)
+    total = int(nw.sum())
+    if mode == "heaps":
+        v = max(31, int(round(3.0 * total ** 0.5)))
+        p = 1.0 / np.arange(1, v + 1, dtype=np.float64)
+        p /= p.sum()
+        vocab = np.array([f"w{i}" for i in range(v)])
+        words = vocab[rng.choice(v, total, p=p)]
+    elif mode == "fixed":
+        vocab = np.array(VOCAB)
+        v = len(vocab)
+        words = vocab[rng.integers(0, v, total)]
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    offs = np.concatenate([[0], np.cumsum(nw)])
+    texts = [" ".join(words[offs[i]:offs[i + 1]]) for i in range(n_doc)]
+    for i in rng.choice(n_doc, max(1, n_doc // 500), replace=False):
+        j = int(rng.integers(0, n_doc))
+        if i != j:
+            texts[int(i)] = texts[j]                       # exact dup
+    for i in rng.choice(n_doc, max(1, (3 * n_doc) // 1000), replace=False):
+        j = int(rng.integers(0, n_doc))
+        if i != j:
+            toks = texts[j].split()
+            toks[int(rng.integers(0, len(toks)))] = str(vocab[int(rng.integers(0, v))])
+            texts[int(i)] = " ".join(toks)                 # near dup
+    _write(outdir, "documents",
+           {"doc_id": np.arange(n_doc, dtype=np.int64),
+            "text": texts,
+            "lang": np.array(LANGS)[rng.choice(5, n_doc, p=LANG_P)],
+            "source": np.char.add("src", rng.integers(0, 20, n_doc).astype(str)),
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64)},
+           pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                      ("lang", pa.string()), ("source", pa.string()),
+                      ("n_chars", pa.int64())]))
+    print(f"  {mode} vocab: {v} words for {total} tokens")
+    with open(os.path.join(outdir, "MANIFEST.json"), "w") as f:
+        json.dump({"sf": sf, "seed": seed, "mode": f"{mode}-documents",
+                   "vocab": v, "generator": "tools/gen_fixtures.py"}, f)
+
+
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f".fixtures/sf{sf:g}"
-    print(f"generating sf={sf:g} -> {out}")
-    generate(sf, out)
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = ("heaps" if "--heaps" in flags
+            else "fixed" if "--docs-only" in flags else None)
+    sf = float(args[0]) if args else 1.0
+    out = args[1] if len(args) > 1 else (
+        f".fixtures/{mode}-sf{sf:g}" if mode else f".fixtures/sf{sf:g}")
+    label = f" ({mode} documents-only)" if mode else ""
+    print(f"generating sf={sf:g}{label} -> {out}")
+    if mode:
+        generate_documents_only(sf, out, mode=mode)
+    else:
+        generate(sf, out)

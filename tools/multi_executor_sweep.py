@@ -25,7 +25,9 @@ Compare two runs:
         --master 'local-cluster[2,2,2048]' --checkpoint-dir /tmp/ck
     python - <<'PY'
     import json; a=json.load(open('a.json')); b=json.load(open('b.json'))
-    assert a['results'] == b['results']
+    strip = lambda rs: {n: {k: v for k, v in r.items() if k != 'secs'}
+                        for n, r in rs.items()}
+    assert strip(a['results']) == strip(b['results'])
     PY
 """
 
@@ -74,6 +76,11 @@ def main() -> int:
         results[name] = {
             "rows": len(rows),
             "hash": frame_digest(cols, [tuple(r) for r in rows]),
+            # Wall seconds; excluded from equivalence comparison (compare
+            # the "results" dicts with timings stripped, or per-name
+            # rows/hash) — recorded so mode-vs-mode overhead (serialization,
+            # remote shuffle fetch, durable checkpoints) gets a number.
+            "secs": round(time.time() - t0, 2),
         }
         print(f"done {name}: {len(rows)} rows, {time.time()-t0:.1f}s",
               file=sys.stderr)

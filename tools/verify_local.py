@@ -87,7 +87,10 @@ def main() -> int:
     if _ARGS.duckdb_threads:
         con.execute(f"SET threads={_ARGS.duckdb_threads}")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        # Partial fixtures (e.g. the documents-only Heaps'-law corpus) ship
+        # only the tables their target queries read; register what exists.
+        if os.path.exists(f"{SF_DIR}/{t}.parquet"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
