@@ -155,9 +155,18 @@ def main() -> int:
         else:
             print(f"PASS  {name} ({len(s_rows)} rows, {took:.1f}s)")
     if _ARGS.timings_out:
+        # Self-document host speed: this box is a shared VM whose effective
+        # CPU speed moves ±20-40% between back-to-back runs with zero local
+        # load (round-9 variance probe: two identical solo bench runs, 135.6
+        # vs 195.0 s). A timing artifact without a host fingerprint cannot
+        # be compared across rounds; record the bench.py calibration probe
+        # at sweep END (start-of-sweep speed is already stale by then).
+        from bench import _calibrate
         with open(_ARGS.timings_out, "w") as f:
             json.dump({"sf_dir": SF_DIR, "timings": timings,
-                       "failures": failures}, f, indent=1, sort_keys=True)
+                       "failures": failures,
+                       "calibration_at_end": _calibrate()},
+                      f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures of "
           f"{len([n for n in qs if not selected or n in selected])}")
     if failures:
