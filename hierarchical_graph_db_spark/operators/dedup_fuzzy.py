@@ -840,6 +840,7 @@ def containment_pairs(
     max_shingle_freq: int | str | None = "auto",
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_set_size: int = 0,
 ) -> DataFrame:
     """Asymmetric set-containment near-dups (Broder 1997's containment
     coefficient, public method): C = |A∩B| / min(|A|,|B|) ≥ threshold —
@@ -866,6 +867,18 @@ def containment_pairs(
       sf1, a 6× regression. One wide shuffle of small rows with map-side
       partial aggregation beats a 3.7×-pruned candidate set that ships
       arrays. The hot-shingle guard remains the skew lever.
+
+    ``min_set_size`` (for absolute-cap scale runs, same contract as
+    :func:`ngram_jaccard_pairs`): containment is MORE abstention-sensitive
+    than Jaccard — C = |A∩B| / min(|A|,|B|), so a doc whose retained set
+    shrinks to 2-3 rare shingles trivially reaches C = 1.0 against any doc
+    sharing them. Pairs where either side's retained set is smaller than
+    ``min_set_size`` are not emitted; 0 disables. The round-9 Heaps-decade
+    measurement (HEAPS_r9.json) is why the cap mode exists for containment
+    specifically: under the default ``auto`` cutoff (which scales with N),
+    Zipf-head shingles pruned at small N are re-admitted as N grows and
+    containment's decade wall ran ~2× the linear MinHash yardstick; a
+    fixed cap restores the Σ_{df≤c} df² ≤ c·|shingle rows| linear bound.
     """
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sh = _prune_hot_shingles(sh, docs, max_shingle_freq)
@@ -890,6 +903,8 @@ def containment_pairs(
     )
     return (
         scored.where(F.col("_c") >= threshold)
+        .where((F.least("size_a", "size_b") >= F.lit(min_set_size))
+               if min_set_size else F.lit(True))
         .select("id_a", "id_b",
                 F.round("_c", 6).alias("containment"),
                 F.round("_j", 6).alias("jaccard"))

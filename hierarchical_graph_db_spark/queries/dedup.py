@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from hierarchical_graph_db_spark.io import Catalog
 from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+    containment_pairs,
     duplicate_spans,
     exact_duplicates,
     minhash_lsh_candidates,
@@ -770,6 +771,67 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return containment_pairs(Catalog(spark, sf_dir).documents,
                              threshold=0.7)
+
+
+@query(
+    "dedup_containment_capped",
+    f"""
+    WITH toks AS (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    ),
+    sh AS (
+        SELECT DISTINCT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    -- ABSOLUTE cutoff (64), mirroring max_shingle_freq=64 in the Spark plan
+    shf AS (
+        SELECT sh.id, sh.shingle
+        FROM sh
+        JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) f
+          USING (shingle)
+        WHERE f.df <= 64
+    ),
+    sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / least(sa.n, sb.n), 6) AS containment,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / least(sa.n, sb.n) >= 0.7
+      AND least(sa.n, sb.n) >= 20
+    """,
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment under an ABSOLUTE hot-shingle cap (``max_shingle_freq=64``,
+    ``min_set_size=20``) — the scale mode the round-9 Heaps-decade
+    measurement showed containment NEEDS (HEAPS_r9.json): under the default
+    ``auto`` cutoff (max(1000, N/100), which grows with the corpus),
+    Zipf-head shingles pruned at small N are re-admitted as N grows, and
+    containment's sf1→sf10 wall ran ~2× the same-run MinHash-LSH linear
+    yardstick. The fixed cap bounds the matched-pair stream at
+    Σ_{{df≤64}} df² ≤ 64·|shingle rows| — linear — and the ≥20-retained-
+    shingles abstention guard matters MORE here than for Jaccard: C uses
+    min(|A|,|B|), so a 2-shingle retained set trivially reaches C = 1.0
+    against anything sharing those shingles. Same operator, same oracle
+    replay, different cutoff contract (trade documented in
+    operators/dedup_fuzzy.py:containment_pairs)."""
+    return containment_pairs(Catalog(spark, sf_dir).documents,
+                             threshold=0.7, max_shingle_freq=64,
+                             min_set_size=20)
 
 
 #: Oracle for BOTH incremental-dedup forms (batch index probe and the

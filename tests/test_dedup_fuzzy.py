@@ -445,3 +445,76 @@ def test_incremental_dedup_rejects_mismatched_index(spark):
     rows = {r["doc_id"]: r for r in incremental_minhash_dedup(
         existing.where("1 = 0"), new, index=empty).collect()}
     assert not rows[2]["is_duplicate"]
+
+
+def test_containment_capped_brute_force_and_abstention(spark):
+    """Absolute-cap containment (round 9): pairs must equal a brute force
+    over the CAPPED shingle sets (shingles with df > cap removed), and the
+    min_set_size abstention guard must suppress verdicts from sets the cap
+    shrank too far — containment is especially abstention-sensitive since
+    C uses min(|A|,|B|): a 2-shingle retained set reaches C = 1.0 against
+    anything sharing those shingles."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        containment_pairs,
+        shingles,
+    )
+
+    hot = " ".join(f"common{i} common{i} filler" for i in range(4))
+    docs = spark.createDataFrame(
+        [
+            # 1 ⊂ 2 with plenty of RARE shingles on both sides
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            # 3 and 4 share only shingles that the df cap (df > 2) removes
+            # once 5 repeats them — any verdict for (3,4) is cap leakage
+            (3, hot),
+            (4, hot + " ending differs here though"),
+            (5, hot),
+            # 6/7: exact dups whose WHOLE (tiny) shingle sets survive the
+            # cap (df=2) and reach C=1.0 — but only 3 retained shingles,
+            # below the guard: the pair MUST abstain, not verdict
+            (6, "zebra quokka lemur wombat axolotl"),
+            (7, "zebra quokka lemur wombat axolotl"),
+        ],
+        "doc_id: bigint, text: string")
+    cap, guard = 2, 8
+
+    got = {(r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+           for r in containment_pairs(
+               docs, threshold=0.7, n=3,
+               max_shingle_freq=cap, min_set_size=guard).collect()}
+
+    # brute force over the capped sets, with the same abstention guard
+    rows = shingles(docs, n=3).collect()
+    df_count: dict[str, int] = {}
+    for r in rows:
+        df_count[r["shingle"]] = df_count.get(r["shingle"], 0) + 1
+    sets: dict[int, set] = {}
+    for r in rows:
+        if df_count[r["shingle"]] <= cap:
+            sets.setdefault(r["id"], set()).add(r["shingle"])
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0 or min(len(sets[a]), len(sets[b])) < guard:
+                continue
+            c = inter / min(len(sets[a]), len(sets[b]))
+            if c >= 0.7:
+                want[(a, b)] = (round(c, 6),
+                                round(inter / len(sets[a] | sets[b]), 6))
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][0] == 1.0  # subsumption survives cap
+    # the hot-set trio must abstain (retained sets shrink below the guard),
+    # not report spurious C=1.0 verdicts
+    assert not any({a, b} & {3, 4, 5} for a, b in got)
+    # guard is load-bearing: (6,7) share all 3 retained shingles (C=1.0)
+    # yet sit below min_set_size — abstained here, present without the guard
+    assert (6, 7) not in got
+    unguarded = {(r["id_a"], r["id_b"])
+                 for r in containment_pairs(
+                     docs, threshold=0.7, n=3,
+                     max_shingle_freq=cap, min_set_size=0).collect()}
+    assert (6, 7) in unguarded
