@@ -248,17 +248,32 @@ def lsh_band_table(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
              F.col("bk.band_key").alias("band_key"))
 
 
-def _validate_lsh_index(index: DataFrame, n_hashes: int, bands: int) -> None:
+def _validate_lsh_index(index: DataFrame, n_hashes: int, bands: int,
+                        existing: DataFrame | None = None,
+                        n: int | None = None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> None:
     """Fail loudly when a persisted LSH index was built with different
-    parameters than the probe side (ADVICE r8): a mismatched index makes
+    parameters than the probe side (ADVICE r8/r9): a mismatched index makes
     the sha-derived band keys never collide, so every batch doc would be
-    silently reported non-duplicate. Three cheap checks:
+    silently reported non-duplicate. Checks, cheapest first:
 
     * schema: the (id, band, band_key) columns must exist (no job);
-    * band range: ``max(band) == bands - 1`` — parquet aggregate pushdown
-      answers this from footer stats, no data scan on a persisted table;
-    * rows-per-band: one LIMIT-1 row's band_key must '|'-join exactly
-      ``n_hashes // bands`` minhashes.
+    * band range + rows-per-band, ONE aggregate pass: ``max(band)`` must be
+      ``bands - 1`` and ``min/max(size(split(band_key,'|')))`` must both be
+      ``n_hashes // bands``. The min/max over the WHOLE index (not a
+      LIMIT-1 sample, ADVICE r9) also catches a heterogeneous index — e.g.
+      two appended generations built with different ``n_hashes`` — that a
+      sampled row would miss. Cost: one single-column scan, no shuffle,
+      once per batch;
+    * ``n`` / text-normalization mismatch (ADVICE r9): an index built with
+      a different shingle size has an IDENTICAL (band, band_key) shape but
+      disjoint key values — the silent zero-duplicate mode the shape checks
+      can't see. When ``existing`` and ``n`` are given, recompute ONE
+      existing doc's band keys with the probe-side parameters and require
+      at least one to appear in the index (an equality filter the parquet
+      scan pushes down). Skipped when the sampled doc yields no shingles
+      (text shorter than ``n``).
 
     An empty index (fresh corpus) passes — there is nothing to mismatch.
     """
@@ -268,21 +283,38 @@ def _validate_lsh_index(index: DataFrame, n_hashes: int, bands: int) -> None:
             f"LSH index is missing column(s) {sorted(missing)}; expected the "
             "(id, band, band_key) table produced by lsh_band_table()")
     probe_rows = n_hashes // bands
-    max_band = index.select(F.max("band").alias("mb")).first()["mb"]
-    if max_band is None:
+    stats = index.select(
+        F.max("band").alias("mb"),
+        F.min(F.size(F.split("band_key", "[|]"))).alias("lo"),
+        F.max(F.size(F.split("band_key", "[|]"))).alias("hi"),
+    ).first()
+    if stats["mb"] is None:
         return
-    if max_band != bands - 1:
+    if stats["mb"] != bands - 1:
         raise ValueError(
-            f"LSH index max(band) == {max_band} but the probe side expects "
-            f"{bands - 1} (bands={bands}): index and probe parameters "
-            "disagree")
-    head = index.select("band_key").limit(1).collect()
-    got_rows = len(head[0]["band_key"].split("|"))
-    if got_rows != probe_rows:
+            f"LSH index max(band) == {stats['mb']} but the probe side "
+            f"expects {bands - 1} (bands={bands}): index and probe "
+            "parameters disagree")
+    if stats["lo"] != probe_rows or stats["hi"] != probe_rows:
         raise ValueError(
-            f"LSH index band_key joins {got_rows} minhashes per band but the "
-            f"probe side expects {probe_rows} (n_hashes={n_hashes} / "
-            f"bands={bands}): index and probe parameters disagree")
+            f"LSH index band_key joins {stats['lo']}..{stats['hi']} minhashes "
+            f"per band but the probe side expects {probe_rows} "
+            f"(n_hashes={n_hashes} / bands={bands}): index and probe "
+            "parameters disagree (a min≠max range means a heterogeneous "
+            "index — generations built with different parameters)")
+    if existing is not None and n is not None:
+        sample = existing.select(F.col(id_col), F.col(text_col)).limit(1)
+        keys = [r["band_key"] for r in lsh_band_table(
+            sample, n_hashes=n_hashes, bands=bands, n=n,
+            id_col=id_col, text_col=text_col,
+        ).select("band_key").collect()]
+        if keys and index.where(
+                F.col("band_key").isin(keys)).limit(1).count() == 0:
+            raise ValueError(
+                "LSH index does not contain any band key recomputed from an "
+                f"existing-corpus doc with the probe-side parameters "
+                f"(n={n}, n_hashes={n_hashes}, bands={bands}): the index was "
+                "built with a different shingle size or text normalization")
 
 
 def incremental_minhash_dedup(
@@ -324,7 +356,9 @@ def incremental_minhash_dedup(
     NULL (is_duplicate false) for batch docs with no match.
     """
     if index is not None:
-        _validate_lsh_index(index, n_hashes=n_hashes, bands=bands)
+        _validate_lsh_index(index, n_hashes=n_hashes, bands=bands,
+                            existing=existing, n=n,
+                            id_col=id_col, text_col=text_col)
     idx = index if index is not None else lsh_band_table(
         existing, n_hashes=n_hashes, bands=bands, n=n,
         id_col=id_col, text_col=text_col)
@@ -879,6 +913,19 @@ def containment_pairs(
     Zipf-head shingles pruned at small N are re-admitted as N grows and
     containment's decade wall ran ~2× the linear MinHash yardstick; a
     fixed cap restores the Σ_{df≤c} df² ≤ c·|shingle rows| linear bound.
+
+    .. warning:: **the default ``auto`` cutoff is the ORACLE/BASELINE form,
+       not the scale path** (decision pinned in PLANS.md §Round-10). It is
+       N-complete — no pair is ever abstained — which is what an exactness
+       oracle needs, and it is what the ``dedup_containment_pairs``
+       registry query differential-tests. At corpus scale it is a MEASURED
+       liability: 2.03× the linear MinHash yardstick across the
+       sf1→sf10 Heaps decade (HEAPS_r9.json), mechanism understood
+       (``greatest(1000, N/100)`` re-admits Zipf-head shingles as N
+       grows). Production 100 TB runs should pass a FIXED
+       ``max_shingle_freq`` cap with ``min_set_size ≥ 20`` — the
+       ``dedup_containment_capped`` registry query's hash-checked
+       contract (queries/dedup.py).
     """
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     sh = _prune_hot_shingles(sh, docs, max_shingle_freq)

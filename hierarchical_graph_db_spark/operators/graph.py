@@ -20,6 +20,8 @@ which are shallow).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
@@ -41,18 +43,69 @@ from hierarchical_graph_db_spark.materialize import materialize
 #: per-vertex ranks are ~1/|V|, so a vertex keeps ``15 - log10(|V|)``
 #: significant digits — 9 at a million vertices, 6 at a billion. Per-edge
 #: contributions ``rank/out_degree`` truncate to 0 below 5e-16, so mass is
-#: silently lost once ``|V| · max_out_degree`` approaches 1e15; beyond that
-#: regime, quantize ``rank·|V|`` instead (relative grid) and rescale the
-#: oracle identically.
+#: silently lost once ``|V| · max_out_degree`` approaches 1e15. Beyond that
+#: regime the iterative rankers switch (``grid="auto"``) to the RELATIVE
+#: grid below, which quantizes ``rank·|V|`` instead.
 _RANK_FP = 1_000_000_000_000_000
 
+#: Worst-case exact-bigint budget for one fixed-point mass sum: total rank
+#: mass is ≤ 1, so a factor-FP quantization sums to ≤ FP quanta; keeping
+#: FP ≤ 8e18 leaves ~15% headroom under the int64 ceiling (9.22e18).
+_FP_BUDGET = 8_000_000_000_000_000_000
 
-def _fp_sum(col):
+#: ``grid="auto"`` switches absolute → relative above this vertex count.
+#: Justification: the smallest per-edge contribution is ≥ (1-d)/(n·d_out)
+#: ≥ 0.15/n² (out-degree ≤ n), which stays above the absolute grid's
+#: 5e-16 truncation floor while n ≤ √(0.15/5e-16) ≈ 1.7e7 — so below this
+#: threshold the absolute grid provably loses NO contribution quantum and
+#: the two grids agree to within one 1e-15 quantum per term.
+_AUTO_GRID_MAX_N = 10_000_000
+
+
+def _relative_fp(n: int) -> int:
+    """Relative-grid factor for an n-vertex graph: quantize ``rank·n``
+    (≈ 1 per typical vertex) on the finest power-of-ten grid 1/Q whose
+    worst-case sum (total mass 1 → n·Q quanta) fits ``_FP_BUDGET``;
+    expressed as a factor on ``rank`` itself, i.e. n·Q.
+
+    Why this beats the absolute grid at scale: a per-edge contribution
+    ``rank/out_degree ≈ 1/(n·d)`` lands on the relative grid at
+    ``n·rank/d ≈ 1/d`` — representable independent of |V| (truncation now
+    needs d > 2Q, impossible while n² < 2·budget, and loses < 0.5/Q of
+    total mass even past that). The multiply ``x·(n·Q)`` can exceed 2^53
+    for hub-sized ranks, so individual quanta may round off-by-one from
+    the mathematically nearest integer — still a pure function of the
+    term, so order-independence and cross-engine reproducibility hold.
+    """
+    n = max(n, 1)
+    q = 1
+    while q < _RANK_FP and n * q * 10 <= _FP_BUDGET:
+        q *= 10
+    return n * q
+
+
+def _resolve_fp(n: int, grid: str) -> int:
+    """Pick the fixed-point factor for a run: ``absolute`` = the 1e-15
+    grid (the registry/oracle contract), ``relative`` = :func:`_relative_fp`,
+    ``auto`` = absolute within its provably-exact regime (n ≤ 1e7), relative
+    beyond. ``SPARK_GRAFT_RANK_GRID`` overrides for verification sweeps."""
+    grid = os.environ.get("SPARK_GRAFT_RANK_GRID", grid)
+    if grid == "absolute":
+        return _RANK_FP
+    if grid == "relative":
+        return _relative_fp(n)
+    if grid == "auto":
+        return _RANK_FP if n <= _AUTO_GRID_MAX_N else _relative_fp(n)
+    raise ValueError(f"grid must be absolute|relative|auto, got {grid!r}")
+
+
+def _fp_sum(col, fp: int = _RANK_FP):
     """Order-independent sum of a [0,1] rank-mass column: quantize each term
-    to an absolute 1e-15 grid as bigint, sum exactly, rescale. NULL-on-empty
-    like ``sum``. See the ``_RANK_FP`` note for the |V| precision ceiling."""
-    return (F.sum(F.round(col * F.lit(_RANK_FP)).cast("bigint"))
-            / F.lit(float(_RANK_FP)))
+    to a 1/fp grid as bigint, sum exactly, rescale. NULL-on-empty like
+    ``sum``. See the ``_RANK_FP`` note for the |V| precision ceiling of the
+    default absolute grid and :func:`_relative_fp` for the scale path."""
+    return (F.sum(F.round(col * F.lit(float(fp))).cast("bigint"))
+            / F.lit(float(fp)))
 
 
 def _materialize_counted(df: DataFrame) -> tuple[DataFrame, Observation]:
@@ -178,7 +231,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataFrame:
+def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
+             grid: str = "auto") -> DataFrame:
     """PageRank over (src, dst) edges → (id, rank). Fixed iteration count.
 
     rank = (1-d)/N + d·Σ rank(in)/out_degree(in); dangling mass redistributed
@@ -189,6 +243,15 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
     commutes under partial aggregation, so the result is bit-identical
     across partition counts, execution modes, and engines — the ``hits()``
     hardening applied here (VERDICT r7 "what's wrong" item 1).
+
+    ``grid`` picks the quantization (see ``_resolve_fp``): ``"absolute"``
+    is the 1e-15 grid the registry oracle unrolls; ``"relative"`` quantizes
+    ``rank·|V|`` so per-edge contributions stay representable at any |V|
+    (the billion-vertex path — the absolute grid silently truncates
+    contributions below 5e-16); ``"auto"`` (default) uses absolute inside
+    its provably-lossless regime (|V| ≤ 1e7, where both grids agree) and
+    relative beyond, so fixture-scale results are oracle-stable and the
+    100× regime conserves mass without a caller decision.
     """
     vertices = (
         edges.select(F.col("src").alias("id"))
@@ -196,6 +259,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
         .distinct()
     ).transform(materialize)
     n = vertices.count()
+    fp = _resolve_fp(n, grid)
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
     ).transform(materialize)
@@ -215,13 +279,14 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
                 (F.col("rank") / F.col("out_degree")).alias("contrib"),
             )
             .groupBy("id")
-            .agg(_fp_sum(F.col("contrib")).alias("in_rank"))
+            .agg(_fp_sum(F.col("contrib"), fp).alias("in_rank"))
         )
         # Dangling mass as a broadcast 1-row aggregate INSIDE the plan — no
         # driver collect per iteration (one extra job each round at scale).
         dangling = (
             ranks.join(out_deg, on="id", how="left_anti")
-            .agg(F.coalesce(_fp_sum(F.col("rank")), F.lit(0.0)).alias("dangling"))
+            .agg(F.coalesce(_fp_sum(F.col("rank"), fp),
+                            F.lit(0.0)).alias("dangling"))
         )
         ranks = (
             vertices.join(contrib, on="id", how="left")
@@ -238,7 +303,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85) -> DataF
     return ranks
 
 
-def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
+def hits(edges: DataFrame, n_iter: int = 8, grid: str = "auto") -> DataFrame:
     """HITS hubs/authorities (Kleinberg 1999, public algorithm) over
     (src, dst) edges → (id, hub, auth). Fixed iteration count, max-norm
     each half-step (deterministic and SQL-replayable, unlike an L2 norm's
@@ -255,7 +320,18 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     current hubs, then hubs from new authorities); the max is a broadcast
     1-row aggregate inside the plan, never a driver collect. Multi-edges
     weight by multiplicity, matching :func:`pagerank`.
+
+    ``grid`` is accepted for API symmetry with :func:`pagerank` /
+    :func:`personalized_pagerank` and validated, but HITS state is ALREADY
+    scale-relative: max-normalization pins the top score at 1.0 each
+    half-step, so per-term magnitudes don't shrink with |V| and the 1e-6
+    state grid has no |V|-dependent truncation cliff. Output is identical
+    in every mode. The one |V| ceiling here is sum overflow (|V|·1e6
+    quanta per aggregate → int64-safe to ~9e12 vertices, far past the
+    advertised regime).
     """
+    if grid not in ("absolute", "relative", "auto"):
+        raise ValueError(f"grid must be absolute|relative|auto, got {grid!r}")
     # Materialize the edge table once: each of the 2·n_iter half-step
     # joins otherwise re-evaluates the caller's edge derivation (for the
     # interaction graph, a window over the full events table — 16 corpus
@@ -542,7 +618,8 @@ def sequential_interaction_edges(events: DataFrame) -> DataFrame:
 
 def personalized_pagerank(edges: DataFrame, sources: DataFrame,
                           n_iter: int = 10,
-                          damping: float = 0.85) -> DataFrame:
+                          damping: float = 0.85,
+                          grid: str = "auto") -> DataFrame:
     """Personalized PageRank: teleport (and dangling) mass flows to the
     ``sources`` vertex set instead of uniformly — the "similarity to these
     seeds" ranking used for recommendations and seed-expansion retrieval.
@@ -550,13 +627,16 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     Same plan shape as :func:`pagerank` (degree pre-join, per-iteration
     contribution aggregate, dangling mass as a broadcast 1-row aggregate,
     materialization per round to cut lineage); the only delta is the
-    per-vertex ``reset`` column replacing the uniform 1/N terms.
+    per-vertex ``reset`` column replacing the uniform 1/N terms. ``grid``
+    follows :func:`pagerank` (total rank mass is ≤ 1 here too, so the same
+    absolute/relative fixed-point budgets apply).
     """
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     ).transform(materialize)
+    fp = _resolve_fp(vertices.count(), grid)
     src_ids = vertices.join(sources.select("id").distinct(), on="id",
                             how="left_semi").transform(materialize)
     n_s = src_ids.count()
@@ -584,11 +664,12 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
                 (F.col("rank") / F.col("out_degree")).alias("contrib"),
             )
             .groupBy("id")
-            .agg(_fp_sum(F.col("contrib")).alias("in_rank"))
+            .agg(_fp_sum(F.col("contrib"), fp).alias("in_rank"))
         )
         dangling = (
             ranks.join(out_deg, on="id", how="left_anti")
-            .agg(F.coalesce(_fp_sum(F.col("rank")), F.lit(0.0)).alias("dangling"))
+            .agg(F.coalesce(_fp_sum(F.col("rank"), fp),
+                            F.lit(0.0)).alias("dangling"))
         )
         ranks = (
             base.join(contrib, on="id", how="left")
@@ -649,7 +730,17 @@ def link_prediction(edges: DataFrame, min_common: int = 2,
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),
-            F.round(F.sum(1.0 / F.log("w_degree")), 6).alias("adamic_adar"),
+            # Fixed-point bigint partials (hits-style): each 1/ln(degree)
+            # witness term quantizes to a 1e-9 grid before summation, so the
+            # score — and therefore the SET of rows surviving a rank-k cut —
+            # is order-independent across partitionings and engines (terms
+            # ≤ 1/ln2 ≈ 1.44 → ≤ 1.45e9 quanta; int64-safe to ~6.3e9
+            # witnesses per pair). The oracle mirrors the same grid.
+            F.round(
+                F.sum(F.round((1.0 / F.log("w_degree"))
+                              * F.lit(1_000_000_000.0)).cast("bigint"))
+                / F.lit(1_000_000_000.0), 6
+            ).alias("adamic_adar"),
         )
         .where(F.col("common_neighbors") >= min_common)
     )

@@ -89,6 +89,11 @@ def resample_gapfill(events: DataFrame, key_col: str = "user_id",
         F.col("obs_reading").isNull().alias("gap_filled"),
     )
     if trailing is not None:
+        # Enforce, don't document (the step-parameter stance above):
+        # trailing ≤ 0 would build "interval -1 <unit>" and silently
+        # return an empty frame instead of the caller's mistake.
+        if trailing < 1:
+            raise ValueError(f"trailing must be >= 1 bucket, got {trailing!r}")
         filled = filled.where(
             F.col("bucket") >= F.col("hi") - F.expr(
                 f"interval {trailing - 1} {unit}")

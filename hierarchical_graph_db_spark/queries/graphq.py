@@ -459,7 +459,10 @@ def graph_weighted_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
         SELECT a.src AS a, b.src AS b,
                CAST(count(*) AS BIGINT) AS common_neighbors,
-               round(sum(1.0 / ln(d.w_degree)), 6) AS adamic_adar
+               -- same 1e-9 fixed-point witness grid as the operator, so the
+               -- rank-10 cut selects the identical row set in both engines
+               round(sum(CAST(round(1.0 / ln(d.w_degree) * 1000000000)
+                              AS BIGINT)) / 1000000000.0, 6) AS adamic_adar
         FROM sym a
         JOIN sym b ON a.dst = b.dst AND a.src < b.src
         JOIN deg d ON d.w = a.dst

@@ -111,6 +111,19 @@ def test_resample_gapfill_rejects_subunit_step(spark):
         resample_gapfill(ev, step="hour")
 
 
+def test_resample_gapfill_rejects_nonpositive_trailing(spark):
+    """trailing <= 0 would build 'interval -1 <unit>' and silently return an
+    empty frame; enforce instead of document, like the step check
+    (ADVICE r9)."""
+    import pytest
+
+    ev = spark.createDataFrame([Row(user_id=1, ts=_ts(1), value=1.0)])
+    with pytest.raises(ValueError, match="trailing"):
+        resample_gapfill(ev, trailing=0).collect()
+    with pytest.raises(ValueError, match="trailing"):
+        resample_gapfill(ev, trailing=-2).collect()
+
+
 # ---------------------------------------------------------------------------
 # SCD Type 2 history build
 # ---------------------------------------------------------------------------
