@@ -199,6 +199,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+@query("graph_pagerank_relative", _pagerank_oracle())
+def graph_pagerank_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank under the RELATIVE fixed-point grid (round 10): quantize
+    ``rank·|V|`` instead of ``rank``, so per-edge contributions
+    ``rank/out_degree`` stay representable at ANY vertex count — the
+    billion-vertex path that closes the absolute 1e-15 grid's documented
+    mass-leak cliff (operators/graph.py:_relative_fp). The ORACLE IS THE
+    SAME absolute-grid unroll as ``graph_pagerank``: inside the absolute
+    grid's provably-lossless regime (|V| ≤ 1e7 — every fixture scale) the
+    two grids agree to the 6dp output exactly, and this query existing in
+    the registry makes that equivalence driver-checked every round, not
+    just pytest-checked (tests/test_graph.py::
+    test_rank_grid_modes_agree_at_fixture_scale covers the mechanism;
+    test_rank_grid_mass_conservation pins the regime where they MUST
+    diverge)."""
+    ev = Catalog(spark, sf_dir).events
+    edges = sequential_interaction_edges(ev).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    ranks = pagerank(edges, n_iter=10, grid="relative")
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def _hits_oracle(n_iter: int = 8) -> str:
     """DuckDB twin of ``operators.graph.hits``: each iteration's authority
     and hub half-steps unroll into chained MATERIALIZED CTEs with the same

@@ -132,6 +132,48 @@ def verify_query(spark, fixture_dir: str, qname: str, n_sample: int) -> dict:
     out.unpersist()
     sh_f.unpersist()
 
+    parquet_for_empty = os.path.join(fixture_dir.rstrip("/"),
+                                     "documents.parquet")
+    if not positives and not negatives:
+        # Degenerate regime (e.g. the fixed-vocab fixture at sf≥3: every
+        # trigram is hot, nothing is retained, the engine emits 0 rows and
+        # there are no candidate-adjacent pairs to sample). Verify the
+        # EMPTINESS independently: for a deterministic doc sample, recompute
+        # retained sets in Python and require every one to abstain
+        # (< MIN_SET retained shingles) — a sampled proof that 0 rows is the
+        # correct answer, not a silent verifier no-op.
+        sample_ids = [r["doc_id"] for r in
+                      docs.select("doc_id").orderBy(F.xxhash64("doc_id"))
+                      .limit(200).collect()]
+        id_set = set(sample_ids)
+        sets0: dict[int, set[str]] = {}
+        import pyarrow.dataset as ds
+
+        for batch in ds.dataset(parquet_for_empty).to_batches(
+                columns=["doc_id", "text"], batch_size=4096):
+            for i, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                if i in id_set:
+                    sets0[i] = py_shingles(t or "")
+        inv = set().union(*sets0.values()) if sets0 else set()
+        dfc0 = corpus_df_for(parquet_for_empty, inv)
+        non_abstaining = [
+            i for i, ss in sets0.items()
+            if len({s for s in ss if dfc0.get(s, 0) <= CAP}) >= MIN_SET]
+        return {
+            "query": qname,
+            "fixture": fixture_dir,
+            "engine_wall_sec": round(wall, 3),
+            "engine_rows": n_out,
+            "positives_checked": 0,
+            "negatives_checked": 0,
+            "emptiness_check": {
+                "docs_sampled": len(sets0),
+                "non_abstaining_docs": non_abstaining[:10],
+            },
+            "pass": n_out == 0 and not non_abstaining,
+        }
+
     involved_ids = sorted(
         {r["id_a"] for r in positives} | {r["id_b"] for r in positives}
         | {r["id_a"] for r in negatives} | {r["id_b"] for r in negatives})
