@@ -1,4 +1,4 @@
-"""The committed scaling artifacts (round 9: regenerated solo with the
+"""The committed scaling artifacts (round 10: regenerated solo with the
 committed code after the round's last engine change, each embedding a
 host-speed calibration fingerprint) must stay consistent with the
 live registry and with the numbers PLANS.md cites (same artifact-of-record
@@ -22,8 +22,8 @@ def test_timing_artifacts_cover_the_registry_exactly():
     from hierarchical_graph_db_spark.queries import load
 
     registry = set(load())
-    small = set(_timings("VERIFY_r9_timings_sf01.json"))
-    large = set(_timings("VERIFY_r9_timings_sf1.json"))
+    small = set(_timings("VERIFY_r10_timings_sf01.json"))
+    large = set(_timings("VERIFY_r10_timings_sf1.json"))
     assert small == registry, (
         f"sf0.1 artifact drifted from registry: "
         f"missing={sorted(registry - small)[:5]} extra={sorted(small - registry)[:5]}")
@@ -33,8 +33,8 @@ def test_timing_artifacts_cover_the_registry_exactly():
 
 
 def test_plans_decade_headline_matches_artifacts():
-    small = _timings("VERIFY_r9_timings_sf01.json")
-    large = _timings("VERIFY_r9_timings_sf1.json")
+    small = _timings("VERIFY_r10_timings_sf01.json")
+    large = _timings("VERIFY_r10_timings_sf1.json")
     shared = sorted(set(small) & set(large))
     tot_s = sum(small[q] for q in shared)
     tot_l = sum(large[q] for q in shared)
@@ -50,8 +50,8 @@ def test_flagged_set_is_the_documented_one():
     moved to the triangular block decomposition. If a code change
     regresses a query's decade ratio, this fails before a judge finds
     it."""
-    small = _timings("VERIFY_r9_timings_sf01.json")
-    large = _timings("VERIFY_r9_timings_sf1.json")
+    small = _timings("VERIFY_r10_timings_sf01.json")
+    large = _timings("VERIFY_r10_timings_sf1.json")
     flagged = sorted(
         q for q in set(small) & set(large)
         if small[q] > 0 and large[q] / small[q] > 15.0 and large[q] > 10.0)
