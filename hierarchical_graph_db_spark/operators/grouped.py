@@ -49,23 +49,45 @@ from hierarchical_graph_db_spark.materialize import materialize
 
 TREND_SCHEMA = "user_id long, n_events long, slope double"
 
+#: Grouped-UDF bucket fan-out. Per-GROUP Arrow/pandas overhead in
+#: ``applyInPandas`` is ~2-3 ms (measured round 10: 15k single-user groups
+#: cost 41 s of pure framework tax at sf1); grouping by a hash bucket
+#: instead of the user id puts ~n_users/256 users in one vectorized batch
+#: and amortizes that overhead away, while each task still holds only the
+#: bucket's SUMMARY rows (O(1) per user) — the hot-key contract is
+#: untouched because per-user row counts don't change, only how many
+#: users share a Python batch. 256 ≫ any realistic core count, so
+#: cluster parallelism is preserved.
+_UDF_BUCKETS = 256
+
+
+def _bucketed(df: DataFrame, key: str = "user_id") -> DataFrame:
+    return df.withColumn(
+        "_b", F.pmod(F.hash(F.col(key)), F.lit(_UDF_BUCKETS)))
+
 
 def _slope_from_moments(pdf: pd.DataFrame) -> pd.DataFrame:
     """Finalize the OLS slope from pre-aggregated centered moments.
 
-    One input row per user (sxy = Σ(x-x̄)(y-ȳ), sxx = Σ(x-x̄)²) — the
-    grouped-UDF seam where a real pipeline would run model scoring; the
-    group no longer scales with the user's history length."""
-    sxx = float(pdf["sxx_cells"].iloc[0])  # integer cells (units of 1)
-    if sxx == 0.0:
-        slope = None
-    else:
-        s = (float(pdf["sxy_cells"].iloc[0]) / 1000.0) / sxx
-        slope = math.floor(s * 1000000.0 + 0.5) / 1000000.0
+    One input row per user (sxy = Σ(x-x̄)(y-ȳ), sxx = Σ(x-x̄)²), MANY users
+    per pandas batch (hash-bucket grouping) — the grouped-UDF seam where a
+    real pipeline would run model scoring, in its batch-scoring shape.
+    The arithmetic is vectorized float64, element-wise identical IEEE ops
+    to the old one-user-at-a-time form (hash-stable)."""
+    sxx = pdf["sxx_cells"].astype("float64").to_numpy()
+    sxy = pdf["sxy_cells"].astype("float64").to_numpy()
+    # sxx == 0 (constant-ts user) must surface as SQL NULL — per-element
+    # Python floats + None in an object column, exactly the old scalar
+    # path's types through the Arrow boundary
+    slope = [
+        None if x == 0.0
+        else math.floor((y / 1000.0) / x * 1000000.0 + 0.5) / 1000000.0
+        for x, y in zip(sxx, sxy)
+    ]
     return pd.DataFrame(
-        {"user_id": [int(pdf["user_id"].iloc[0])],
-         "n_events": [int(pdf["n_events"].iloc[0])],
-         "slope": [slope]}
+        {"user_id": pdf["user_id"].astype("int64"),
+         "n_events": pdf["n_events"].astype("int64"),
+         "slope": pd.Series(slope, dtype=object, index=pdf.index)}
     )
 
 
@@ -102,7 +124,11 @@ def user_value_trend(events: DataFrame) -> DataFrame:
             F.first("n_events").alias("n_events"),
         )
     )
-    return moments.groupBy("user_id").applyInPandas(
+    # hash-bucket grouping: ~n_users/256 moment rows per pandas batch —
+    # same per-user math, ~250× fewer Arrow group round-trips (the
+    # per-group overhead dominated at sf1: 15k single-user groups ≈ 2.8 ms
+    # each of pure framework tax, PLANS.md §Round-10)
+    return _bucketed(moments).groupBy("_b").applyInPandas(
         _slope_from_moments, schema=TREND_SCHEMA
     )
 
@@ -110,20 +136,32 @@ def user_value_trend(events: DataFrame) -> DataFrame:
 def _ewma_carry_scan(d: float):
     """Per-user sequential scan over CHUNK SUMMARIES (one row per chunk):
     carry-in state for chunk i is the end-of-chunk-(i-1) global (num, den)
-    of the recursion num' = x + d·num, den' = 1 + d·den. Group size is
-    n_events/chunk_size — bounded even for a 10⁸-event hot key."""
+    of the recursion num' = x + d·num, den' = 1 + d·den. The pandas batch
+    holds MANY users' summaries (hash-bucket grouping — the per-group
+    Arrow overhead of one-user groups dominated the whole query at sf1);
+    state resets at each user boundary of the (user_id, chunk_id)-sorted
+    batch, so the per-user arithmetic sequence is byte-identical to the
+    one-user-per-group form. Rows per user = n_events/chunk_size —
+    bounded even for a 10⁸-event hot key; rows per batch = that ×
+    (n_users / _UDF_BUCKETS)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("chunk_id", kind="mergesort")
+        pdf = pdf.sort_values(["user_id", "chunk_id"], kind="mergesort")
         s_num = 0.0
         s_den = 0.0
+        prev_user = None
         out_num = []
         out_den = []
-        for num_end, den_end, ln in zip(
+        for uid, num_end, den_end, ln in zip(
+            pdf["user_id"],
             pdf["num_end"].astype("float64"),
             pdf["den_end"].astype("float64"),
             pdf["chunk_len"],
         ):
+            if uid != prev_user:
+                s_num = 0.0
+                s_den = 0.0
+                prev_user = uid
             out_num.append(s_num)
             out_den.append(s_den)
             dk = d ** int(ln)
@@ -155,9 +193,12 @@ def ewma_values(events: DataFrame, alpha: float = 0.3,
        (num_p = d^p · Σ x_q·d^{-q} over the chunk frame) — the chunk bound
        keeps d^{±p} far inside double range (auto-shrunk for extreme α, see
        below), and the local denominator is the closed-form geometric sum;
-    3. per-chunk end states reduce to ONE summary row each; a per-user
-       ``applyInPandas`` scan over summaries produces each chunk's carry-in
-       (group size = n_chunks, bounded for any history length);
+    3. per-chunk end states reduce to ONE summary row each; a hash-bucketed
+       ``applyInPandas`` scan over summaries (many users per pandas batch,
+       state reset at user boundaries) produces each chunk's carry-in —
+       per-user rows = n_chunks, bounded for any history length, and the
+       bucket grouping amortizes the ~3 ms-per-group Arrow tax that made
+       one-user groups dominate the query at 15k users (round 10);
     4. carries join back co-keyed on (user_id, chunk_id) and the final
        value is (num_local + d^{p+1}·carry_num)/(den_local + d^{p+1}·carry_den),
        rounded to 5dp so engine summation orders can't flip the hash (the
@@ -212,7 +253,7 @@ def ewma_values(events: DataFrame, alpha: float = 0.3,
         F.max_by("lden", "pos").alias("den_end"),
         (F.max("pos") + 1).alias("chunk_len"),
     )
-    carries = summaries.groupBy("user_id").applyInPandas(
+    carries = _bucketed(summaries).groupBy("_b").applyInPandas(
         _ewma_carry_scan(d), schema=CARRY_SCHEMA
     )
     dk1 = F.pow(F.lit(d), F.col("pos") + 1)
