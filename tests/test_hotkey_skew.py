@@ -105,3 +105,27 @@ def test_ewma_hot_key_multi_chunk_matches_pandas(spark):
     assert len(got) == n
     diffs = (got["ewma"].to_numpy() - want.to_numpy())
     assert abs(diffs).max() < 1e-3
+
+
+def test_bucketed_grouping_matches_per_user_grouping(spark, monkeypatch):
+    """Round 10: the grouped UDFs batch MANY users per pandas group
+    (pmod(hash(user_id), 256) — the per-GROUP Arrow tax at 15k single-user
+    groups was ~2.8 ms each and dominated the sf1 wall). The bucket fan-out
+    is a pure batching choice: forcing every user into ONE bucket must give
+    byte-identical results to the production 256-bucket layout, for both
+    the ewma carry scan and the trend finalizer."""
+    import hierarchical_graph_db_spark.operators.grouped as g
+
+    ev = _hot_events(spark, n=20_000)
+
+    ewma_256 = sorted(map(tuple, ewma_values(ev, alpha=0.3,
+                                             chunk_size=64).collect()))
+    trend_256 = sorted(map(tuple, g.user_value_trend(ev).collect()))
+
+    monkeypatch.setattr(g, "_UDF_BUCKETS", 1)
+    ewma_1 = sorted(map(tuple, ewma_values(ev, alpha=0.3,
+                                           chunk_size=64).collect()))
+    trend_1 = sorted(map(tuple, g.user_value_trend(ev).collect()))
+
+    assert ewma_256 == ewma_1
+    assert trend_256 == trend_1
