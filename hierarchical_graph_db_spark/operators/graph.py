@@ -21,6 +21,7 @@ which are shallow).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
@@ -84,19 +85,37 @@ def _relative_fp(n: int) -> int:
     return n * q
 
 
+def _resolve_grid(grid: str) -> str:
+    """Resolve the effective grid MODE (before any |V| count is needed):
+    applies the ``SPARK_GRAFT_RANK_GRID`` sweep override and validates the
+    name. Warns when the override differs from what the caller asked for —
+    a lingering env var in a sweep shell otherwise silently flips every
+    rank query's grid with no indication in the output (ADVICE r10)."""
+    resolved = os.environ.get("SPARK_GRAFT_RANK_GRID", grid)
+    if resolved not in ("absolute", "relative", "auto"):
+        raise ValueError(
+            f"grid must be absolute|relative|auto, got {resolved!r}")
+    if resolved != grid:
+        warnings.warn(
+            f"SPARK_GRAFT_RANK_GRID={resolved!r} overrides the requested "
+            f"grid={grid!r} for this rank computation",
+            RuntimeWarning, stacklevel=3)
+    return resolved
+
+
 def _resolve_fp(n: int, grid: str) -> int:
     """Pick the fixed-point factor for a run: ``absolute`` = the 1e-15
-    grid (the registry/oracle contract), ``relative`` = :func:`_relative_fp`,
-    ``auto`` = absolute within its provably-exact regime (n ≤ 1e7), relative
-    beyond. ``SPARK_GRAFT_RANK_GRID`` overrides for verification sweeps."""
-    grid = os.environ.get("SPARK_GRAFT_RANK_GRID", grid)
+    grid (the registry/oracle contract), ``relative`` = :func:`_relative_fp`
+    (the engine default — no |V| truncation cliff), ``auto`` = absolute
+    within its provably-exact regime (n ≤ 1e7), relative beyond.
+    ``SPARK_GRAFT_RANK_GRID`` overrides for verification sweeps (with a
+    RuntimeWarning when it changes the caller's request)."""
+    grid = _resolve_grid(grid)
     if grid == "absolute":
         return _RANK_FP
     if grid == "relative":
         return _relative_fp(n)
-    if grid == "auto":
-        return _RANK_FP if n <= _AUTO_GRID_MAX_N else _relative_fp(n)
-    raise ValueError(f"grid must be absolute|relative|auto, got {grid!r}")
+    return _RANK_FP if n <= _AUTO_GRID_MAX_N else _relative_fp(n)
 
 
 def _fp_sum(col, fp: int = _RANK_FP):
@@ -232,7 +251,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
-             grid: str = "auto") -> DataFrame:
+             grid: str = "relative") -> DataFrame:
     """PageRank over (src, dst) edges → (id, rank). Fixed iteration count.
 
     rank = (1-d)/N + d·Σ rank(in)/out_degree(in); dangling mass redistributed
@@ -244,14 +263,19 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     across partition counts, execution modes, and engines — the ``hits()``
     hardening applied here (VERDICT r7 "what's wrong" item 1).
 
-    ``grid`` picks the quantization (see ``_resolve_fp``): ``"absolute"``
-    is the 1e-15 grid the registry oracle unrolls; ``"relative"`` quantizes
-    ``rank·|V|`` so per-edge contributions stay representable at any |V|
-    (the billion-vertex path — the absolute grid silently truncates
-    contributions below 5e-16); ``"auto"`` (default) uses absolute inside
-    its provably-lossless regime (|V| ≤ 1e7, where both grids agree) and
-    relative beyond, so fixture-scale results are oracle-stable and the
-    100× regime conserves mass without a caller decision.
+    ``grid`` picks the quantization (see ``_resolve_fp``): ``"relative"``
+    (the DEFAULT since round 11 — decision pinned in PLANS.md §Round-11)
+    quantizes ``rank·|V|`` so per-edge contributions stay representable at
+    any |V| — no truncation cliff at any scale, and inside |V| ≤ 1e7 it
+    agrees with the absolute grid to 6dp (driver-checked every round by
+    ``graph_pagerank_relative`` vs the absolute-grid oracle, multi-JVM
+    verified in MULTIEXEC_r10). ``"absolute"`` is the 1e-15 grid the
+    registry oracle unrolls (kept as the ``graph_pagerank`` query's pinned
+    form for r7-r10 artifact continuity; it silently truncates per-edge
+    contributions below 5e-16 — RANKGRID_r10.json measured a 3.4e-9 mass
+    leak at 12M vertices); ``"auto"`` switches absolute → relative at the
+    1e7 lossless bound (kept for callers who need absolute-grid history
+    compatibility with a scale guard).
     """
     vertices = (
         edges.select(F.col("src").alias("id"))
@@ -303,7 +327,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     return ranks
 
 
-def hits(edges: DataFrame, n_iter: int = 8, grid: str = "auto") -> DataFrame:
+def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
     """HITS hubs/authorities (Kleinberg 1999, public algorithm) over
     (src, dst) edges → (id, hub, auth). Fixed iteration count, max-norm
     each half-step (deterministic and SQL-replayable, unlike an L2 norm's
@@ -321,17 +345,16 @@ def hits(edges: DataFrame, n_iter: int = 8, grid: str = "auto") -> DataFrame:
     1-row aggregate inside the plan, never a driver collect. Multi-edges
     weight by multiplicity, matching :func:`pagerank`.
 
-    ``grid`` is accepted for API symmetry with :func:`pagerank` /
-    :func:`personalized_pagerank` and validated, but HITS state is ALREADY
-    scale-relative: max-normalization pins the top score at 1.0 each
+    Unlike :func:`pagerank` / :func:`personalized_pagerank`, HITS takes NO
+    ``grid`` parameter (the round-10 API symmetry argument is retired,
+    VERDICT r10 "what's wrong" #3 — a parameter that validates and then
+    does nothing invites the wrong mental model): HITS state is ALREADY
+    scale-relative — max-normalization pins the top score at 1.0 each
     half-step, so per-term magnitudes don't shrink with |V| and the 1e-6
-    state grid has no |V|-dependent truncation cliff. Output is identical
-    in every mode. The one |V| ceiling here is sum overflow (|V|·1e6
-    quanta per aggregate → int64-safe to ~9e12 vertices, far past the
-    advertised regime).
+    state grid has no |V|-dependent truncation cliff. The one |V| ceiling
+    here is sum overflow (|V|·1e6 quanta per aggregate → int64-safe to
+    ~9e12 vertices, far past the advertised regime).
     """
-    if grid not in ("absolute", "relative", "auto"):
-        raise ValueError(f"grid must be absolute|relative|auto, got {grid!r}")
     # Materialize the edge table once: each of the 2·n_iter half-step
     # joins otherwise re-evaluates the caller's edge derivation (for the
     # interaction graph, a window over the full events table — 16 corpus
@@ -619,7 +642,7 @@ def sequential_interaction_edges(events: DataFrame) -> DataFrame:
 def personalized_pagerank(edges: DataFrame, sources: DataFrame,
                           n_iter: int = 10,
                           damping: float = 0.85,
-                          grid: str = "auto") -> DataFrame:
+                          grid: str = "relative") -> DataFrame:
     """Personalized PageRank: teleport (and dangling) mass flows to the
     ``sources`` vertex set instead of uniformly — the "similarity to these
     seeds" ranking used for recommendations and seed-expansion retrieval.
@@ -629,14 +652,20 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     materialization per round to cut lineage); the only delta is the
     per-vertex ``reset`` column replacing the uniform 1/N terms. ``grid``
     follows :func:`pagerank` (total rank mass is ≤ 1 here too, so the same
-    absolute/relative fixed-point budgets apply).
+    absolute/relative fixed-point budgets apply); default ``relative``
+    since round 11 (PLANS.md §Round-11).
     """
     vertices = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     ).transform(materialize)
-    fp = _resolve_fp(vertices.count(), grid)
+    # Resolve the grid MODE first and count vertices only when the factor
+    # actually depends on |V| — grid="absolute" previously paid a
+    # vertices.count() Spark job whose result was unused (ADVICE r10).
+    mode = _resolve_grid(grid)
+    fp = _RANK_FP if mode == "absolute" else _resolve_fp(
+        vertices.count(), mode)
     src_ids = vertices.join(sources.select("id").distinct(), on="id",
                             how="left_semi").transform(materialize)
     n_s = src_ids.count()

