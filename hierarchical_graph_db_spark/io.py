@@ -143,3 +143,46 @@ def write_bucketed(df: DataFrame, table: str, path: str,
        .bucketBy(n_buckets, keys[0], *keys[1:])
        .sortBy(*(sort_by or keys))
        .saveAsTable(table))
+
+
+LSH_MANIFEST_NAME = "_lsh_manifest.json"
+
+
+def write_lsh_index(df: DataFrame, table: str, path: str,
+                    n: int = 3, n_hashes: int = 16, bands: int = 4,
+                    n_buckets: int = 64, mode: str = "overwrite") -> dict:
+    """Persist a MinHash-LSH signature index (the ``lsh_band_table`` rows)
+    bucketed on (band, band_key) PLUS its parameter manifest sidecar
+    (VERDICT r10 next-round #2): ``_lsh_manifest.json`` inside the table
+    directory records {schema_version, n, n_hashes, bands, normalization}
+    at build time, so every later probe batch validates compatibility by
+    an O(1) dict comparison instead of re-scanning the corpus-sized
+    band_key column (``incremental_minhash_dedup(index_manifest=...)``).
+    Spark data readers ignore underscore-prefixed files, so the sidecar
+    rides in the same directory as the buckets. Returns the manifest dict
+    (also readable later via :func:`read_lsh_manifest`)."""
+    import json
+
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        lsh_index_manifest,
+    )
+
+    write_bucketed(df, table, path, key=["band", "band_key"],
+                   n_buckets=n_buckets, mode=mode)
+    manifest = lsh_index_manifest(n=n, n_hashes=n_hashes, bands=bands)
+    with open(os.path.join(path, LSH_MANIFEST_NAME), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_lsh_manifest(path: str) -> dict | None:
+    """Read a persisted LSH index's parameter manifest; ``None`` when the
+    index predates manifests (callers then fall back to the deep content
+    check with a warning — see ``incremental_minhash_dedup``)."""
+    import json
+
+    mf = os.path.join(path, LSH_MANIFEST_NAME)
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as fh:
+        return json.load(fh)

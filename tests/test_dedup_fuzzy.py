@@ -503,6 +503,116 @@ def test_incremental_dedup_rejects_heterogeneous_index(spark):
                                   index=mixed).collect()
 
 
+def test_incremental_dedup_manifest_is_o1_happy_path(spark, monkeypatch):
+    """Round 11 (VERDICT r10 #2): with an index_manifest the probe issues
+    NO validation job over the index — the deep content check must not be
+    invoked at all on the happy path (the O(|batch|·bands) contract), and a
+    mismatched manifest raises an O(1) ValueError naming the bad field."""
+    import pytest
+
+    from hierarchical_graph_db_spark.operators import dedup_fuzzy as dfz
+
+    existing = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog")])
+    new = spark.createDataFrame([
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog")])
+    idx = dfz.lsh_band_table(existing, n_hashes=16, bands=4)
+
+    def boom(*a, **k):  # the deep check must stay un-invoked
+        raise AssertionError("deep check ran on the manifest happy path")
+
+    monkeypatch.setattr(dfz, "_validate_lsh_index", boom)
+    ok = dfz.lsh_index_manifest(n=3, n_hashes=16, bands=4)
+    rows = {r["doc_id"]: r for r in dfz.incremental_minhash_dedup(
+        existing, new, n_hashes=16, bands=4, n=3,
+        index=idx, index_manifest=ok).collect()}
+    assert rows[2]["is_duplicate"] and rows[2]["dup_of"] == 1
+
+    # mismatched manifest: raises BEFORE any Spark job over the index
+    bad = dfz.lsh_index_manifest(n=2, n_hashes=32, bands=4)
+    with pytest.raises(ValueError, match="n_hashes: index=32 probe=16"):
+        dfz.incremental_minhash_dedup(
+            existing, new, n_hashes=16, bands=4, n=3,
+            index=idx, index_manifest=bad)
+    # a recipe-tag mismatch (different normalization build) also raises
+    stale = dict(ok, normalization="other-recipe-v0")
+    with pytest.raises(ValueError, match="normalization"):
+        dfz.incremental_minhash_dedup(
+            existing, new, n_hashes=16, bands=4, n=3,
+            index=idx, index_manifest=stale)
+    # schema check still runs (free): missing column raises even with a
+    # correct manifest
+    with pytest.raises(ValueError, match="missing column"):
+        dfz.incremental_minhash_dedup(
+            existing, new, n_hashes=16, bands=4, n=3,
+            index=idx.drop("band_key"), index_manifest=ok)
+
+
+def test_incremental_dedup_no_manifest_warns_and_deep_checks(spark,
+                                                             monkeypatch):
+    """index without a manifest: the deep content check must still run (a
+    wrong-parameter index stays loudly rejected) and the per-batch
+    index-scan tax is surfaced as a RuntimeWarning; deep_check=True forces
+    the content check even WITH a manifest."""
+    import pytest
+
+    from hierarchical_graph_db_spark.operators import dedup_fuzzy as dfz
+
+    existing = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog")])
+    new = spark.createDataFrame([
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog")])
+    idx = dfz.lsh_band_table(existing, n_hashes=16, bands=4)
+
+    calls = []
+    real = dfz._validate_lsh_index
+    monkeypatch.setattr(
+        dfz, "_validate_lsh_index",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+
+    with pytest.warns(RuntimeWarning, match="without an index_manifest"):
+        rows = {r["doc_id"]: r for r in dfz.incremental_minhash_dedup(
+            existing, new, n_hashes=16, bands=4, n=3, index=idx).collect()}
+    assert calls == [1]
+    assert rows[2]["is_duplicate"]
+
+    ok = dfz.lsh_index_manifest(n=3, n_hashes=16, bands=4)
+    dfz.incremental_minhash_dedup(
+        existing, new, n_hashes=16, bands=4, n=3,
+        index=idx, index_manifest=ok, deep_check=True).collect()
+    assert calls == [1, 1]
+
+
+def test_deep_check_tolerates_index_lagging_corpus(spark):
+    """ADVICE r10 (medium): the one-doc band-key recompute must sample a
+    doc the index COVERS — when the corpus has grown past the last index
+    refresh (the natural continuous-ingest cadence), a correctly-built
+    index used to raise a nondeterministic 'different shingle size' error
+    if the unordered limit(1) grabbed an un-indexed doc."""
+    from hierarchical_graph_db_spark.operators import dedup_fuzzy as dfz
+
+    indexed = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog")])
+    # 50 fresh docs appended AFTER the index build, all with distinct text:
+    # an unordered limit(1) over `existing` would almost surely sample one.
+    fresh = spark.createDataFrame([
+        Row(doc_id=100 + i, text=f"fresh unseen document number {i} "
+            f"with extra words {i * 7} and {i * 13}")
+        for i in range(50)])
+    existing = indexed.unionByName(fresh)
+    idx = dfz.lsh_band_table(indexed, n_hashes=16, bands=4, n=3)
+
+    new = spark.createDataFrame([
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog")])
+    # no manifest → deep check path; must NOT raise despite the stale index
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)
+        rows = {r["doc_id"]: r for r in dfz.incremental_minhash_dedup(
+            existing, new, n_hashes=16, bands=4, n=3, index=idx).collect()}
+    assert rows[2]["is_duplicate"] and rows[2]["dup_of"] == 1
+
+
 def test_containment_capped_brute_force_and_abstention(spark):
     """Absolute-cap containment (round 9): pairs must equal a brute force
     over the CAPPED shingle sets (shingles with df > cap removed), and the

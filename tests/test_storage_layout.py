@@ -161,24 +161,42 @@ def test_persisted_lsh_index_probe_round_trip(spark, sf_dir, tmp_path):
     """VERDICT r7 item 3: the incremental fuzzy dedup probes the PERSISTED
     LSH signature index (bucketed by (band, band_key)) and produces exactly
     the result of probing a recomputed index; the probe join reads the
-    stored index side without an Exchange."""
-    from hierarchical_graph_db_spark.io import write_bucketed
+    stored index side without an Exchange. Round 11: the writer is
+    ``write_lsh_index``, which drops the ``_lsh_manifest.json`` parameter
+    sidecar next to the buckets — the probe validates it O(1) (no
+    deep-check warning, no index scan) and Spark's reader ignores the
+    underscore-prefixed file."""
+    from hierarchical_graph_db_spark.io import (
+        read_lsh_manifest,
+        write_lsh_index,
+    )
     from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
         incremental_minhash_dedup,
         lsh_band_table,
+        lsh_index_manifest,
     )
 
     docs = Catalog(spark, sf_dir).documents
     existing = docs.where(F.col("doc_id") % 3 != 0)
     new = docs.where(F.col("doc_id") % 3 == 0)
     try:
-        write_bucketed(lsh_band_table(existing), "lsh_idx_rt",
-                       str(tmp_path / "lsh_idx_rt"),
-                       key=["band", "band_key"], n_buckets=8)
+        idx_path = str(tmp_path / "lsh_idx_rt")
+        written = write_lsh_index(lsh_band_table(existing), "lsh_idx_rt",
+                                  idx_path, n=3, n_hashes=16, bands=4,
+                                  n_buckets=8)
+        manifest = read_lsh_manifest(idx_path)
+        assert manifest == written == lsh_index_manifest(3, 16, 4)
+        assert read_lsh_manifest(str(tmp_path)) is None  # pre-manifest index
         stored = spark.table("lsh_idx_rt")
+        # the sidecar must not leak into the data scan
+        assert stored.columns == ["id", "band", "band_key"]
 
-        via_stored = sorted(map(tuple, incremental_minhash_dedup(
-            existing, new, index=stored).collect()))
+        import warnings as _w
+        with _w.catch_warnings():
+            _w.simplefilter("error", RuntimeWarning)  # no deep-check warning
+            via_stored = sorted(map(tuple, incremental_minhash_dedup(
+                existing, new, index=stored,
+                index_manifest=manifest).collect()))
         via_recomputed = sorted(map(tuple, incremental_minhash_dedup(
             existing, new).collect()))
         assert via_stored == via_recomputed
