@@ -195,6 +195,17 @@ def ngram_jaccard_pairs(
     # sides); without materialization Spark recomputes the tokenize/shingle
     # projection three times — at corpus scale that triples the scan.
     sh = sh.transform(materialize)
+    return _jaccard_pairs_from_shingles(sh, threshold, min_set_size)
+
+
+def _jaccard_pairs_from_shingles(sh: DataFrame, threshold: float,
+                                 min_set_size: int = 0) -> DataFrame:
+    """The inverted-index count-aggregate Jaccard core over a (pre-pruned,
+    pre-materialized) ``(id, shingle)`` table: self-join on shingle →
+    per-pair ``count`` (map-side partials collapse duplicate keys before
+    the exchange — the matched stream is small fixed-width rows, never
+    arrays) → sizes join → exact J. Shared by :func:`ngram_jaccard_pairs`
+    and :func:`prefix_filter_jaccard_pairs`' ``plan="index"`` strategy."""
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -814,9 +825,47 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = 4,
     )
 
 
+#: ``plan="auto"`` in :func:`prefix_filter_jaccard_pairs` picks the prefix
+#: filter only when the shingle df distribution is head-heavy enough for
+#: prefix pruning to beat the plain inverted index. Decision statistic
+#: (measured round 11, tools/prefix_crossover_probe.py → PLANS.md
+#: §Round-11): the HOT SHARE of the join volume,
+#: ``Σ_{df > HOT_DF} df² / Σ df²`` — the fraction of the inverted-index
+#: self-join's matched rows that hot shingles would carry. That is
+#: exactly the volume frequency-ascending prefix ordering removes from
+#: the join keys, so it directly prices the trade: pay the prefix
+#: machinery (df join + per-doc rank window + per-candidate ARRAY
+#: verification) only when it kills > half the join volume. Measured:
+#: TPC-H-ish documents (flat df, share 0.000 at sf0.1 AND sf1) → index
+#: wins ~2×; Heaps-Zipf sf3 (share 0.646) → prefix wins 1.6×; the
+#: heaps-sf1 boundary point (share 0.396) measured a 9% index win —
+#: both sides of 0.5 are measured, and the boundary regime is a tie.
+PREFIX_PLAN_HOT_DF = 1_000
+PREFIX_PLAN_HOT_SHARE = 0.5
+
+
+def _auto_prefix_plan(sh: DataFrame) -> str:
+    """The ``plan="auto"`` decision for :func:`prefix_filter_jaccard_pairs`:
+    one aggregate over the (materialized) shingle table → 1-row collect
+    (bounded, same class as the k-means codebook pulls) → "prefix" iff the
+    hot-df share of Σdf² exceeds the measured crossover."""
+    st = (
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum(F.col("df") * F.col("df")).alias("v"),
+            F.sum(F.when(F.col("df") > PREFIX_PLAN_HOT_DF,
+                         F.col("df") * F.col("df")).otherwise(0)).alias("hv"),
+        )
+        .first()
+    )
+    share = (st["hv"] or 0) / max(st["v"] or 0, 1)
+    return "prefix" if share > PREFIX_PLAN_HOT_SHARE else "index"
+
+
 def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                                 n: int = 3, id_col: str = "doc_id",
-                                text_col: str = "text") -> DataFrame:
+                                text_col: str = "text",
+                                plan: str = "auto") -> DataFrame:
     """Set-similarity join by PREFIX FILTERING (Chaudhuri et al. 2006 /
     PPJoin, Xiao et al. 2008 — public methods) over word-``n``-gram
     shingle sets: order each document's shingles by ascending global
@@ -840,9 +889,42 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     prefix shingle; verification is row-local array intersection. The
     equivalence with the unfiltered all-pairs join (no false negatives) is
     pinned in tests/test_dedup_fuzzy.py. Returns (id_a, id_b, jaccard)
-    with jaccard ≥ t at 6 dp."""
+    with jaccard ≥ t at 6 dp.
+
+    ``plan`` (round 11, VERDICT r10 next-round #1 — the measured
+    crossover): the prefix filter's win is CONDITIONAL on a head-heavy
+    shingle frequency distribution. On the Heaps-Zipf corpus it beat the
+    plain inverted index (HEAPS_r9: 0.85× vs 1.06× the MinHash yardstick),
+    but on the TPC-H-ish fixture — bounded vocabulary, df distribution
+    flat-ish — it was ~2× SLOWER at sf1 (40 s vs ~20 s): with no rare
+    head to move hot shingles behind, the prefix still indexes ~half of
+    every document's occurrences while paying the df join, the per-doc
+    rank window, and the per-candidate ARRAY verification the index plan
+    never ships. Strategies:
+
+    * ``"prefix"`` — always PPJoin (the high-skew mode);
+    * ``"index"`` — always the plain inverted-index count-aggregate
+      (:func:`_jaccard_pairs_from_shingles`, no df cutoff — TRUE Jaccard,
+      identical output);
+    * ``"auto"`` (default) — :func:`_auto_prefix_plan`: ONE cheap
+      aggregate over the already-materialized shingle rows (1-row
+      collect, the same bounded-collect class as the k-means codebooks)
+      computes the hot-df share of Σdf² and picks prefix iff it exceeds
+      ``PREFIX_PLAN_HOT_SHARE`` — i.e. when hot shingles would carry more
+      than half the index join's matched volume, which is precisely the
+      volume prefix ordering removes from the join keys.
+
+    Both strategies return identical rows (pinned in
+    tests/test_dedup_fuzzy.py::test_prefix_plan_strategies_agree); the
+    DuckDB oracle is plan-independent."""
+    if plan not in ("auto", "prefix", "index"):
+        raise ValueError(f"plan must be auto|prefix|index, got {plan!r}")
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col) \
         .transform(materialize)   # feeds df, ranks, and both arrays
+    if plan == "auto":
+        plan = _auto_prefix_plan(sh)
+    if plan == "index":
+        return _jaccard_pairs_from_shingles(sh, threshold)
     dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rk = sh.join(dfq, "shingle").withColumn(
         "rnk", F.row_number().over(

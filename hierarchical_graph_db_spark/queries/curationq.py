@@ -17,10 +17,8 @@ from pyspark.sql import functions as F
 
 from hierarchical_graph_db_spark.functions.text import llm_token_estimate, quality_metrics
 from hierarchical_graph_db_spark.io import Catalog
-from hierarchical_graph_db_spark.operators.dedup_fuzzy import ngram_jaccard_pairs
-from hierarchical_graph_db_spark.operators.graph import connected_components
 from hierarchical_graph_db_spark.queries import query
-from hierarchical_graph_db_spark.queries.dedup import _NORM
+from hierarchical_graph_db_spark.queries.dedup import _NORM, fuzzy_cc_labels
 from hierarchical_graph_db_spark.queries.textq import _SQL_HITS, _SQL_PIECES, _SQL_TOKENS
 
 _DUP_SQL = f"""
@@ -111,16 +109,11 @@ _EST_TOKENS = (
 def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language curation summary: which documents survive fuzzy dedup
     (cluster keeper) AND the quality gates, and how many estimated LLM
-    tokens the kept set holds."""
+    tokens the kept set holds. Cluster labels come from the shared cached
+    stage (``queries.dedup.fuzzy_cc_labels`` — built once per
+    (run, sf_dir), reused by the resolution/golden-record queries)."""
     docs = Catalog(spark, sf_dir).documents
-
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
-    pad = lambda c: F.lpad(c.cast("string"), 12, "0")
-    cc = connected_components(
-        pairs.select(pad(F.col("id_a")).alias("src"),
-                     pad(F.col("id_b")).alias("dst"))
-    ).select(F.col("id").cast("long").alias("doc_id"),
-             F.col("component").cast("long").alias("keep_id"))
+    cc = fuzzy_cc_labels(spark, sf_dir, threshold=0.5)
 
     m = quality_metrics(F.col("text"))
     quality_ok = (

@@ -34,7 +34,38 @@ def state_results(spark):
 
     workdir = tempfile.mkdtemp(prefix="hgdb_state_gate_")
     try:
-        yield run_all(spark, SF_DIR, workdir, N_CHUNKS)
+        yield run_all(spark, SF_DIR, workdir, N_CHUNKS,
+                      include_sinks=False)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def sink_results(spark):
+    """foreachBatch sink probes (VERDICT r10 next-round #5) with an
+    aggressive vacuum cadence (every 2 batches, keep_last=2) so the
+    bounded-growth ceiling is DISTINGUISHING at 6 batches: without vacuum
+    the snapshot history grows ~n_buckets version dirs per batch."""
+    import os
+
+    from streaming_state_probe import (
+        build_landing,
+        probe_cdc_sink,
+        probe_dedup_sink,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="hgdb_sink_gate_")
+    try:
+        landing = build_landing(spark, SF_DIR,
+                                os.path.join(workdir, "landing"), N_CHUNKS)
+        yield {
+            "dedup": probe_dedup_sink(
+                spark, landing, os.path.join(workdir, "d"),
+                n_buckets=16, vacuum_every=2, keep_last=2),
+            "cdc": probe_cdc_sink(
+                spark, landing, os.path.join(workdir, "c"),
+                n_buckets=16, vacuum_every=2, keep_last=2),
+        }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -95,3 +126,50 @@ def test_cms_state_bounded_by_grid(state_results):
     # hard cap: the grid shape itself, regardless of stream length or
     # distinct-item count
     assert r["max_state_rows"] <= 4 * 64
+
+
+def _sink_gates(r, n_chunks):
+    """Shared ledger/state bounds for a foreachBatch bucketed-store sink."""
+    batches = r["batches"]
+    assert len(batches) >= n_chunks
+    nb, keep, every = r["n_buckets"], r["keep_last"], r["vacuum_every"]
+    for b in batches:
+        # the live manifest maps buckets to versions — FLAT at <= n_buckets
+        # forever, independent of batch count
+        assert b["live_manifest_entries"] <= nb
+        # vacuum bounds the snapshot history: at most `every` un-vacuumed
+        # generations + `keep_last` retained ones, each <= n_buckets dirs,
+        # plus the live generation — a ceiling INDEPENDENT of batch count
+        # (without vacuum this grows ~n_buckets per batch: 6 batches would
+        # reach ~96 > the 64 ceiling here)
+        assert b["version_dirs"] <= nb * (keep + every), \
+            f"version dirs {b['version_dirs']} past the vacuum ceiling"
+        assert b["archived_manifests"] <= keep + every
+        # the pending WAL is cleaned per commit: _meta holds the live
+        # manifest + bounded archives only
+        assert b["meta_files"] <= keep + every + 2
+
+
+def test_dedup_sink_ledger_and_state_bounded(sink_results):
+    """The exactly-once DedupParquetSink across >=6 overlapping-key batches:
+    ledger bounded by the vacuum cadence, store rows EQUAL cumulative
+    distinct keys (idempotent merge — no duplicate rows despite every batch
+    overlapping keys with every earlier one)."""
+    r = sink_results["dedup"]
+    _sink_gates(r, N_CHUNKS)
+    assert r["cumulative_input_rows"] >= 900
+    assert r["store_rows_equal_distinct_keys"], \
+        (r["final_store_rows"], r["expected_distinct_keys"])
+    # store rows are monotone non-decreasing (append-only dedup semantics)
+    rows = [b["store_rows"] for b in r["batches"]]
+    assert rows == sorted(rows)
+
+
+def test_cdc_sink_ledger_and_state_bounded(sink_results):
+    """CdcParquetSink: same ledger bounds; the store converges to exactly
+    the live keys of the one-shot changelog net (deletes applied, monotone
+    sequences respected)."""
+    r = sink_results["cdc"]
+    _sink_gates(r, N_CHUNKS)
+    assert r["store_rows_equal_live_keys"], \
+        (r["final_store_rows"], r["expected_live_keys"])
