@@ -129,3 +129,63 @@ def test_bucketed_grouping_matches_per_user_grouping(spark, monkeypatch):
 
     assert ewma_256 == ewma_1
     assert trend_256 == trend_1
+
+
+def test_grouped_udfs_match_explicit_per_user_reference(spark):
+    """ADVICE r10: bucket-count invariance (256 vs 1) alone can miss a
+    user-boundary reset bug that is invariant in the bucket count. These
+    are DIRECT references computed with explicit per-user pandas groupbys
+    on the raw events — no bucket machinery on the reference side at all.
+
+    * trend: the exact centered-moment + fixed-point-cell arithmetic of
+      user_value_trend replayed per user in pandas — slopes must be
+      byte-identical (every op is a deterministic per-row double op or an
+      order-free integer-cell sum).
+    * ewma: pandas groupby(user).ewm per user vs the chunked+bucketed
+      operator — cross-user state leakage would blow the 1e-9 tolerance
+      by orders of magnitude (adjacent users in a bucket share batches).
+    """
+    import math
+
+    import hierarchical_graph_db_spark.operators.grouped as g
+
+    ev = _hot_events(spark, n=20_000)
+    pdf = ev.toPandas()
+
+    # ---- trend: exact replay of the quantized moment pipeline ----------
+    got = {r["user_id"]: (r["n_events"], r["slope"])
+           for r in g.user_value_trend(ev).collect()}
+    want = {}
+    for uid, grp in pdf.assign(ts_sec=pdf["ts"].astype("int64") // 10**9
+                               ).groupby("user_id"):
+        sx = int(grp["ts_sec"].sum())
+        sy_cells = int(sum(math.floor(v * 1000000.0 + 0.5)
+                           for v in grp["value"]))
+        n = len(grp)
+        mx, my = sx / n, (sy_cells / 1000000.0) / n
+        sxy = sum(math.floor((t - mx) * (v - my) * 1000.0 + 0.5)
+                  for t, v in zip(grp["ts_sec"], grp["value"]))
+        sxx = sum(math.floor((t - mx) * (t - mx) + 0.5)
+                  for t in grp["ts_sec"])
+        slope = (None if sxx == 0
+                 else math.floor((sxy / 1000.0) / sxx * 1000000.0 + 0.5)
+                 / 1000000.0)
+        want[uid] = (n, slope)
+    assert got == want
+
+    # ---- ewma: per-user pandas ewm over event order --------------------
+    out = g.ewma_values(ev, alpha=0.3, chunk_size=64).toPandas()
+    ref = (
+        pdf.sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")["value"]
+        .transform(lambda s: s.ewm(alpha=0.3, adjust=True).mean())
+    )
+    ref_by_event = dict(zip(
+        pdf.sort_values(["user_id", "ts", "event_id"])["event_id"], ref))
+    diffs = [abs(r_ewma - ref_by_event[eid])
+             for eid, r_ewma in zip(out["event_id"], out["ewma"])]
+    assert len(diffs) == len(pdf)
+    # tolerance = the operator's 6dp output rounding + closed-form vs
+    # recursion float drift (measured ~5e-6); a cross-user state leak
+    # shifts early-history values by ~1e-1 — 4 orders past this bar
+    assert max(diffs) < 1e-5
