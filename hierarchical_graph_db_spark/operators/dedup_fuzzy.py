@@ -835,11 +835,13 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = 4,
 #: exactly the volume frequency-ascending prefix ordering removes from
 #: the join keys, so it directly prices the trade: pay the prefix
 #: machinery (df join + per-doc rank window + per-candidate ARRAY
-#: verification) only when it kills > half the join volume. Measured:
-#: TPC-H-ish documents (flat df, share 0.000 at sf0.1 AND sf1) → index
-#: wins ~2×; Heaps-Zipf sf3 (share 0.646) → prefix wins 1.6×; the
-#: heaps-sf1 boundary point (share 0.396) measured a 9% index win —
-#: both sides of 0.5 are measured, and the boundary regime is a tie.
+#: verification) only when it kills > half the join volume. Measured
+#: (CROSSOVER_r11.json): TPC-H-ish documents (flat df, share 0.000 at
+#: sf0.1 AND sf1) → index wins ~2× (20.8 vs 41.0 s at sf1); Heaps-Zipf
+#: sf3 (share 0.646) → prefix wins 1.4× (28.7 vs 41.1 s); the heaps-sf1
+#: boundary point (share 0.396) measured a statistical tie (10.5 vs
+#: 10.6 s) — both sides of 0.5 are measured, and the boundary regime
+#: costs nothing to mispredict.
 PREFIX_PLAN_HOT_DF = 1_000
 PREFIX_PLAN_HOT_SHARE = 0.5
 

@@ -608,11 +608,11 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       shingles (any qualifying pair provably shares one), candidates
       verify by row-local sorted-array intersection. Wins when Zipf-head
       shingles would carry most of the plain index join's volume
-      (heaps-sf3: 28.7 s vs 44.8 s).
+      (heaps-sf3: 28.7 s vs 41.1 s, CROSSOVER_r11.json).
     * plain inverted-index count-aggregate: one self-join on ALL shingles
       whose matched rows collapse map-side. Wins on flat df distributions
-      where the prefix can't prune (driver fixture sf1: 21.7 s vs
-      39.5 s — the former slowest-registry-query, halved).
+      where the prefix can't prune (driver fixture sf1: 20.8 s vs
+      41.0 s — the former slowest-registry-query, halved).
 
     The no-false-negative equivalence of the prefix strategy vs the
     all-pairs join AND the cross-strategy row equality are pinned in
