@@ -1246,3 +1246,130 @@ def graph_path_length_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("avg_distance"),
              F.max("distance").cast("bigint").alias("eccentricity"))
     )
+
+
+# --- Strongly connected components (directed) ------------------------------
+#
+# SCC needs a DIRECTED graph with non-trivial cycle structure; the raw
+# sequential-interaction graph is one giant SCC at every sf (measured round
+# 11), so the query runs on its "strong ties" sparsification: the top-300
+# most-active users, each keeping its 2 heaviest outgoing edges (weight
+# desc, dst asc — deterministic). That rule is scale-invariant (~2·V edges
+# at any sf: sf0.01 → 47 SCCs incl. a 104-vertex giant; sf0.1 → 215) and
+# keeps the oracle's reachability closure bounded (≤ 300² pairs) — the
+# ENGINE never builds a closure (see operators.graph.
+# strongly_connected_components), only the DuckDB twin does.
+
+_SQL_SCC_BASE = """
+    tops AS (SELECT user_id FROM events
+             GROUP BY user_id ORDER BY count(*) DESC, user_id LIMIT 300),
+    raw AS (SELECT user_id AS src,
+                   lead(user_id) OVER (PARTITION BY event_type
+                                       ORDER BY ts, event_id) AS dst
+            FROM events),
+    w AS (SELECT CAST(src AS VARCHAR) s, CAST(dst AS VARCHAR) d,
+                 count(*) AS wt
+          FROM raw
+          WHERE dst IS NOT NULL AND src <> dst
+            AND src IN (SELECT user_id FROM tops)
+            AND dst IN (SELECT user_id FROM tops)
+          GROUP BY 1, 2),
+    edges AS (SELECT s, d FROM (
+        SELECT s, d, row_number() OVER (PARTITION BY s
+                                        ORDER BY wt DESC, d) rn FROM w)
+        WHERE rn <= 2),
+    verts AS (SELECT s AS v FROM edges UNION SELECT d FROM edges),
+    reach AS (WITH RECURSIVE r(a, b) AS (
+                  SELECT s, d FROM edges
+                  UNION
+                  SELECT r.a, e.d FROM r JOIN edges e ON e.s = r.b)
+              SELECT a, b FROM r),
+    mutual AS (SELECT r1.a AS v, r1.b AS u
+               FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+    scc AS (SELECT v.v AS id, least(v.v, coalesce(min(m.u), v.v)) AS scc
+            FROM verts v LEFT JOIN mutual m ON m.v = v.v GROUP BY v.v)
+"""
+
+
+def _strong_tie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-300-active-user, top-2-out-edge sparsification (Spark twin of
+    ``_SQL_SCC_BASE``'s ``edges`` CTE). Tops is a 300-row broadcast; the
+    weight agg is one shuffle on (src, dst); top-2 is a per-src window."""
+    from pyspark.sql.window import Window
+
+    ev = Catalog(spark, sf_dir).events
+    tops = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+            .orderBy(F.col("n_ev").desc(), F.col("user_id")).limit(300)
+            .select("user_id"))
+    w = (
+        sequential_interaction_edges(ev)
+        .join(F.broadcast(tops.withColumnRenamed("user_id", "src")), "src")
+        .join(F.broadcast(tops.withColumnRenamed("user_id", "dst")), "dst")
+        .groupBy(F.col("src").cast("string").alias("s"),
+                 F.col("dst").cast("string").alias("d"))
+        .agg(F.count(F.lit(1)).alias("wt"))
+    )
+    win = Window.partitionBy("s").orderBy(F.col("wt").desc(), F.col("d"))
+    return (w.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") <= 2)
+            .select(F.col("s").alias("src"), F.col("d").alias("dst")))
+
+
+@query(
+    "graph_scc",
+    f"""
+    WITH {_SQL_SCC_BASE},
+    sizes AS (SELECT scc, CAST(count(*) AS BIGINT) AS scc_size
+              FROM scc GROUP BY scc)
+    SELECT s.id, s.scc, z.scc_size FROM scc s JOIN sizes z ON s.scc = z.scc
+    """,
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the strong-tie interaction graph:
+    (id, scc, scc_size) with scc = lexicographic-min member (canonical, so
+    the oracle's reachability-closure computation must agree exactly with
+    the engine's FW-BW-MIN coloring — SCC is algorithm-independent)."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    labels = strongly_connected_components(_strong_tie_edges(spark, sf_dir))
+    sizes = labels.groupBy("scc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("scc_size"))
+    return labels.join(sizes, on="scc").select("id", "scc", "scc_size")
+
+
+@query(
+    "graph_scc_condensation",
+    f"""
+    WITH {_SQL_SCC_BASE}
+    SELECT sa.scc AS scc_src, sb.scc AS scc_dst,
+           CAST(count(*) AS BIGINT) AS cross_edges
+    FROM edges e
+    JOIN scc sa ON sa.id = e.s
+    JOIN scc sb ON sb.id = e.d
+    WHERE sa.scc <> sb.scc
+    GROUP BY 1, 2
+    """,
+)
+def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of :func:`graph_scc`: one row per cross-SCC edge
+    group (scc_src, scc_dst, cross_edges). Contracting SCCs always yields a
+    DAG — the structure dependency-ordering / cycle-breaking passes run on.
+    Same labels as graph_scc (one extra edge→label join, shuffle on id)."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = _strong_tie_edges(spark, sf_dir).transform(materialize)
+    labels = strongly_connected_components(edges)
+    return (
+        edges
+        .join(labels.select(F.col("id").alias("src"),
+                            F.col("scc").alias("scc_src")), on="src")
+        .join(labels.select(F.col("id").alias("dst"),
+                            F.col("scc").alias("scc_dst")), on="dst")
+        .where(F.col("scc_src") != F.col("scc_dst"))
+        .groupBy("scc_src", "scc_dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cross_edges"))
+    )
