@@ -561,6 +561,126 @@ def near_duplicate_pairs(
             .dropDuplicates(["id_a", "id_b"]))
 
 
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 8,
+    pool: int = 40,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
+    SIGIR 1998) — the standard redundancy-penalized re-rank for retrieval /
+    RAG context selection: greedily pick
+
+        argmax_{d ∉ S}  λ·rel(d) − (1−λ)·max_{s ∈ S} sim(d, s)
+
+    Output: (query_id, rnk, neighbor_id, relevance, mmr).
+
+    Two-stage plan, matching how MMR is deployed at corpus scale:
+
+    1. *Candidate generation* (distributed, the 100 TB part):
+       :func:`brute_force_topk` exact-cosine top-``pool`` per query — query
+       side broadcasts, corpus only scans; swap in the ANN paths for larger
+       pools. Candidate pairwise similarities are one bounded per-query
+       self-join (|Q|·pool² rows), also distributed.
+    2. *Greedy selection* (bounded driver kernel): ``k`` steps over ≤
+       |Q|·pool candidates — O(k·|Q|·pool) integer ops on a
+       constant-bounded table, the same contract as the centroid /
+       merge-table pulls elsewhere (NOT an unbounded collect; the corpus
+       never leaves the cluster).
+
+    Exactness contract: relevance and pairwise cosines are rounded to 5dp
+    (the module convention), then lifted to ×1e5 bigints; the MMR objective
+    is the exact integer ``lam_num·rel5 − (lam_den−lam_num)·sim5`` with
+    ties broken by neighbor id — no float accumulation anywhere, so the
+    selection is bit-reproducible across engines (the DuckDB oracle unrolls
+    the same greedy steps as chained CTEs).
+    """
+    if not 0 < lam_num <= lam_den:
+        raise ValueError(f"need 0 < lam_num <= lam_den, got {lam_num}/{lam_den}")
+    cand = brute_force_topk(queries, corpus, k=pool, id_col=id_col,
+                            vec_col=vec_col, dim=dim)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    pool_df = (
+        cand.join(vecs, on="neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("score") * 100000).cast("long").alias("rel5"),
+            "_v", "_n",
+        )
+    ).transform(materialize)
+    a = pool_df.select("query_id", F.col("neighbor_id").alias("ida"),
+                       F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = pool_df.select("query_id", F.col("neighbor_id").alias("idb"),
+                       F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    sims = (
+        a.join(b, on="query_id")
+        .where(F.col("ida") != F.col("idb"))
+        .select(
+            "query_id", "ida", "idb",
+            F.round(
+                F.round(
+                    cosine_from_parts(
+                        _dot(F.col("_va"), F.col("_vb"), dim),
+                        F.col("_na"), F.col("_nb")),
+                    5,
+                ) * 100000
+            ).cast("long").alias("sim5"),
+        )
+    )
+    # Bounded pulls: |Q|·pool and |Q|·pool·(pool−1) rows by construction.
+    pool_rows = pool_df.select("query_id", "neighbor_id", "rel5").collect()
+    sim_rows = sims.collect()
+    rel = {(r["query_id"], r["neighbor_id"]): r["rel5"] for r in pool_rows}
+    sim = {(r["query_id"], r["ida"], r["idb"]): r["sim5"] for r in sim_rows}
+    by_query: dict = {}
+    for (qid, nid), r5 in rel.items():
+        by_query.setdefault(qid, []).append((nid, r5))
+    out_rows = []
+    mu = lam_den - lam_num
+    for qid, cands in by_query.items():
+        selected: list = []
+        remaining = dict(cands)
+        for step in range(1, min(k, len(cands)) + 1):
+            best = None
+            for nid, r5 in remaining.items():
+                if selected:
+                    msim = max(sim[(qid, nid, s)] for s in selected)
+                else:
+                    msim = 0
+                mmr_int = lam_num * r5 - mu * msim
+                key = (-mmr_int, nid)
+                if best is None or key < best[0]:
+                    best = (key, nid, mmr_int)
+            _, nid, mmr_int = best
+            selected.append(nid)
+            del remaining[nid]
+            out_rows.append((int(qid), int(nid), step, int(mmr_int)))
+    spark = corpus.sparkSession
+    picked = spark.createDataFrame(
+        out_rows, "query_id long, neighbor_id long, rnk long, mmr_int long")
+    # Join back so id columns keep the corpus dtypes end-to-end.
+    return (
+        pool_df.select("query_id", "neighbor_id", "rel5")
+        .join(picked, on=["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "rnk",
+            "neighbor_id",
+            F.round(F.col("rel5") / 100000.0, 5).alias("relevance"),
+            F.round(F.col("mmr_int") / (lam_den * 100000.0), 6).alias("mmr"),
+        )
+    )
+
+
 def hard_negatives(
     queries: DataFrame,
     corpus: DataFrame,

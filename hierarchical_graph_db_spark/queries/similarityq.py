@@ -1315,3 +1315,86 @@ def embedding_center_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return center_normalize(Catalog(spark, sf_dir).embeddings)
+
+
+def _mmr_oracle(k: int = 8, pool: int = 40, lam_num: int = 7,
+                lam_den: int = 10) -> str:
+    """DuckDB twin of ``operators.similarity.mmr_topk``: the greedy loop
+    unrolls into k chained MATERIALIZED CTEs (sel1..selk), each picking the
+    per-query argmax of the exact-integer MMR objective
+    ``lam_num·rel5 − (lam_den−lam_num)·sim5`` over the not-yet-selected
+    pool (ties by neighbor id). rel/sim are 5dp-rounded cosines lifted to
+    ×1e5 bigints — identical quantization on both engines, so selection
+    order is bit-reproducible."""
+    mu = lam_den - lam_num
+    dot_qc = _sql_dot_unrolled("qv", "cv")
+    dot_qq = _sql_dot_unrolled("qv", "qv")
+    dot_ab = _sql_dot_unrolled("a.cv", "b.cv")
+    parts = [f"""
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 8),
+    c AS MATERIALIZED (SELECT vec_id AS nid, embedding AS cv,
+         sqrt({_sql_dot_unrolled('embedding', 'embedding')}) AS nrm
+         FROM embeddings),
+    scored AS (SELECT query_id, nid,
+                      round(({dot_qc}) / (sqrt({dot_qq}) * nrm), 5) AS rel
+               FROM q CROSS JOIN c WHERE query_id <> nid),
+    pool AS MATERIALIZED (
+        SELECT s.query_id, s.nid,
+               CAST(round(s.rel * 100000) AS BIGINT) AS rel5, c.cv, c.nrm
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, nid) rnk
+              FROM scored) s
+        JOIN c ON c.nid = s.nid
+        WHERE s.rnk <= {pool}),
+    sims AS MATERIALIZED (
+        SELECT a.query_id, a.nid AS ida, b.nid AS idb,
+               CAST(round(round(({dot_ab}) / (a.nrm * b.nrm), 5) * 100000)
+                    AS BIGINT) AS sim5
+        FROM pool a JOIN pool b
+          ON a.query_id = b.query_id AND a.nid <> b.nid),
+    sel1 AS MATERIALIZED (
+        SELECT query_id, nid, rel5, {lam_num} * rel5 AS mmr_int, 1 AS rnk
+        FROM (SELECT query_id, nid, rel5,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rel5 DESC, nid) rn
+              FROM pool) WHERE rn = 1)"""]
+    for i in range(2, k + 1):
+        parts.append(f"""
+    cand{i} AS (
+        SELECT cc.query_id, cc.nid, cc.rel5,
+               {lam_num} * cc.rel5 - {mu} * max(s.sim5) AS mmr_int
+        FROM pool cc
+        JOIN sims s ON s.query_id = cc.query_id AND s.ida = cc.nid
+        JOIN sel{i - 1} p ON p.query_id = s.query_id AND p.nid = s.idb
+        LEFT JOIN sel{i - 1} x
+          ON x.query_id = cc.query_id AND x.nid = cc.nid
+        WHERE x.nid IS NULL
+        GROUP BY cc.query_id, cc.nid, cc.rel5),
+    sel{i} AS MATERIALIZED (
+        SELECT * FROM sel{i - 1}
+        UNION ALL
+        SELECT query_id, nid, rel5, mmr_int, {i} AS rnk
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY mmr_int DESC, nid) rn
+              FROM cand{i}) WHERE rn = 1)""")
+    return ("WITH " + ",".join(parts) + f"""
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, nid AS neighbor_id,
+           round(rel5 / 100000.0, 5) AS relevance,
+           round(mmr_int / {lam_den * 100000}.0, 6) AS mmr
+    FROM sel{k}""")
+
+
+@query("similarity_mmr_rerank", _mmr_oracle())
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-8 (λ=0.7) from an exact-cosine top-40 candidate
+    pool, for 8 query vectors — the redundancy-penalized context selection
+    used in RAG / training-example pickers. Candidate generation and the
+    pool's pairwise-similarity table are distributed; the k-step greedy is
+    a bounded driver kernel over exact ×1e5 integers (see
+    operators/similarity.py:mmr_topk)."""
+    from hierarchical_graph_db_spark.operators.similarity import mmr_topk
+
+    emb = Catalog(spark, sf_dir).embeddings
+    return mmr_topk(emb.where(F.col("vec_id") < 8), emb,
+                    k=8, pool=40, dim=64)
