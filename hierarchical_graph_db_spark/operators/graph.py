@@ -386,6 +386,56 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 100,
     return out
 
 
+def dag_layers(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+    """Longest-path layering of a DAG → (id, layer): layer 0 = sources,
+    layer(v) = 1 + max over predecessors — the dependency-scheduling order
+    (every vertex's prerequisites live in strictly lower layers). Intended
+    for SCC condensations (:func:`strongly_connected_components` output is
+    a DAG by construction) but works on any acyclic (src, dst) edge set.
+
+    Iterative max-relaxation: one edge join + max-agg per round, state is
+    one (id, layer) table shuffled on id; rounds = longest-path depth.
+    Non-convergence within ``max_iter`` means a CYCLE — raised loudly
+    (longest path is undefined on cyclic graphs), which doubles as an
+    acyclicity validator."""
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    ).transform(materialize)
+    layers = verts.withColumn("layer", F.lit(0).cast("long"))
+    for _ in range(max_iter):
+        relaxed = (
+            edges.join(layers.select(F.col("id").alias("src"), "layer"),
+                       on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg((F.max("layer") + 1).alias("pred_layer"))
+        )
+        obs = Observation()
+        new_layers = (
+            layers.join(relaxed, on="id", how="left")
+            .select(
+                "id",
+                F.col("layer").alias("_old"),
+                F.greatest(
+                    F.col("layer"),
+                    F.coalesce("pred_layer", F.col("layer")),
+                ).alias("layer"),
+            )
+            .observe(obs, F.coalesce(F.sum(
+                (F.col("layer") != F.col("_old")).cast("long")
+            ), F.lit(0)).alias("changed"))
+            .select("id", "layer")
+        ).transform(materialize)
+        layers = new_layers
+        if obs.get["changed"] == 0:
+            return layers
+    raise RuntimeError(
+        f"dag_layers did not converge in {max_iter} rounds — the input has "
+        f"a cycle (or a longest path deeper than max_iter); longest-path "
+        f"layering is only defined on DAGs")
+
+
 def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
              grid: str = "relative") -> DataFrame:
     """PageRank over (src, dst) edges → (id, rank). Fixed iteration count.

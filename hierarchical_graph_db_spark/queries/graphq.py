@@ -1373,3 +1373,60 @@ def graph_scc_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("scc_src", "scc_dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cross_edges"))
     )
+
+
+@query(
+    "graph_scc_layers",
+    f"""
+    WITH {_SQL_SCC_BASE},
+    cedges AS (SELECT DISTINCT sa.scc AS s, sb.scc AS d
+               FROM edges e
+               JOIN scc sa ON sa.id = e.s
+               JOIN scc sb ON sb.id = e.d
+               WHERE sa.scc <> sb.scc),
+    sccs AS (SELECT scc, CAST(count(*) AS BIGINT) AS n_members
+             FROM scc GROUP BY scc),
+    lp AS (WITH RECURSIVE lpr(v, d) AS (
+               SELECT scc, 0 FROM sccs
+               UNION
+               SELECT e.d, lpr.d + 1 FROM lpr JOIN cedges e ON e.s = lpr.v)
+           SELECT v, max(d) AS layer FROM lpr GROUP BY v)
+    SELECT s.scc, CAST(l.layer AS BIGINT) AS layer, s.n_members
+    FROM sccs s JOIN lp l ON l.v = s.scc
+    """,
+)
+def graph_scc_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency layering of the SCC condensation: collapse cycles
+    (graph_scc), then longest-path layers over the resulting DAG — layer 0
+    = sccs nothing points into, layer k = all prerequisites in layers < k.
+    The engine's `dag_layers` is iterative max-relaxation (raises on a
+    cycle, so it also re-validates that the condensation IS a DAG); the
+    oracle computes the same fixpoint via a recursive CTE (UNION-deduped,
+    so paths cap at |SCC|·depth rows)."""
+    from hierarchical_graph_db_spark.operators.graph import (
+        dag_layers,
+        strongly_connected_components,
+    )
+
+    edges = _strong_tie_edges(spark, sf_dir).transform(materialize)
+    labels = strongly_connected_components(edges).transform(materialize)
+    cond = (
+        edges
+        .join(labels.select(F.col("id").alias("src"),
+                            F.col("scc").alias("scc_src")), on="src")
+        .join(labels.select(F.col("id").alias("dst"),
+                            F.col("scc").alias("scc_dst")), on="dst")
+        .where(F.col("scc_src") != F.col("scc_dst"))
+        .select(F.col("scc_src").alias("src"), F.col("scc_dst").alias("dst"))
+        .distinct()
+    )
+    layers = dag_layers(cond)
+    sizes = labels.groupBy("scc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    return (
+        sizes.join(layers.withColumnRenamed("id", "scc"), on="scc",
+                   how="left")
+        .select("scc",
+                F.coalesce("layer", F.lit(0)).cast("bigint").alias("layer"),
+                "n_members")
+    )

@@ -133,3 +133,23 @@ def test_scc_nonconvergence_raises(spark):
     df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
     with pytest.raises(RuntimeError, match="did not converge"):
         strongly_connected_components(df, max_rounds=1)
+
+
+def test_dag_layers_longest_path(spark):
+    """Diamond + tail: layer = longest path from any source, not shortest
+    (b→c makes c layer 2 even though a→c is a 1-hop path)."""
+    from hierarchical_graph_db_spark.operators.graph import dag_layers
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    got = {r["id"]: r["layer"] for r in dag_layers(df).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_dag_layers_cycle_raises(spark):
+    from hierarchical_graph_db_spark.operators.graph import dag_layers
+
+    df = spark.createDataFrame(
+        [Row(src=s, dst=d) for s, d in [("a", "b"), ("b", "c"), ("c", "a")]])
+    with pytest.raises(RuntimeError, match="cycle"):
+        dag_layers(df, max_iter=8)
