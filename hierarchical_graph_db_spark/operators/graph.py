@@ -304,8 +304,68 @@ def _min_reach_labels(edges: DataFrame, vertices: DataFrame,
     return labels
 
 
+def _tarjan_scc(edge_list: list[tuple], vert_list: list) -> list[tuple]:
+    """Sequential Tarjan over a collected edge list → [(id, scc)] with
+    min-member labels. Iterative (no recursion limit); used only on
+    driver-bounded remainders (see ``strongly_connected_components``)."""
+    adj: dict = {}
+    verts = set(vert_list)
+    for s, d in edge_list:
+        if s == d:
+            continue
+        verts.add(s)
+        verts.add(d)
+        adj.setdefault(s, []).append(d)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    out: list[tuple] = []
+    counter = 0
+    for root in sorted(verts):
+        if root in index:
+            continue
+        work = [(root, iter(adj.get(root, ())))]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                label = min(members)
+                out.extend((m, label) for m in members)
+    return out
+
+
 def strongly_connected_components(edges: DataFrame, max_rounds: int = 100,
-                                  max_iter: int = 40) -> DataFrame:
+                                  max_iter: int = 40,
+                                  small_cutoff: int = 4096) -> DataFrame:
     """Strongly connected components over directed (src, dst) edges →
     (id, scc), where ``scc`` is the lexicographic-min member id — the
     canonical label, so the output is algorithm-independent (any correct
@@ -330,6 +390,17 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 100,
     hence ``max_rounds`` with a loud failure instead of a silent partial
     result.
 
+    ``small_cutoff`` is the hybrid finish (Hong, Rodia & Olukotun, PPoPP
+    2013: FW-BW for the massive components, sequential for the long tail):
+    whenever the ACTIVE remainder fits the bound (≤ cutoff vertices and
+    ≤ 32·cutoff edges — both checked), it is pulled to the driver and
+    finished with iterative Tarjan, a bounded pull like the centroid /
+    merge-table pulls elsewhere. This kills the tiny-job tail: after the
+    giant SCCs retire distributed, the periphery (chains, singleton trees
+    — exactly the shapes that cost one 2-fixpoint round EACH) collapses
+    into one driver kernel. ``small_cutoff=0`` forces the pure distributed
+    path (the tests' Tarjan differential runs both ways).
+
     Scale posture: state is one (id, label) table per fixpoint, shuffled on
     the vertex id; each inner iteration is one edge join + one self join,
     O(log diameter) iterations via pointer jumping; no closure table is
@@ -351,6 +422,22 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 100,
     for _ in range(max_rounds):
         if remaining == 0:
             break
+        if small_cutoff and remaining <= small_cutoff:
+            e_count = active_e.count()
+            if e_count <= 32 * small_cutoff:
+                from pyspark.sql.types import StructField, StructType
+
+                edge_rows = [(r["src"], r["dst"])
+                             for r in active_e.collect()]
+                vert_rows = [r["id"] for r in active_v.collect()]
+                seq = _tarjan_scc(edge_rows, vert_rows)
+                id_type = active_v.schema.fields[0].dataType
+                schema = StructType([StructField("id", id_type),
+                                     StructField("scc", id_type)])
+                parts.append(
+                    active_v.sparkSession.createDataFrame(seq, schema))
+                remaining = 0
+                break
         fwd = _min_reach_labels(active_e, active_v, max_iter=max_iter)
         bwd = _min_reach_labels(
             active_e.select(F.col("dst").alias("src"),
@@ -386,7 +473,8 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 100,
     return out
 
 
-def dag_layers(edges: DataFrame, max_iter: int = 64) -> DataFrame:
+def dag_layers(edges: DataFrame, max_iter: int = 64,
+               small_cutoff: int = 4096) -> DataFrame:
     """Longest-path layering of a DAG → (id, layer): layer 0 = sources,
     layer(v) = 1 + max over predecessors — the dependency-scheduling order
     (every vertex's prerequisites live in strictly lower layers). Intended
@@ -397,12 +485,60 @@ def dag_layers(edges: DataFrame, max_iter: int = 64) -> DataFrame:
     one (id, layer) table shuffled on id; rounds = longest-path depth.
     Non-convergence within ``max_iter`` means a CYCLE — raised loudly
     (longest path is undefined on cyclic graphs), which doubles as an
-    acyclicity validator."""
+    acyclicity validator.
+
+    ``small_cutoff``: same hybrid finish as
+    :func:`strongly_connected_components` — a DAG that fits the bound
+    (≤ cutoff vertices, ≤ 32·cutoff edges) is layered in one driver
+    kernel (Kahn topo-order + DP) instead of depth-many tiny relaxation
+    jobs; ``small_cutoff=0`` forces the distributed path."""
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     ).transform(materialize)
+    if small_cutoff:
+        n_verts = verts.count()
+        if n_verts <= small_cutoff:
+            e_count = edges.count()
+            if e_count <= 32 * small_cutoff:
+                from pyspark.sql.types import (LongType, StructField,
+                                               StructType)
+
+                edge_rows = [(r["src"], r["dst"]) for r in
+                             edges.select("src", "dst").distinct().collect()]
+                vert_rows = [r["id"] for r in verts.collect()]
+                layer = {v: 0 for v in vert_rows}
+                indeg = {v: 0 for v in vert_rows}
+                succ: dict = {}
+                for s, d in edge_rows:
+                    if s == d:
+                        raise RuntimeError(
+                            "dag_layers: self-loop — the input has a cycle")
+                    succ.setdefault(s, []).append(d)
+                    indeg[d] += 1
+                frontier = sorted(v for v, k in indeg.items() if k == 0)
+                seen = 0
+                while frontier:
+                    nxt = []
+                    for v in frontier:
+                        seen += 1
+                        for w in succ.get(v, ()):
+                            layer[w] = max(layer[w], layer[v] + 1)
+                            indeg[w] -= 1
+                            if indeg[w] == 0:
+                                nxt.append(w)
+                    frontier = sorted(nxt)
+                if seen != len(vert_rows):
+                    raise RuntimeError(
+                        "dag_layers did not converge — the input has a "
+                        "cycle; longest-path layering is only defined on "
+                        "DAGs")
+                id_type = verts.schema.fields[0].dataType
+                schema = StructType([StructField("id", id_type),
+                                     StructField("layer", LongType())])
+                return verts.sparkSession.createDataFrame(
+                    sorted(layer.items()), schema)
     layers = verts.withColumn("layer", F.lit(0).cast("long"))
     for _ in range(max_iter):
         relaxed = (

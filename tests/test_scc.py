@@ -73,6 +73,9 @@ def _tarjan(edges: list[tuple[str, str]]) -> dict[str, str]:
 
 
 def _run(spark, edges: list[tuple[str, str]], **kw) -> dict[str, str]:
+    # small_cutoff=0 → the pure distributed FW-BW-MIN path; the hybrid
+    # driver-finish default is covered by test_scc_hybrid_matches_distributed.
+    kw.setdefault("small_cutoff", 0)
     df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
     return {r["id"]: r["scc"]
             for r in strongly_connected_components(df, **kw).collect()}
@@ -132,7 +135,19 @@ def test_scc_nonconvergence_raises(spark):
             edges.append((f"r{i-1}a", f"r{i}a"))
     df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
     with pytest.raises(RuntimeError, match="did not converge"):
-        strongly_connected_components(df, max_rounds=1)
+        strongly_connected_components(df, max_rounds=1, small_cutoff=0)
+
+
+def test_scc_hybrid_matches_distributed(spark):
+    """The small_cutoff driver-finish (Tarjan on the bounded remainder)
+    must produce exactly the distributed fixpoint's labeling."""
+    rng = random.Random(23)
+    edges = list({(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}")
+                  for _ in range(55)})
+    edges = [(s, d) for s, d in edges if s != d]
+    hybrid = _run(spark, edges, small_cutoff=4096)
+    distributed = _run(spark, edges, small_cutoff=0)
+    assert hybrid == distributed == _tarjan(edges)
 
 
 def test_dag_layers_longest_path(spark):
@@ -142,8 +157,11 @@ def test_dag_layers_longest_path(spark):
 
     edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
     df = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
-    got = {r["id"]: r["layer"] for r in dag_layers(df).collect()}
-    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    expect = {"a": 0, "b": 1, "c": 2, "d": 3}
+    for cutoff in (4096, 0):   # driver kernel AND distributed relaxation
+        got = {r["id"]: r["layer"]
+               for r in dag_layers(df, small_cutoff=cutoff).collect()}
+        assert got == expect, f"cutoff={cutoff}" 
 
 
 def test_dag_layers_cycle_raises(spark):
@@ -151,5 +169,6 @@ def test_dag_layers_cycle_raises(spark):
 
     df = spark.createDataFrame(
         [Row(src=s, dst=d) for s, d in [("a", "b"), ("b", "c"), ("c", "a")]])
-    with pytest.raises(RuntimeError, match="cycle"):
-        dag_layers(df, max_iter=8)
+    for cutoff in (4096, 0):   # both paths must detect the cycle
+        with pytest.raises(RuntimeError, match="cycle"):
+            dag_layers(df, max_iter=8, small_cutoff=cutoff)
