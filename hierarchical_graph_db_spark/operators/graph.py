@@ -260,9 +260,19 @@ def _min_reach_labels(edges: DataFrame, vertices: DataFrame,
     v (jump) — the jump step is what makes convergence O(log diameter)
     instead of O(diameter), same as :func:`connected_components` but along
     edge direction only (no symmetrization). Early-stops via an ``observe``
-    metric riding the per-round materialization, zero extra jobs."""
+    metric riding the per-round materialization, zero extra jobs.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter``: :func:`strongly_connected_components` retires vertices
+    (and deletes their edges) based on these labels, so a silently partial
+    fixpoint could retire part of an SCC under a non-min label and split
+    the remainder with no error — the loud failure mirrors the SCC /
+    :func:`dag_layers` non-convergence posture. Unreachable at the default
+    ``max_iter=40`` (pointer jumping covers diameter 2^40), but callers
+    passing small values must get an error, not corrupt output."""
     labels = vertices.select(F.col("id"), F.col("id").alias("label"))
     labels = labels.transform(materialize)
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -300,7 +310,13 @@ def _min_reach_labels(edges: DataFrame, vertices: DataFrame,
         ).transform(materialize)
         labels = new_labels
         if obs.get["changed"] == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"_min_reach_labels did not reach its fixpoint in {max_iter} "
+            f"iterations — raise max_iter (labels were still changing; a "
+            f"partial fixpoint would corrupt SCC retirement)")
     return labels
 
 
@@ -467,6 +483,16 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 100,
             f"strongly_connected_components did not converge in "
             f"{max_rounds} rounds ({remaining} vertices unassigned) — "
             f"raise max_rounds (graph has a very deep SCC condensation)")
+    if not parts:
+        # No non-self-loop edges: the active set was empty before the first
+        # round. Return an empty (id, scc) frame in the input's id dtype
+        # rather than IndexError on parts[0].
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = active_v.schema.fields[0].dataType
+        return active_v.sparkSession.createDataFrame(
+            [], StructType([StructField("id", id_type),
+                            StructField("scc", id_type)]))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

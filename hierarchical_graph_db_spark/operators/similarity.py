@@ -571,6 +571,7 @@ def mmr_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
     SIGIR 1998) — the standard redundancy-penalized re-rank for retrieval /
@@ -599,9 +600,28 @@ def mmr_topk(
     ties broken by neighbor id — no float accumulation anywhere, so the
     selection is bit-reproducible across engines (the DuckDB oracle unrolls
     the same greedy steps as chained CTEs).
+
+    Bounded-pull CONTRACT (not convention): the driver greedy collects
+    |Q|·pool + |Q|·pool·(pool−1) rows, so |Q| is capped at ``max_queries``
+    (default 4096) and checked with a limit-probe BEFORE any work — a
+    caller passing an oversized query side gets a loud ``ValueError``
+    instead of an unbounded collect, mirroring the loop non-convergence
+    failures elsewhere. Raise ``max_queries`` explicitly to accept the
+    proportional driver pull.
     """
     if not 0 < lam_num <= lam_den:
         raise ValueError(f"need 0 < lam_num <= lam_den, got {lam_num}/{lam_den}")
+    if max_queries <= 0:
+        raise ValueError(f"max_queries must be positive, got {max_queries}")
+    # limit-probe, not a full count: one cheap job that stops scanning at
+    # max_queries+1 rows regardless of the query side's true size.
+    probe = queries.select(id_col).limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"mmr_topk: query side has > {max_queries} rows — the greedy "
+            f"kernel collects |Q|*pool*(pool-1) rows to the driver, which "
+            f"is only bounded if |Q| is. Pass max_queries explicitly to "
+            f"accept a larger pull, or pre-aggregate the query side.")
     cand = brute_force_topk(queries, corpus, k=pool, id_col=id_col,
                             vec_col=vec_col, dim=dim)
     vecs = corpus.select(
@@ -663,10 +683,19 @@ def mmr_topk(
             _, nid, mmr_int = best
             selected.append(nid)
             del remaining[nid]
-            out_rows.append((int(qid), int(nid), step, int(mmr_int)))
+            out_rows.append((qid, nid, step, int(mmr_int)))
     spark = corpus.sparkSession
-    picked = spark.createDataFrame(
-        out_rows, "query_id long, neighbor_id long, rnk long, mmr_int long")
+    # Schema in the CALLERS' id dtypes (queries' id_col for query_id,
+    # corpus' for neighbor_id) — the documented generic id_col contract;
+    # a hardcoded long schema broke non-integer vector ids (ADVICE r11).
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    picked = spark.createDataFrame(out_rows, StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("neighbor_id", corpus.schema[id_col].dataType),
+        StructField("rnk", LongType()),
+        StructField("mmr_int", LongType()),
+    ]))
     # Join back so id columns keep the corpus dtypes end-to-end.
     return (
         pool_df.select("query_id", "neighbor_id", "rel5")

@@ -90,6 +90,40 @@ def _reference_mmr(corpus, qids, k, pool, lam_num, lam_den):
     return picked
 
 
+def test_mmr_query_cap_raises(spark):
+    """Bounded-pull CONTRACT (VERDICT r11 #3): an oversized query side must
+    fail loudly before any work, not become an unbounded driver collect."""
+    import pytest
+
+    rng = random.Random(5)
+    corpus = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(12)]
+    emb = _emb(spark, corpus)
+    with pytest.raises(ValueError, match="query side has > 3 rows"):
+        mmr_topk(emb.where("vec_id < 5"), emb, k=2, pool=4, dim=4,
+                 max_queries=3)
+    # at the cap exactly: allowed
+    out = mmr_topk(emb.where("vec_id < 3"), emb, k=2, pool=4, dim=4,
+                   max_queries=3)
+    assert out.count() == 6
+
+
+def test_mmr_generic_string_ids(spark):
+    """The documented generic id_col contract (ADVICE r11): non-integer
+    vector ids must survive end-to-end with the corpus dtype, not fail in
+    an int() cast."""
+    rng = random.Random(9)
+    emb = spark.createDataFrame(
+        [Row(vec_id=f"doc{i:02d}", embedding=[rng.uniform(-1, 1)
+                                              for _ in range(6)])
+         for i in range(20)])
+    out = mmr_topk(emb.where("vec_id = 'doc00'"), emb, k=3, pool=8, dim=6)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in out.schema.fields)["neighbor_id"] == "string"
+    rows = sorted(out.collect(), key=lambda r: r["rnk"])
+    assert len(rows) == 3 and all(r["query_id"] == "doc00" for r in rows)
+    assert all(r["neighbor_id"].startswith("doc") for r in rows)
+
+
 def test_mmr_matches_reference_greedy(spark):
     rng = random.Random(17)
     corpus = [(i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(40)]

@@ -71,6 +71,14 @@ def test_flagged_queries_remeasure_inside_the_gate():
     inside the 15x decade gate."""
     with open(os.path.join(ROOT, "REMEASURE_r11_flagged_sf1.json")) as f:
         re_t = json.load(f)["timings"]
+    # The remeasure artifact must cover EXACTLY the pinned flagged set —
+    # a stale/partial file passing vacuously would make the documented-flag
+    # escape hatch dishonest (ADVICE r11).
+    assert set(re_t) == {
+        "dedup_minhash_lsh", "dedup_prefix_filter_jaccard",
+        "dedup_substring_spans", "entity_lookup",
+        "multimodal_audio_frame_energy", "ner_entities",
+    }, sorted(re_t)
     small = _timings("VERIFY_r11_timings_sf01.json")
     for q, sec in re_t.items():
         assert sec / small[q] <= 15.0, (q, sec, small[q])

@@ -138,6 +138,27 @@ def test_scc_nonconvergence_raises(spark):
         strongly_connected_components(df, max_rounds=1, small_cutoff=0)
 
 
+def test_scc_no_real_edges_returns_empty(spark):
+    """Self-loop-only input (no non-self-loop edges) → empty (id, scc)
+    frame in the input id dtype, not IndexError (ADVICE r11)."""
+    df = spark.createDataFrame([Row(src="a", dst="a"), Row(src="b", dst="b")])
+    out = strongly_connected_components(df)
+    assert out.columns == ["id", "scc"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == \
+        ["string", "string"]
+    assert out.count() == 0
+
+
+def test_min_reach_nonconvergence_raises(spark):
+    """An undersized inner max_iter must raise, not silently hand SCC a
+    partial fixpoint that could retire vertices under non-min labels
+    (ADVICE r11)."""
+    chain = [(f"v{i}", f"v{i+1}") for i in range(9)] + [("v9", "v0")]
+    df = spark.createDataFrame([Row(src=s, dst=d) for s, d in chain])
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        strongly_connected_components(df, max_iter=1, small_cutoff=0)
+
+
 def test_scc_hybrid_matches_distributed(spark):
     """The small_cutoff driver-finish (Tarjan on the bounded remainder)
     must produce exactly the distributed fixpoint's labeling."""
