@@ -151,6 +151,16 @@ HEADLINE = [
 
 
 def main() -> None:
+    # Host-health gate (VERDICT r11 #1): measure CPU calibration + write
+    # throughput BEFORE the sweep, retry while degraded, and embed the
+    # verdict so a contaminated run can never masquerade as a healthy one
+    # (r11's committed 266 s ran at parallel speedup 12.7 vs 20 healthy).
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from host_health import gate_for_artifact
+
+    health = gate_for_artifact("bench.py")
+
     from hierarchical_graph_db_spark.session import get_spark
     from hierarchical_graph_db_spark.queries import load
 
@@ -214,6 +224,7 @@ def main() -> None:
         "sf": sf,
         "ingest_emails_per_sec": round(n_emails / ingest_sec, 1),
         "calibration": _calibrate(),
+        "health_at_start": health,
     }
     print(json.dumps(out))
 

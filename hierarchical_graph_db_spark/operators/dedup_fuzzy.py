@@ -1064,6 +1064,27 @@ def jaro_winkler_pairs(pairs: DataFrame, a_col: str, b_col: str,
     )
 
 
+#: ``max_shingle_freq="auto_cap"`` in :func:`containment_pairs` picks the
+#: FIXED df cap (the ``dedup_containment_capped`` scale contract) over the
+#: N-complete ``"auto"`` cutoff when the head would dominate the join:
+#: decision statistic = ``Σ_{df > CAP} df² / Σ df²`` — the exact share of
+#: the inverted-index self-join's matched-occurrence volume that the cap
+#: removes (same statistic family as the prefix ``plan="auto"`` pick,
+#: CROSSOVER_r11.json). Above the crossover the complete plan's volume is
+#: head-dominated — the regime where HEAPS_r9 measured the N-complete
+#: cutoff running ~2× the linear MinHash yardstick across the sf1→sf10
+#: decade — so the cap (linear bound Σ_{df≤c} df² ≤ c·R) wins; below it
+#: the cap removes little volume, so exactness is kept for free. Measured
+#: both sides in CONTAINMENT_CROSSOVER_r12.json (PLANS.md §Round-12).
+CONTAINMENT_CAP_DF = 64
+CONTAINMENT_CAP_SHARE = 0.5
+#: min retained-set size enforced when auto_cap picks the capped regime —
+#: C = |A∩B|/min(|A|,|B|) over a 2-3-shingle retained set trivially hits
+#: 1.0, so capping without the guard manufactures false positives
+#: (HEAPS_r9 lesson, same value as the dedup_containment_capped contract).
+CONTAINMENT_CAP_MIN_SET = 20
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
@@ -1123,8 +1144,67 @@ def containment_pairs(
        ``max_shingle_freq`` cap with ``min_set_size ≥ 20`` — the
        ``dedup_containment_capped`` registry query's hash-checked
        contract (queries/dedup.py).
+
+    ``max_shingle_freq="auto_cap"`` (round 12, VERDICT r11 next-round #4)
+    makes that production choice automatic, extending the prefix filter's
+    measured-crossover pattern: ONE aggregate over the raw shingle table
+    (1-row collect, the bounded-collect class) computes the share of
+    Σdf² carried by shingles with df > ``CONTAINMENT_CAP_DF``; above
+    ``CONTAINMENT_CAP_SHARE`` the head dominates the complete join's
+    volume and the FIXED cap is applied (with ``min_set_size`` raised to
+    ``CONTAINMENT_CAP_MIN_SET`` if the caller left it 0 — capping without
+    the abstention guard manufactures C=1.0 false positives); below it
+    the N-complete ``"auto"`` cutoff is kept, because the cap would buy
+    almost nothing. Unlike the prefix pick this changes the OUTPUT
+    (capped mode abstains on head-heavy pairs), which is why the oracle
+    registry queries pin their regimes explicitly (``"auto"`` complete
+    for ``dedup_containment_pairs``, 64/20 for
+    ``dedup_containment_capped``) and ``auto_cap`` is the non-oracle
+    production default path; both regimes are independently hash-checked.
+    Measured decision data: CONTAINMENT_CROSSOVER_r12.json.
     """
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    if max_shingle_freq == "auto_cap":
+        sh = sh.transform(materialize)   # feeds the decision agg AND the join
+        st = (
+            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.sum(F.col("df") * F.col("df")).alias("v"),
+                F.sum(F.when(F.col("df") > CONTAINMENT_CAP_DF,
+                             F.col("df") * F.col("df")).otherwise(0))
+                .alias("hv"),
+                F.sum("df").alias("r"),
+                F.sum(F.when(F.col("df") <= CONTAINMENT_CAP_DF, F.col("df"))
+                      .otherwise(0)).alias("rr"),
+            )
+            .first()
+        )
+        share = (st["hv"] or 0) / max(st["v"] or 0, 1)
+        if share > CONTAINMENT_CAP_SHARE:
+            max_shingle_freq = CONTAINMENT_CAP_DF
+            if not min_set_size:
+                min_set_size = CONTAINMENT_CAP_MIN_SET
+            retained = (st["rr"] or 0) / max(st["r"] or 0, 1)
+            if retained < 0.05:
+                # Head-DEGENERATE corpus (measured: the bounded-vocabulary
+                # TPC-H-ish fixture at sf1 — hot share 0.9983, cap retains
+                # ~0% of occurrences, so capped containment abstains on
+                # essentially every pair; CONTAINMENT_CROSSOVER_r12.json).
+                # The cap is still the right BOUND, but the caller should
+                # know exact containment carries no signal here and a
+                # sketch (MinHash-LSH) is the usable family.
+                import warnings
+
+                warnings.warn(
+                    f"containment_pairs auto_cap: hot shingles carry "
+                    f"{share:.1%} of the join volume and the df<="
+                    f"{CONTAINMENT_CAP_DF} cap retains only {retained:.1%} "
+                    f"of shingle occurrences — capped containment will "
+                    f"abstain on nearly all pairs on this corpus; prefer "
+                    f"minhash_lsh_pairs for near-dup detection here",
+                    RuntimeWarning, stacklevel=2)
+        else:
+            max_shingle_freq = "auto"
     sh = _prune_hot_shingles(sh, docs, max_shingle_freq)
     sh = sh.transform(materialize)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))

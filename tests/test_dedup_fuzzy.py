@@ -737,3 +737,62 @@ def test_containment_capped_brute_force_and_abstention(spark):
                      docs, threshold=0.7, n=3,
                      max_shingle_freq=cap, min_set_size=0).collect()}
     assert (6, 7) in unguarded
+
+
+def test_containment_auto_cap_decision(spark):
+    """max_shingle_freq="auto_cap" (VERDICT r11 #4): flat df distribution →
+    the N-complete "auto" regime (identical output); head-dominated
+    distribution → the fixed-cap regime (identical to the explicit
+    64/min-set-20 contract). Measured crossover in
+    CONTAINMENT_CROSSOVER_r12.json."""
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        CONTAINMENT_CAP_DF,
+        CONTAINMENT_CAP_MIN_SET,
+        containment_pairs,
+    )
+
+    def pairs(df, **kw):
+        return {(r["id_a"], r["id_b"], r["containment"])
+                for r in containment_pairs(df, threshold=0.7, **kw).collect()}
+
+    flat = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(40)]
+        + [(100, " ".join(f"w7x{j}" for j in range(30)))],   # clone of doc 7
+        "doc_id: bigint, text: string")
+    assert pairs(flat, max_shingle_freq="auto_cap") == \
+        pairs(flat, max_shingle_freq="auto")
+    assert (7, 100, 1.0) in pairs(flat, max_shingle_freq="auto_cap")
+
+    # one shingle in > CONTAINMENT_CAP_DF docs dominates sum(df^2): capped
+    # regime, including the min-set abstention guard
+    hot = spark.createDataFrame(
+        [(i, f"the common hot phrase tail{i} word{i * 3}")
+         for i in range(CONTAINMENT_CAP_DF * 20)],
+        "doc_id: bigint, text: string")
+    assert pairs(hot, max_shingle_freq="auto_cap") == \
+        pairs(hot, max_shingle_freq=CONTAINMENT_CAP_DF,
+              min_set_size=CONTAINMENT_CAP_MIN_SET)
+
+
+def test_containment_auto_cap_degenerate_warns(spark):
+    """Head-DEGENERATE corpus (cap retains <5% of occurrences — the
+    bounded-vocab fixture shape at sf1): auto_cap must warn that capped
+    containment carries no signal, while still returning the bounded
+    plan's (near-empty) result."""
+    import warnings
+
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        CONTAINMENT_CAP_DF,
+        containment_pairs,
+    )
+
+    n = CONTAINMENT_CAP_DF * 20
+    degen = spark.createDataFrame(
+        [(i, "aa bb cc dd ee ff gg hh") for i in range(n)],
+        "doc_id: bigint, text: string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = containment_pairs(degen, threshold=0.7,
+                                max_shingle_freq="auto_cap")
+        assert out.count() == 0
+    assert any("abstain" in str(x.message) for x in w)

@@ -1,0 +1,150 @@
+"""Host-health gate for timing artifacts (VERDICT r11 next-round #1).
+
+Round 11's committed timing artifacts of record were contaminated by host
+degradation the sweeps themselves measured but did not act on: BENCH_r11
+ran at parallel speedup 12.7 (healthy: 20.0) and the sf1 sweep overlapped
+an I/O collapse (8.5 MB/s write probe vs 318 MB/s healthy), so the
+artifacts misstated a healthy engine. This module makes the degradation a
+GATE instead of a footnote: measure CPU calibration (the bench.py sha256
+chain) plus a sequential fsync write probe BEFORE a timed sweep, compare
+against floors pinned between the measured healthy population
+(single_thread 0.140-0.175 s, parallel speedup 18.5-20.0 across
+BENCH_r10 / VERIFY_r10_* / the judge's r11 re-run) and the measured
+degraded population (0.209-0.256 s, 12.7-16.7), retry with a backoff
+while degraded, and refuse to produce an artifact of record if the host
+never recovers.
+
+``SPARK_GRAFT_SKIP_HEALTH_GATE=1`` bypasses (for CI smoke or debugging a
+known-degraded box), but the bypass is recorded in the returned health
+dict so the artifact self-documents that its gate was waived.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: Floors sit between the measured healthy population and the measured
+#: degraded population (see module docstring); a host that fails any one
+#: of them produced provably-incomparable timings in r11.
+HEALTHY_FLOORS = {
+    "max_single_thread_sec": 0.19,
+    "min_parallel_speedup": 17.0,
+    "min_write_mb_s": 100.0,
+}
+
+_PROBE_MB = 256
+_CHUNK = 8 * 1024 * 1024
+
+
+def write_probe(directory: str | None = None, mb: int = _PROBE_MB) -> float:
+    """Sequential write throughput in MB/s: ``mb`` megabytes in 8 MB
+    chunks + fsync, to a temp file in ``directory`` (default: the system
+    temp dir, the same filesystem Spark shuffle/checkpoint dirs use here).
+    The r11 sf1 sweep measured 8.5 MB/s mid-collapse vs 318 MB/s healthy —
+    a >30x swing that dwarfs any engine change."""
+    directory = directory or tempfile.gettempdir()
+    chunk = os.urandom(_CHUNK)
+    n_chunks = max(1, (mb * 1024 * 1024) // _CHUNK)
+    fd, path = tempfile.mkstemp(prefix="health_probe_", dir=directory)
+    try:
+        t0 = time.perf_counter()
+        for _ in range(n_chunks):
+            os.write(fd, chunk)
+        os.fsync(fd)
+        took = time.perf_counter() - t0
+    finally:
+        os.close(fd)
+        os.unlink(path)
+    return round(n_chunks * _CHUNK / (1024 * 1024) / took, 1)
+
+
+def health_check(probe_dir: str | None = None) -> dict:
+    """One measurement pass: bench.py calibration + write probe + verdict
+    per floor. Returns the dict that timed sweeps embed in their output."""
+    from bench import _calibrate
+
+    cal = _calibrate()
+    wmb = write_probe(probe_dir)
+    failures = []
+    if cal["single_thread_sec"] > HEALTHY_FLOORS["max_single_thread_sec"]:
+        failures.append(
+            f"single_thread_sec {cal['single_thread_sec']} > "
+            f"{HEALTHY_FLOORS['max_single_thread_sec']} (CPU slow/stolen)")
+    if cal["parallel_speedup"] < HEALTHY_FLOORS["min_parallel_speedup"]:
+        failures.append(
+            f"parallel_speedup {cal['parallel_speedup']} < "
+            f"{HEALTHY_FLOORS['min_parallel_speedup']} (cores contended)")
+    if wmb < HEALTHY_FLOORS["min_write_mb_s"]:
+        failures.append(
+            f"write_mb_s {wmb} < {HEALTHY_FLOORS['min_write_mb_s']} "
+            f"(I/O degraded)")
+    return {
+        "calibration": cal,
+        "write_mb_s": wmb,
+        "floors": dict(HEALTHY_FLOORS),
+        "healthy": not failures,
+        "failures": failures,
+    }
+
+
+def require_healthy(context: str, retries: int = 3,
+                    sleep_sec: float = 60.0,
+                    probe_dir: str | None = None,
+                    hard: bool = True) -> dict:
+    """Gate a timed sweep: measure, retry while degraded. ``hard=True``
+    raises ``SystemExit`` if the host never passes (artifact-of-record
+    regeneration); ``hard=False`` returns the last failing health dict —
+    ``healthy: false`` embedded in the artifact is the self-documentation
+    (driver-run sweeps must still emit output). Returns the PASSING health
+    dict on success (or the last failing one with ``gate_skipped`` set
+    when ``SPARK_GRAFT_SKIP_HEALTH_GATE=1``)."""
+    last = None
+    for attempt in range(retries + 1):
+        last = health_check(probe_dir)
+        last["context"] = context
+        last["attempt"] = attempt
+        if last["healthy"]:
+            return last
+        print(f"[host-health] {context}: DEGRADED "
+              f"(attempt {attempt + 1}/{retries + 1}): "
+              f"{'; '.join(last['failures'])}", file=sys.stderr)
+        if attempt < retries:
+            time.sleep(sleep_sec)
+    if os.environ.get("SPARK_GRAFT_SKIP_HEALTH_GATE") == "1":
+        last["gate_skipped"] = True
+        print(f"[host-health] {context}: gate SKIPPED by env — timings "
+              f"will be marked degraded", file=sys.stderr)
+        return last
+    if not hard:
+        print(f"[host-health] {context}: proceeding DEGRADED (soft gate) "
+              f"— the artifact will carry healthy=false", file=sys.stderr)
+        return last
+    raise SystemExit(
+        f"[host-health] {context}: host still degraded after "
+        f"{retries + 1} attempts ({'; '.join(last['failures'])}) — "
+        f"refusing to produce a timing artifact of record "
+        f"(r11 lesson: BENCH_r11/VERIFY_r11_sf1 misstated a healthy "
+        f"engine). Set SPARK_GRAFT_SKIP_HEALTH_GATE=1 to override.")
+
+
+def gate_for_artifact(context: str, probe_dir: str | None = None) -> dict:
+    """The standard entry for timed sweeps: retry count from
+    ``SPARK_GRAFT_HEALTH_RETRIES`` (default 2, ~1 extra minute per retry
+    only when degraded); hard refusal only when
+    ``SPARK_GRAFT_REQUIRE_HEALTHY=1`` (set during artifact-of-record
+    regeneration), soft self-marking otherwise so driver-scheduled runs
+    always emit their JSON."""
+    retries = int(os.environ.get("SPARK_GRAFT_HEALTH_RETRIES", "2"))
+    hard = os.environ.get("SPARK_GRAFT_REQUIRE_HEALTHY") == "1"
+    return require_healthy(context, retries=retries, sleep_sec=60.0,
+                           probe_dir=probe_dir, hard=hard)
+
+
+if __name__ == "__main__":
+    print(json.dumps(health_check(), indent=1))

@@ -63,6 +63,13 @@ def main() -> int:
     from hierarchical_graph_db_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
+    # Host-health gate (VERDICT r11 #1): timing artifacts only. Pure
+    # correctness sweeps don't need it — a slow host can't flip a hash.
+    health = None
+    if _ARGS.timings_out:
+        from host_health import gate_for_artifact
+        health = gate_for_artifact(f"verify_local {SF_DIR}")
+
     spark = get_spark("verify-local")
     con = duckdb.connect()
     # Unique spill dir per process: concurrent sweeps sharing the default
@@ -165,6 +172,7 @@ def main() -> int:
         with open(_ARGS.timings_out, "w") as f:
             json.dump({"sf_dir": SF_DIR, "timings": timings,
                        "failures": failures,
+                       "health_at_start": health,
                        "calibration_at_end": _calibrate()},
                       f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures of "
