@@ -169,10 +169,17 @@ def main() -> int:
         # be compared across rounds; record the bench.py calibration probe
         # at sweep END (start-of-sweep speed is already stale by then).
         from bench import _calibrate
+        # Shared-stage build attribution (VERDICT r11 #5): whichever of
+        # the three fuzzy-CC consumers ran first paid the shared build —
+        # record it so per-query walls read correctly across rounds.
+        from hierarchical_graph_db_spark.queries.dedup import (
+            stage_cache_build_secs,
+        )
         with open(_ARGS.timings_out, "w") as f:
             json.dump({"sf_dir": SF_DIR, "timings": timings,
                        "failures": failures,
                        "health_at_start": health,
+                       "stage_cache_attribution": stage_cache_build_secs(),
                        "calibration_at_end": _calibrate()},
                       f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures of "
