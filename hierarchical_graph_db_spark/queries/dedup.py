@@ -1118,3 +1118,71 @@ def dedup_lsh_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hierarchical_graph_db_spark.operators.dedup_fuzzy import lsh_band_table
 
     return lsh_band_table(Catalog(spark, sf_dir).documents)
+
+
+@query(
+    "dedup_containment_autocap",
+    f"""
+    WITH toks AS (
+        SELECT id, u.s.tok AS tok, u.s.pos AS pos
+        FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(string_split_regex({_NORM}, '\\s+'),
+                                         (x, i) -> {{'tok': x, 'pos': i - 1}})) AS s
+            FROM documents
+        ) u
+    ),
+    sh AS (
+        SELECT DISTINCT t0.id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+        FROM toks t0
+        JOIN toks t1 ON t1.id = t0.id AND t1.pos = t0.pos + 1
+        JOIN toks t2 ON t2.id = t0.id AND t2.pos = t0.pos + 2
+    ),
+    df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    -- the auto_cap DECISION, replayed: share of sum(df^2) carried by
+    -- df > 64 shingles; > 0.5 -> fixed cap 64 + min-set 20, else the
+    -- N-complete auto cutoff with no abstention guard
+    stat AS (SELECT sum(df * df) AS v,
+                    sum(CASE WHEN df > 64 THEN df * df ELSE 0 END) AS hv
+             FROM df),
+    cut AS (SELECT CASE WHEN hv > 0.5 * v THEN 64
+                        ELSE greatest(1000,
+                             floor((SELECT count(*) FROM documents) / 100))
+                   END AS c,
+                   CASE WHEN hv > 0.5 * v THEN 20 ELSE 0 END AS mss
+            FROM stat),
+    shf AS (SELECT sh.id, sh.shingle
+            FROM sh JOIN df USING (shingle) CROSS JOIN cut
+            WHERE df.df <= cut.c),
+    sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+    common AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / least(sa.n, sb.n), 6) AS containment,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / least(sa.n, sb.n) >= 0.7
+      AND least(sa.n, sb.n) >= (SELECT mss FROM cut)
+    """,
+)
+def dedup_containment_autocap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment under the AUTO-PICKED regime (round 12, VERDICT r11 #4):
+    ``max_shingle_freq="auto_cap"`` computes the share of the inverted-
+    index join volume (Σdf²) carried by df>64 shingles and applies the
+    fixed-cap + min-set-20 contract only when the head dominates (>0.5),
+    keeping the N-complete cutoff otherwise. The oracle replays the
+    DECISION itself (the stat/cut CTEs), not just one regime — so a wrong
+    pick, a wrong cutoff, or a missing abstention guard all hash-mismatch.
+    Measured crossover: CONTAINMENT_CROSSOVER_r12.json (PLANS.md
+    §Round-12); on this fixture's df distribution the pick lands on the
+    complete regime at small sf and the capped one only when the head
+    dominates. Sibling regimes pinned explicitly:
+    ``dedup_containment_pairs`` (complete), ``dedup_containment_capped``
+    (64/20)."""
+    return containment_pairs(Catalog(spark, sf_dir).documents,
+                             threshold=0.7, max_shingle_freq="auto_cap")
