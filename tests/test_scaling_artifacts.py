@@ -19,16 +19,27 @@ def _timings(name: str) -> dict:
 
 
 def test_timing_artifacts_cover_the_registry_exactly():
+    """Round 12: the sf0.1 record is the r12 sweep (244 queries, health
+    verdict embedded). The sf1 record stays the r11 sweep — the round-12
+    host never offered a healthy window (the new gate refused 31
+    consecutive probes over ~35 min; the soft-gated r12 sf1 sweep was
+    killed after fuzzy_dedup_resolution clocked 679 s vs 46 s in r11 —
+    pure I/O degradation, PLANS.md §Round-12 artifacts) — so the two
+    registry additions + the two r11-skipped movers are covered by
+    SUPPLEMENT_r12_sf1.json, and full sf1 regeneration waits for the next
+    healthy window, which the hard gate now guarantees is actually
+    healthy."""
     from hierarchical_graph_db_spark.queries import load
 
     registry = set(load())
-    small = set(_timings("VERIFY_r11_timings_sf01.json"))
-    large = set(_timings("VERIFY_r11_timings_sf1.json"))
+    small = set(_timings("VERIFY_r12_timings_sf01.json"))
+    large = (set(_timings("VERIFY_r11_timings_sf1.json"))
+             | set(_timings("SUPPLEMENT_r12_sf1.json")))
     assert small == registry, (
         f"sf0.1 artifact drifted from registry: "
         f"missing={sorted(registry - small)[:5]} extra={sorted(small - registry)[:5]}")
     assert large == registry, (
-        f"sf1 artifact drifted from registry: "
+        f"sf1 coverage (r11 sweep + r12 supplement) drifted from registry: "
         f"missing={sorted(registry - large)[:5]} extra={sorted(large - registry)[:5]}")
 
 
@@ -97,3 +108,27 @@ def test_bench_sf1_artifact_is_consistent():
     assert set(b["queries"]) - registry <= {"dedup_sink_two_batches"}
     assert b["sf"] == 1.0 and b["unit"] == "sec"
     assert abs(b["value"] - sum(b["queries"].values())) < 1.0
+
+
+def test_r12_artifacts_embed_health_verdicts():
+    """Round-12 gate contract: every timing artifact produced this round
+    embeds the host-health verdict measured at sweep start, and — because
+    the round-12 host never passed the gate — PLANS.md must carry the
+    documented-degradation note so the artifacts cannot be read as
+    healthy-engine measurements."""
+    degraded = []
+    for name in ("VERIFY_r12_timings_sf01.json", "SUPPLEMENT_r12_sf1.json",
+                 "BENCH_r12_solo.json"):
+        with open(os.path.join(ROOT, name)) as f:
+            doc = json.load(f)
+        h = doc["health_at_start"]
+        assert isinstance(h["healthy"], bool)
+        assert h["floors"]["min_write_mb_s"] == 100.0
+        if not h["healthy"]:
+            assert h["failures"], f"{name}: degraded but no failures listed"
+            degraded.append(name)
+    if degraded:
+        plans = open(os.path.join(ROOT, "PLANS.md")).read()
+        assert "round-12 host never passed the health gate" in plans, (
+            "degraded r12 artifacts require the PLANS.md §Round-12 "
+            "degradation note")

@@ -66,11 +66,24 @@ def write_probe(directory: str | None = None, mb: int = _PROBE_MB) -> float:
 
 def health_check(probe_dir: str | None = None) -> dict:
     """One measurement pass: bench.py calibration + write probe + verdict
-    per floor. Returns the dict that timed sweeps embed in their output."""
+    per floor. Returns the dict that timed sweeps embed in their output.
+
+    The write probe is the MEDIAN of 3 spaced 64 MB samples: this box's
+    I/O flaps between ~7 and ~430 MB/s on multi-second bursts (measured
+    round 12 — interleaved probes seconds apart), so a single sample
+    aliases the burst cycle in both directions (one fast burst could mask
+    a sustained collapse; one flap could veto a healthy host)."""
+    import statistics
+
     from bench import _calibrate
 
     cal = _calibrate()
-    wmb = write_probe(probe_dir)
+    samples = []
+    for i in range(3):
+        samples.append(write_probe(probe_dir, mb=64))
+        if i < 2:
+            time.sleep(1.0)
+    wmb = statistics.median(samples)
     failures = []
     if cal["single_thread_sec"] > HEALTHY_FLOORS["max_single_thread_sec"]:
         failures.append(
@@ -87,6 +100,7 @@ def health_check(probe_dir: str | None = None) -> dict:
     return {
         "calibration": cal,
         "write_mb_s": wmb,
+        "write_mb_s_samples": samples,
         "floors": dict(HEALTHY_FLOORS),
         "healthy": not failures,
         "failures": failures,
