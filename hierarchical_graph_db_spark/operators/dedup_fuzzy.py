@@ -156,6 +156,13 @@ def _prune_hot_shingles(sh: DataFrame, docs: DataFrame,
         cutoff = F.greatest(F.lit(1000), F.floor(F.col("nd") / 100))
         freq = freq.crossJoin(F.broadcast(nd)).where(F.col("df") <= cutoff)
     else:
+        if not isinstance(max_shingle_freq, int) or max_shingle_freq < 1:
+            # a typo'd mode string ("aut0", "auto_cap" reaching here
+            # unresolved, ...) would otherwise become a silent df<=string
+            # comparison — corrupt pruning, no error
+            raise ValueError(
+                f"max_shingle_freq must be a positive int, None, or a "
+                f"recognized mode string, got {max_shingle_freq!r}")
         freq = freq.where(F.col("df") <= F.lit(max_shingle_freq))
     return sh.join(freq, on="shingle").select("id", "shingle")
 

@@ -796,3 +796,15 @@ def test_containment_auto_cap_degenerate_warns(spark):
                                 max_shingle_freq="auto_cap")
         assert out.count() == 0
     assert any("abstain" in str(x.message) for x in w)
+
+
+def test_prune_guard_rejects_unknown_mode_strings(spark):
+    """A typo'd cutoff mode must raise, not silently compare df against a
+    string literal (corrupt pruning with no error)."""
+    import pytest
+
+    docs = spark.createDataFrame(DOCS)
+    with pytest.raises(ValueError, match="positive int"):
+        ngram_jaccard_pairs(docs, max_shingle_freq="aut0").collect()
+    with pytest.raises(ValueError, match="positive int"):
+        ngram_jaccard_pairs(docs, max_shingle_freq=0).collect()
