@@ -156,7 +156,9 @@ def _prune_hot_shingles(sh: DataFrame, docs: DataFrame,
         cutoff = F.greatest(F.lit(1000), F.floor(F.col("nd") / 100))
         freq = freq.crossJoin(F.broadcast(nd)).where(F.col("df") <= cutoff)
     else:
-        if not isinstance(max_shingle_freq, int) or max_shingle_freq < 1:
+        if (not isinstance(max_shingle_freq, int)
+                or isinstance(max_shingle_freq, bool)
+                or max_shingle_freq < 1):
             # a typo'd mode string ("aut0", "auto_cap" reaching here
             # unresolved, ...) would otherwise become a silent df<=string
             # comparison — corrupt pruning, no error
@@ -853,21 +855,50 @@ PREFIX_PLAN_HOT_DF = 1_000
 PREFIX_PLAN_HOT_SHARE = 0.5
 
 
-def _auto_prefix_plan(sh: DataFrame) -> str:
-    """The ``plan="auto"`` decision for :func:`prefix_filter_jaccard_pairs`:
-    one aggregate over the (materialized) shingle table → 1-row collect
-    (bounded, same class as the k-means codebook pulls) → "prefix" iff the
-    hot-df share of Σdf² exceeds the measured crossover."""
+def hot_share_stats(sh: DataFrame, hot_df: int) -> dict:
+    """The ONE decision statistic behind both data-dependent plan picks
+    (VERDICT r12 next-round #3 — shared so the two pickers can't drift):
+    group the shingle table to document frequencies, then ONE 1-row
+    aggregate (the bounded-collect class, same as the k-means codebook
+    pulls) returning
+
+    * ``share``    = Σ_{df > hot_df} df² / Σ df² — the fraction of the
+      inverted-index self-join's matched-occurrence volume carried by hot
+      shingles, i.e. exactly the volume a prefix ordering (or a df cap)
+      removes from the join keys;
+    * ``retained`` = Σ_{df ≤ hot_df} df / Σ df — the fraction of shingle
+      OCCURRENCES a df cap keeps, the head-degeneracy detector (≈0 means
+      a capped plan abstains on essentially everything).
+
+    Callers and their measured caps/thresholds (side-by-side in PLANS.md
+    §Round-13): :func:`_auto_prefix_plan` at ``hot_df=PREFIX_PLAN_HOT_DF``
+    (1000, CROSSOVER_r11.json) and :func:`containment_pairs`
+    ``"auto_cap"`` at ``hot_df=CONTAINMENT_CAP_DF`` (64,
+    CONTAINMENT_CROSSOVER_r12.json), both picking the pruned plan above a
+    0.5 share."""
     st = (
         sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         .agg(
             F.sum(F.col("df") * F.col("df")).alias("v"),
-            F.sum(F.when(F.col("df") > PREFIX_PLAN_HOT_DF,
+            F.sum(F.when(F.col("df") > hot_df,
                          F.col("df") * F.col("df")).otherwise(0)).alias("hv"),
+            F.sum("df").alias("r"),
+            F.sum(F.when(F.col("df") <= hot_df, F.col("df"))
+                  .otherwise(0)).alias("rr"),
         )
         .first()
     )
-    share = (st["hv"] or 0) / max(st["v"] or 0, 1)
+    return {
+        "share": (st["hv"] or 0) / max(st["v"] or 0, 1),
+        "retained": (st["rr"] or 0) / max(st["r"] or 0, 1),
+    }
+
+
+def _auto_prefix_plan(sh: DataFrame) -> str:
+    """The ``plan="auto"`` decision for :func:`prefix_filter_jaccard_pairs`:
+    :func:`hot_share_stats` at the measured prefix crossover cap →
+    "prefix" iff the hot-df share of Σdf² exceeds the measured crossover."""
+    share = hot_share_stats(sh, PREFIX_PLAN_HOT_DF)["share"]
     return "prefix" if share > PREFIX_PLAN_HOT_SHARE else "index"
 
 
@@ -1173,25 +1204,13 @@ def containment_pairs(
     sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     if max_shingle_freq == "auto_cap":
         sh = sh.transform(materialize)   # feeds the decision agg AND the join
-        st = (
-            sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-            .agg(
-                F.sum(F.col("df") * F.col("df")).alias("v"),
-                F.sum(F.when(F.col("df") > CONTAINMENT_CAP_DF,
-                             F.col("df") * F.col("df")).otherwise(0))
-                .alias("hv"),
-                F.sum("df").alias("r"),
-                F.sum(F.when(F.col("df") <= CONTAINMENT_CAP_DF, F.col("df"))
-                      .otherwise(0)).alias("rr"),
-            )
-            .first()
-        )
-        share = (st["hv"] or 0) / max(st["v"] or 0, 1)
+        st = hot_share_stats(sh, CONTAINMENT_CAP_DF)
+        share = st["share"]
         if share > CONTAINMENT_CAP_SHARE:
             max_shingle_freq = CONTAINMENT_CAP_DF
             if not min_set_size:
                 min_set_size = CONTAINMENT_CAP_MIN_SET
-            retained = (st["rr"] or 0) / max(st["r"] or 0, 1)
+            retained = st["retained"]
             if retained < 0.05:
                 # Head-DEGENERATE corpus (measured: the bounded-vocabulary
                 # TPC-H-ish fixture at sf1 — hot share 0.9983, cap retains

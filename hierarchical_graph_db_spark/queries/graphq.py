@@ -1466,7 +1466,16 @@ def thread_reply_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     relaxation loop flips two rows' hashes even if the counts happened to
     balance. Oracle: in the binary tree rooted at 1, depth(v) is exactly
     bit_length(v) − 1 (float-free via length(bin(v))), so DuckDB needs no
-    recursive CTE — the closed form checks the whole fixpoint."""
+    recursive CTE — the closed form checks the whole fixpoint.
+
+    ASSUMPTION (load-bearing for the oracle, r12 ADVICE): event_ids must
+    be contiguous from 1, which the generator guarantees (TESTDATA.md).
+    A gap at id g would make g's orphaned children dag_layers SOURCES
+    (layer 0) and introduce the synthetic parent vertex g on the Spark
+    side only, while the closed form still reports bit_length−1 — i.e. a
+    fixture change that breaks contiguity fails this query's hash check
+    BY DESIGN (loudly, not silently); re-derive the oracle with a
+    recursive parent-chain CTE if the fixture contract ever changes."""
     from hierarchical_graph_db_spark.operators.graph import dag_layers
 
     ev = Catalog(spark, sf_dir).events

@@ -808,3 +808,35 @@ def test_prune_guard_rejects_unknown_mode_strings(spark):
         ngram_jaccard_pairs(docs, max_shingle_freq="aut0").collect()
     with pytest.raises(ValueError, match="positive int"):
         ngram_jaccard_pairs(docs, max_shingle_freq=0).collect()
+    with pytest.raises(ValueError, match="positive int"):
+        # bool is an int subclass: True would silently become cap=1 and
+        # prune nearly every shingle (r12 ADVICE)
+        ngram_jaccard_pairs(docs, max_shingle_freq=True).collect()
+
+
+def test_hot_share_stats_shared_helper(spark):
+    """The unified plan-pick statistic (VERDICT r12 #3): share = hot Σdf²
+    fraction, retained = capped occurrence fraction — checked against a
+    hand-computed df distribution, and both pickers must consume it."""
+    import inspect
+
+    from hierarchical_graph_db_spark.operators.dedup_fuzzy import (
+        _auto_prefix_plan,
+        containment_pairs,
+        hot_share_stats,
+    )
+
+    # shingle table with df = [4, 1, 1]: Σdf² = 18, hot(df>2) = 16,
+    # retained(df<=2) = 2 of 6 occurrences
+    sh = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "a"), (1, "b"), (2, "c")],
+        "id: bigint, shingle: string")
+    st = hot_share_stats(sh, hot_df=2)
+    assert abs(st["share"] - 16 / 18) < 1e-12
+    assert abs(st["retained"] - 2 / 6) < 1e-12
+    # all-cold corpus: share 0, retained 1
+    st0 = hot_share_stats(sh, hot_df=10)
+    assert st0["share"] == 0.0 and st0["retained"] == 1.0
+    # drift guard: both pickers must source the statistic from the helper
+    assert "hot_share_stats" in inspect.getsource(_auto_prefix_plan)
+    assert "hot_share_stats" in inspect.getsource(containment_pairs)
