@@ -155,6 +155,33 @@ def test_cdc_sink_delete_empties_bucket_and_manifest(spark, tmp_path):
     assert [(r["k"], r["m"]) for r in asof.collect()] == [(1, 10)]
 
 
+def test_cdc_sink_records_batch_attribution(spark, tmp_path):
+    """Every applied batch appends one attribution row (VERDICT r12 #5):
+    probe + commit = total, commit > 0 (the durable write happened), and
+    replays/empty batches record nothing — so the sidecar's row count is
+    exactly the applied-batch count."""
+    from hierarchical_graph_db_spark.streaming.ingest import (
+        _CDC_BATCH_ATTRIBUTION,
+        cdc_sink_attribution,
+    )
+
+    before = len(cdc_sink_attribution())
+    sink = _sink(spark, tmp_path)
+    sink(spark.createDataFrame([(1, 1, "I", "a", 10)], CDC_SCHEMA), 0)
+    sink(spark.createDataFrame([(1, 2, "U", "a", 11)], CDC_SCHEMA), 1)
+    sink(spark.createDataFrame([(1, 9, "U", "z", 99)], CDC_SCHEMA), 0)  # replay
+    rows = cdc_sink_attribution()[before:]
+    assert [r["batch_id"] for r in rows] == [0, 1]
+    for r in rows:
+        assert r["store"] == "store"
+        assert r["commit_secs"] > 0
+        assert r["touched_buckets"] >= 1
+        assert abs(r["probe_secs"] + r["commit_secs"] - r["total_secs"]) < 0.01
+    # the accessor returns a copy — mutating it must not corrupt the record
+    cdc_sink_attribution().clear()
+    assert len(_CDC_BATCH_ATTRIBUTION) >= before + 2
+
+
 def test_cdc_sink_matches_batch_apply(spark, tmp_path):
     """Sequential micro-batches == one-shot apply_changelog on the union."""
     base_rows = [(i, 0, "I", "g" + str(i % 3), i * 10) for i in range(20)]

@@ -206,6 +206,23 @@ def test_item_item_topk_pretruncates_map_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_link_prediction_plan_shape(spark, sf_dir):
+    """graph_link_prediction's 100 TB posture, pinned (VERDICT r12 #2 —
+    its only sf1 numbers since r10 are degraded-host upper bounds, so the
+    plan shape is the evidence that the query didn't grow): the per-source
+    rank-10 cut must plan as WindowGroupLimit with the Partial (map-side)
+    pre-truncation BELOW an exchange, so each map ships ≤k candidate rows
+    per anchor instead of the full candidate set; the witness self-join
+    and the non-adjacency anti-join must stay equi hash/merge joins."""
+    plan = _plan(spark, sf_dir, "graph_link_prediction")
+    assert "WindowGroupLimit" in plan
+    assert "row_number(), 10, Partial" in plan
+    assert plan.index("row_number(), 10, Partial") > plan.index("Exchange")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
 def test_sorted_neighborhood_corpus_window_is_prefix_partitioned(
         spark, sf_dir):
     """The corpus-side window must partition by the key prefix — a global

@@ -15,20 +15,22 @@ the durable ``checkpoint()`` branch of ``materialize()`` (lineage-safe under
 executor loss) and the hash comparison proves the plans are
 partitioning-deterministic across execution modes.
 
-Usage:
+Usage (single run):
     python tools/multi_executor_sweep.py SF_DIR OUT.json [query ...] \
         [--master local-cluster[2,2,2048]] [--checkpoint-dir DIR]
 
-Compare two runs:
-    python tools/multi_executor_sweep.py sf0.01 a.json q1 q2
-    python tools/multi_executor_sweep.py sf0.01 b.json q1 q2 \
-        --master 'local-cluster[2,2,2048]' --checkpoint-dir /tmp/ck
-    python - <<'PY'
-    import json; a=json.load(open('a.json')); b=json.load(open('b.json'))
-    strip = lambda rs: {n: {k: v for k, v in r.items() if k != 'secs'}
-                        for n, r in rs.items()}
-    assert strip(a['results']) == strip(b['results'])
-    PY
+Equivalence mode (VERDICT r12 next-round #6 — subsumes the per-round
+``multiexec_r{N}.py`` wrapper scripts): run the SAME query set under every
+cell of masters x env-grid values (each cell a fresh subprocess/JVM —
+a SparkSession's master is fixed at JVM launch), assert per-query hash
+identity across ALL cells, and write ONE artifact. ``local-cluster``
+masters automatically get a durable checkpoint dir (the ``checkpoint()``
+branch of ``materialize()``); exit status 1 on any mismatch.
+
+    python tools/multi_executor_sweep.py SF_DIR MULTIEXEC_rN.json q1 q2 \
+        --equivalence \
+        --masters 'local,local-cluster[2,4,4096]' \
+        --env-grid SPARK_GRAFT_RANK_GRID=absolute,relative
 """
 
 from __future__ import annotations
@@ -45,6 +47,96 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from result_digest import frame_digest  # noqa: E402
 
 
+def _equivalence(args) -> int:
+    """Cross-master / cross-env hash-identity harness: one subprocess per
+    (master, env-assignment) cell running this script's single-run mode,
+    then a per-query comparison of the order-insensitive digests."""
+    import itertools
+    import subprocess
+    import tempfile
+
+    # Split master cells on commas OUTSIDE brackets — the cells themselves
+    # contain commas (local-cluster[2,4,4096]).
+    masters, buf, depth = [], "", 0
+    for ch in args.masters:
+        if ch == "," and depth == 0:
+            if buf.strip():
+                masters.append(buf.strip())
+            buf = ""
+            continue
+        depth += (ch == "[") - (ch == "]")
+        buf += ch
+    if buf.strip():
+        masters.append(buf.strip())
+    grids: list[tuple[str, list[str]]] = []
+    for spec in args.env_grid or []:
+        key, _, vals = spec.partition("=")
+        if not vals:
+            raise SystemExit(f"--env-grid expects KEY=v1,v2,..., got {spec!r}")
+        grids.append((key, vals.split(",")))
+    env_cells = [dict(zip([k for k, _ in grids], combo))
+                 for combo in itertools.product(*[v for _, v in grids])] \
+        or [{}]
+
+    wd = tempfile.mkdtemp(prefix="hgdb_mx_")
+    cells: dict[str, dict] = {}
+    for master in masters:
+        for env_over in env_cells:
+            tag = master + ("|" + ",".join(f"{k}={v}"
+                                           for k, v in sorted(env_over.items()))
+                            if env_over else "")
+            cell_out = os.path.join(
+                wd, f"cell_{len(cells)}.json")
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   args.sf_dir, cell_out, *args.names]
+            if master != "local":
+                cmd += ["--master", master]
+                if master.startswith("local-cluster"):
+                    cmd += ["--checkpoint-dir",
+                            os.path.join(wd, f"ck_{len(cells)}")]
+            env = dict(os.environ)
+            env.pop("SPARK_MASTER", None)
+            env.pop("SPARK_GRAFT_CHECKPOINT_DIR", None)
+            env.update(env_over)
+            print(f"[equivalence] cell {tag}", file=sys.stderr)
+            subprocess.run(cmd, check=True, env=env)
+            with open(cell_out) as fh:
+                run = json.load(fh)
+            cells[tag] = {
+                "master": run["master"],
+                "checkpoint_dir": run["checkpoint_dir"],
+                "env": env_over,
+                "secs": {q: run["results"][q]["secs"] for q in args.names},
+                "hashes": {q: run["results"][q]["hash"] for q in args.names},
+                "rows": {q: run["results"][q]["rows"] for q in args.names},
+            }
+
+    base_tag = next(iter(cells))
+    mismatches = {
+        q: {t: c["hashes"][q] for t, c in cells.items()}
+        for q in args.names
+        if len({c["hashes"][q] for c in cells.values()}) > 1
+    }
+    doc = {
+        "note": ("multi_executor_sweep --equivalence: per-query "
+                 "order-insensitive sha256 identity across all "
+                 "master x env cells (fresh JVM each; local-cluster "
+                 "cells use durable checkpoints)."),
+        "sf_dir": args.sf_dir,
+        "queries": args.names,
+        "cells": {t: {k: v for k, v in c.items() if k != "hashes"}
+                  for t, c in cells.items()},
+        "hashes": cells[base_tag]["hashes"],
+        "identical": not mismatches,
+        "mismatches": mismatches,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+    print(json.dumps({"cells": len(cells), "queries": len(args.names),
+                      "identical": not mismatches}))
+    return 0 if not mismatches else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir")
@@ -55,7 +147,19 @@ def main() -> int:
     ap.add_argument("--checkpoint-dir", default=None,
                     help="durable checkpoint dir → materialize() uses "
                          "checkpoint() instead of localCheckpoint()")
+    ap.add_argument("--equivalence", action="store_true",
+                    help="cross-master/env hash-identity mode (see module "
+                         "docstring); --master/--checkpoint-dir are ignored")
+    ap.add_argument("--masters", default="local,local-cluster[2,4,4096]",
+                    help="comma-separated master cells for --equivalence "
+                         "('local' = engine default local[N])")
+    ap.add_argument("--env-grid", action="append", default=[],
+                    help="KEY=v1,v2 env cross-product for --equivalence "
+                         "(repeatable)")
     args = ap.parse_args()
+
+    if args.equivalence:
+        return _equivalence(args)
 
     if args.master:
         os.environ["SPARK_MASTER"] = args.master
