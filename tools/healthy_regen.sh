@@ -1,0 +1,40 @@
+#!/bin/bash
+# One-shot artifact-of-record regeneration for a HEALTHY host window
+# (VERDICT r12 next-round #1). Runs the full regeneration order from
+# PLANS.md under the hard health gate so a degraded host refuses at each
+# sweep start instead of committing contaminated timings. Run SOLO — no
+# concurrent pytest/Spark (BENCH_variance_r9.json: up to 6.2x per-query
+# noise from background load).
+#
+# Usage: tools/healthy_regen.sh <round-tag, e.g. r13>
+# After it succeeds: update tests/test_scaling_artifacts.py filenames and
+# the PLANS.md decade headline, then run tools/scale_compare.py and
+# tools/bench_compare.py (printed at the end).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+TAG="${1:?usage: tools/healthy_regen.sh r13}"
+export SPARK_GRAFT_REQUIRE_HEALTHY=1
+
+echo "== gate probe =="
+python tools/host_health.py | python3 -c "import json,sys; d=json.load(sys.stdin); print('healthy:', d['healthy'], d['failures']); raise SystemExit(0 if d['healthy'] else 1)"
+
+echo "== 1/4 correctness gate (sf0.01, oracles) =="
+python tools/verify_local.py /root/testdata/sf0.01 2>&1 | tail -3
+
+echo "== 2/4 sf0.1 timing sweep (oracles) =="
+python tools/verify_local.py /root/testdata/sf0.1 \
+    --timings-out "VERIFY_${TAG}_timings_sf01.json" 2>&1 | tail -3
+
+echo "== 3/4 sf1 timing sweep (timing-only by convention; hashes pinned r7) =="
+test -d .fixtures/sf1 || python tools/gen_fixtures.py 1 .fixtures/sf1
+SPARK_GRAFT_DRIVER_MEM=48g python tools/verify_local.py .fixtures/sf1 \
+    --timings-out "VERIFY_${TAG}_timings_sf1.json" --no-oracle 2>&1 | tail -3
+
+echo "== 4/4 solo bench =="
+python bench.py | tee "BENCH_${TAG}_solo.json"
+
+echo "== next steps (manual) =="
+echo "  * pin: tests/test_scaling_artifacts.py -> VERIFY_${TAG}_timings_sf{01,1}.json"
+echo "  * headline: python tools/scale_compare.py VERIFY_${TAG}_timings_sf01.json VERIFY_${TAG}_timings_sf1.json  -> PLANS.md"
+echo "  * compare: python tools/bench_compare.py"
+echo "  * retire SUPPLEMENT_r12_sf1.json + r11 sf1 record per PLANS.md"
