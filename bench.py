@@ -216,6 +216,13 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
+    # Per-batch sink attribution (VERDICT r12 #5): dedup_sink_two_batches'
+    # wall above decomposes into probe (touched-bucket scan) vs commit
+    # (merge + durable write + manifest swap) so the fixed micro-batch
+    # overhead is separable from per-row work.
+    from hierarchical_graph_db_spark.streaming.ingest import (
+        sink_batch_attribution,
+    )
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -225,6 +232,7 @@ def main() -> None:
         "ingest_emails_per_sec": round(n_emails / ingest_sec, 1),
         "calibration": _calibrate(),
         "health_at_start": health,
+        "sink_batch_attribution": sink_batch_attribution(),
     }
     print(json.dumps(out))
 

@@ -161,7 +161,7 @@ def test_cdc_sink_records_batch_attribution(spark, tmp_path):
     replays/empty batches record nothing — so the sidecar's row count is
     exactly the applied-batch count."""
     from hierarchical_graph_db_spark.streaming.ingest import (
-        _CDC_BATCH_ATTRIBUTION,
+        _SINK_BATCH_ATTRIBUTION,
         cdc_sink_attribution,
     )
 
@@ -173,13 +173,36 @@ def test_cdc_sink_records_batch_attribution(spark, tmp_path):
     rows = cdc_sink_attribution()[before:]
     assert [r["batch_id"] for r in rows] == [0, 1]
     for r in rows:
+        assert r["sink"] == "cdc"
         assert r["store"] == "store"
         assert r["commit_secs"] > 0
         assert r["touched_buckets"] >= 1
         assert abs(r["probe_secs"] + r["commit_secs"] - r["total_secs"]) < 0.01
     # the accessor returns a copy — mutating it must not corrupt the record
     cdc_sink_attribution().clear()
-    assert len(_CDC_BATCH_ATTRIBUTION) >= before + 2
+    assert len(cdc_sink_attribution()) >= before + 2
+
+
+def test_dedup_sink_records_batch_attribution(spark, tmp_path):
+    """The dedup sink shares the attribution registry (sink="dedup") —
+    bench.py's dedup_sink_two_batches wall decomposes the same way."""
+    from hierarchical_graph_db_spark.streaming.ingest import (
+        DedupParquetSink,
+        sink_batch_attribution,
+    )
+
+    before = len(sink_batch_attribution("dedup"))
+    sink = DedupParquetSink(spark, str(tmp_path / "dstore"), key="dk",
+                            order_by=["v"], member_cols=["v"])
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "dk string, v bigint")
+    sink(df, batch_id=0)
+    sink(df, batch_id=0)  # replay: no row
+    rows = sink_batch_attribution("dedup")[before:]
+    assert [r["batch_id"] for r in rows] == [0]
+    r = rows[0]
+    assert r["sink"] == "dedup" and r["store"] == "dstore"
+    assert r["commit_secs"] > 0
+    assert abs(r["probe_secs"] + r["commit_secs"] - r["total_secs"]) < 0.01
 
 
 def test_cdc_sink_matches_batch_apply(spark, tmp_path):

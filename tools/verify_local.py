@@ -175,18 +175,20 @@ def main() -> int:
         from hierarchical_graph_db_spark.queries.dedup import (
             stage_cache_build_secs,
         )
-        # CDC sink per-batch attribution (VERDICT r12 #5): separates the
-        # fixed per-batch commit overhead from scaling per-row work in
-        # streaming_cdc_upsert's wall time.
+        # Sink per-batch attribution (VERDICT r12 #5): separates the fixed
+        # per-batch commit overhead from scaling per-row work in the
+        # bucketed-store sink queries' wall times.
         from hierarchical_graph_db_spark.streaming.ingest import (
-            cdc_sink_attribution,
+            sink_batch_attribution,
         )
         with open(_ARGS.timings_out, "w") as f:
             json.dump({"sf_dir": SF_DIR, "timings": timings,
                        "failures": failures,
                        "health_at_start": health,
                        "stage_cache_attribution": stage_cache_build_secs(),
-                       "cdc_sink_attribution": cdc_sink_attribution(),
+                       "cdc_sink_attribution": sink_batch_attribution("cdc"),
+                       "dedup_sink_attribution":
+                           sink_batch_attribution("dedup"),
                        "calibration_at_end": _calibrate()},
                       f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures of "
