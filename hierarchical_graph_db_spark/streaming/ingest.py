@@ -166,7 +166,7 @@ class DedupParquetSink:
             # by a probe — the commit's write computes it — so here
             # commit_secs carries merge + write and probe_secs only the
             # touched-bucket scan.
-            _SINK_BATCH_ATTRIBUTION.append({
+            _record_sink_batch({
                 "sink": "dedup",
                 "store": os.path.basename(self.store.path.rstrip("/")),
                 "batch_id": batch_id,
@@ -209,15 +209,37 @@ def run_available_now(stream_df: DataFrame, sink, checkpoint_dir: str) -> None:
 #: overhead from per-row cost before reading a sink query's sf1 number.
 _SINK_BATCH_ATTRIBUTION: list[dict] = []
 
+#: A long-lived streaming driver applies unbounded batches; the registry
+#: keeps only the newest rows so attribution can never become a driver
+#: memory leak. Truncation is NEVER silent: dropped rows are counted and
+#: surfaced as a leading marker row by :func:`sink_batch_attribution`.
+_SINK_ATTRIBUTION_CAP = 4096
+_SINK_ATTRIBUTION_DROPPED = 0
+
+
+def _record_sink_batch(row: dict) -> None:
+    global _SINK_ATTRIBUTION_DROPPED
+    _SINK_BATCH_ATTRIBUTION.append(row)
+    if len(_SINK_BATCH_ATTRIBUTION) > _SINK_ATTRIBUTION_CAP:
+        del _SINK_BATCH_ATTRIBUTION[0]
+        _SINK_ATTRIBUTION_DROPPED += 1
+
 
 def sink_batch_attribution(kind: str | None = None) -> list[dict]:
     """Per-batch sink costs paid so far in this process — the
     timing-artifact sidecar entry. ``probe_secs`` ≈ merge compute (the
     persisted frames are materialized by the bounded bucket probes);
     ``commit_secs`` ≈ durable write + manifest swap. ``kind`` filters to
-    one sink family ("cdc" or "dedup")."""
-    return [r for r in _SINK_BATCH_ATTRIBUTION
+    one sink family ("cdc" or "dedup"). If the bounded registry ever
+    dropped rows, the first returned row is a ``{"sink": "_truncated"}``
+    marker carrying the drop count."""
+    rows = [r for r in _SINK_BATCH_ATTRIBUTION
             if kind is None or r["sink"] == kind]
+    if _SINK_ATTRIBUTION_DROPPED:
+        rows.insert(0, {"sink": "_truncated",
+                        "dropped_rows": _SINK_ATTRIBUTION_DROPPED,
+                        "cap": _SINK_ATTRIBUTION_CAP})
+    return rows
 
 
 def cdc_sink_attribution() -> list[dict]:
@@ -316,7 +338,7 @@ class CdcParquetSink:
             finally:
                 merged.unpersist()
             total = time.perf_counter() - t0
-            _SINK_BATCH_ATTRIBUTION.append({
+            _record_sink_batch({
                 "sink": "cdc",
                 "store": os.path.basename(self.store.path.rstrip("/")),
                 "batch_id": batch_id,

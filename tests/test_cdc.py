@@ -205,6 +205,31 @@ def test_dedup_sink_records_batch_attribution(spark, tmp_path):
     assert abs(r["probe_secs"] + r["commit_secs"] - r["total_secs"]) < 0.01
 
 
+def test_sink_attribution_registry_is_bounded_not_silently():
+    """A long-lived streaming driver applies unbounded batches — the
+    registry must cap (no driver memory leak) and the cap must be LOUD
+    (a leading marker row with the drop count), never silent truncation."""
+    from hierarchical_graph_db_spark.streaming import ingest as mod
+
+    saved_rows = list(mod._SINK_BATCH_ATTRIBUTION)
+    saved_dropped = mod._SINK_ATTRIBUTION_DROPPED
+    try:
+        mod._SINK_BATCH_ATTRIBUTION.clear()
+        mod._SINK_ATTRIBUTION_DROPPED = 0
+        for i in range(mod._SINK_ATTRIBUTION_CAP + 7):
+            mod._record_sink_batch({"sink": "cdc", "batch_id": i})
+        assert len(mod._SINK_BATCH_ATTRIBUTION) == mod._SINK_ATTRIBUTION_CAP
+        rows = mod.sink_batch_attribution()
+        assert rows[0] == {"sink": "_truncated", "dropped_rows": 7,
+                           "cap": mod._SINK_ATTRIBUTION_CAP}
+        # oldest rows dropped, newest kept
+        assert rows[1]["batch_id"] == 7
+        assert rows[-1]["batch_id"] == mod._SINK_ATTRIBUTION_CAP + 6
+    finally:
+        mod._SINK_BATCH_ATTRIBUTION[:] = saved_rows
+        mod._SINK_ATTRIBUTION_DROPPED = saved_dropped
+
+
 def test_cdc_sink_matches_batch_apply(spark, tmp_path):
     """Sequential micro-batches == one-shot apply_changelog on the union."""
     base_rows = [(i, 0, "I", "g" + str(i % 3), i * 10) for i in range(20)]
