@@ -37,6 +37,65 @@ def _calib_work(iters: int = _CALIB_ITERS) -> int:
     return h[0]
 
 
+#: Healthy-host single-thread calibration floor (same constant as
+#: tools/host_health.py HEALTHY_FLOORS["max_single_thread_sec"]): the
+#: boundary between the measured healthy population (0.140-0.175 s) and
+#: the measured degraded population (0.209-0.256 s). Normalization
+#: divides walls by (measured single-thread / this floor), i.e. rescales
+#: a degraded-host wall to what a floor-speed host would have produced.
+HEALTHY_SINGLE_THREAD_FLOOR = 0.19
+
+
+def host_factor(*single_thread_secs: float) -> float:
+    """CPU slowdown factor vs a floor-healthy host: the mean of the given
+    single-thread calibration measurements divided by
+    ``HEALTHY_SINGLE_THREAD_FLOOR``. Pass every calibration taken around
+    a sweep (start + end) so the factor averages over drift during the
+    run. 1.0 = exactly at the healthy floor; 1.25 = CPU ran 25% slower
+    than the floor (typical of the r11-r13 degraded windows)."""
+    vals = [v for v in single_thread_secs if v and v > 0]
+    if not vals:
+        return 1.0
+    return round((sum(vals) / len(vals)) / HEALTHY_SINGLE_THREAD_FLOOR, 4)
+
+
+def host_factor_parallel(*parallel_wall_secs: float,
+                         n_procs: int = N_CPUS) -> float:
+    """Supplementary slowdown factor from the PARALLEL calibration: mean
+    parallel wall divided by the floor-healthy parallel wall
+    (n_procs * single-thread floor / speedup floor = 32*0.19/17 ≈ 0.358 s
+    at the defaults). This box's degradation often shows up as core
+    contention with near-healthy single-thread speed (r13: single 0.157 s
+    healthy, speedup 14.5 degraded), which the single-thread factor
+    cannot see. Spark local[32] walls track aggregate core throughput,
+    so artifacts carry BOTH factors; the single-thread one remains the
+    series of record (VERDICT r13 #1 prescribed formula), this one is
+    context for queries whose normalized walls still look off."""
+    floor_wall = n_procs * HEALTHY_SINGLE_THREAD_FLOOR / 17.0
+    vals = [v for v in parallel_wall_secs if v and v > 0]
+    if not vals:
+        return 1.0
+    return round((sum(vals) / len(vals)) / floor_wall, 4)
+
+
+def normalize_timings(timings: dict, factor: float) -> dict:
+    """Calibration-normalized per-query walls (VERDICT r13 #1): divide
+    each raw wall by the CPU ``host_factor`` so cross-round engine
+    comparisons stop waiting on hypervisor weather.
+
+    CAVEAT (document wherever these numbers are quoted): this is a
+    CPU-BOUND normalization. The sha256-chain calibration measures core
+    speed/steal only, so I/O-bound queries (shuffle-heavy joins, the
+    bucketed-store sinks, anything hit by the 4-470 MB/s write flapping
+    this box exhibits) normalize WORSE than CPU-bound ones — a degraded
+    run can still overstate an I/O-heavy query after normalization.
+    Normalized numbers are the fallback series; a healthy-window raw
+    measurement always supersedes them."""
+    if not factor or factor <= 0:
+        factor = 1.0
+    return {k: round(v / factor, 3) for k, v in timings.items()}
+
+
 def _calibrate() -> dict:
     """Host-speed fingerprint: single-thread seconds for the fixed hash
     chain, plus the speedup running one chain per CPU in parallel
@@ -223,6 +282,20 @@ def main() -> None:
     from hierarchical_graph_db_spark.streaming.ingest import (
         sink_batch_attribution,
     )
+    cal_end = _calibrate()
+    # Calibration-normalized series (VERDICT r13 #1): raw walls stay the
+    # artifact of record when healthy; normalized walls are the
+    # host-independent fallback for cross-round comparison. Factor
+    # averages the start-of-run and end-of-run calibrations. CPU-bound
+    # normalization only — see normalize_timings' docstring for the
+    # I/O caveat.
+    factor = host_factor(
+        (health or {}).get("calibration", {}).get("single_thread_sec"),
+        cal_end["single_thread_sec"])
+    factor_par = host_factor_parallel(
+        (health or {}).get("calibration", {}).get("parallel_wall_sec"),
+        cal_end["parallel_wall_sec"])
+    norm = normalize_timings(timings, factor)
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -230,8 +303,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "ingest_emails_per_sec": round(n_emails / ingest_sec, 1),
-        "calibration": _calibrate(),
+        "calibration": cal_end,
         "health_at_start": health,
+        "host_factor": factor,
+        "host_factor_parallel": factor_par,
+        "normalized_queries": norm,
+        "normalized_value": round(sum(norm.values()), 3),
         "sink_batch_attribution": sink_batch_attribution(),
     }
     print(json.dumps(out))

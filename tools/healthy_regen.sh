@@ -19,26 +19,29 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 TAG="${1:?usage: tools/healthy_regen.sh r13}"
 export SPARK_GRAFT_REQUIRE_HEALTHY=1
+# One interpreter name for every invocation (ADVICE r13: a python/python3
+# mix dies on hosts that ship only one of the two names).
+PYTHON="${PYTHON:-python3}"
 
 echo "== gate probe =="
-python tools/host_health.py | python3 -c "import json,sys; d=json.load(sys.stdin); print('healthy:', d['healthy'], d['failures']); raise SystemExit(0 if d['healthy'] else 1)"
+"$PYTHON" tools/host_health.py | "$PYTHON" -c "import json,sys; d=json.load(sys.stdin); print('healthy:', d['healthy'], d['failures']); raise SystemExit(0 if d['healthy'] else 1)"
 
 echo "== 1/4 graph_link_prediction sf1 solo (VERDICT r12 #2 — ~1 min; closes the monotone-series question even if the window collapses) =="
-test -d .fixtures/sf1 || python tools/gen_fixtures.py 1 .fixtures/sf1
-SPARK_GRAFT_DRIVER_MEM=48g python tools/verify_local.py .fixtures/sf1 \
+test -d .fixtures/sf1 || "$PYTHON" tools/gen_fixtures.py 1 .fixtures/sf1
+SPARK_GRAFT_DRIVER_MEM=48g "$PYTHON" tools/verify_local.py .fixtures/sf1 \
     graph_link_prediction --no-oracle \
     --timings-out "REMEASURE_${TAG}_linkpred_sf1.json" 2>&1 | tail -2
 
 echo "== 2/4 sf0.1 timing sweep (oracles) =="
-python tools/verify_local.py /root/testdata/sf0.1 \
+"$PYTHON" tools/verify_local.py /root/testdata/sf0.1 \
     --timings-out "VERIFY_${TAG}_timings_sf01.json" 2>&1 | tail -3
 
 echo "== 3/4 sf1 timing sweep (timing-only by convention; hashes pinned r7) =="
-SPARK_GRAFT_DRIVER_MEM=48g python tools/verify_local.py .fixtures/sf1 \
+SPARK_GRAFT_DRIVER_MEM=48g "$PYTHON" tools/verify_local.py .fixtures/sf1 \
     --timings-out "VERIFY_${TAG}_timings_sf1.json" --no-oracle 2>&1 | tail -3
 
 echo "== 4/4 solo bench =="
-python bench.py | tee "BENCH_${TAG}_solo.json"
+"$PYTHON" bench.py | tee "BENCH_${TAG}_solo.json"
 
 echo "== next steps (manual) =="
 echo "  * pin: tests/test_scaling_artifacts.py -> VERIFY_${TAG}_timings_sf{01,1}.json"

@@ -168,7 +168,8 @@ def main() -> int:
         # vs 195.0 s). A timing artifact without a host fingerprint cannot
         # be compared across rounds; record the bench.py calibration probe
         # at sweep END (start-of-sweep speed is already stale by then).
-        from bench import _calibrate
+        from bench import (_calibrate, host_factor, host_factor_parallel,
+                           normalize_timings)
         # Shared-stage build attribution (VERDICT r11 #5): whichever of
         # the three fuzzy-CC consumers ran first paid the shared build —
         # record it so per-query walls read correctly across rounds.
@@ -181,15 +182,31 @@ def main() -> int:
         from hierarchical_graph_db_spark.streaming.ingest import (
             sink_batch_attribution,
         )
+        cal_end = _calibrate()
+        # Calibration-normalized fallback series (VERDICT r13 #1): raw
+        # walls are the record on a healthy host; normalized walls
+        # (wall / (mean single-thread calibration / 0.19 floor)) make the
+        # series comparable across degraded rounds. CPU-bound only —
+        # I/O-heavy queries normalize worse (see bench.normalize_timings).
+        factor = host_factor(
+            (health or {}).get("calibration", {}).get("single_thread_sec"),
+            cal_end["single_thread_sec"])
+        factor_par = host_factor_parallel(
+            (health or {}).get("calibration", {}).get("parallel_wall_sec"),
+            cal_end["parallel_wall_sec"])
         with open(_ARGS.timings_out, "w") as f:
             json.dump({"sf_dir": SF_DIR, "timings": timings,
                        "failures": failures,
                        "health_at_start": health,
+                       "host_factor": factor,
+                       "host_factor_parallel": factor_par,
+                       "normalized_timings":
+                           normalize_timings(timings, factor),
                        "stage_cache_attribution": stage_cache_build_secs(),
                        "cdc_sink_attribution": sink_batch_attribution("cdc"),
                        "dedup_sink_attribution":
                            sink_batch_attribution("dedup"),
-                       "calibration_at_end": _calibrate()},
+                       "calibration_at_end": cal_end},
                       f, indent=1, sort_keys=True)
     print(f"\n{len(failures)} failures of "
           f"{len([n for n in qs if not selected or n in selected])}")
