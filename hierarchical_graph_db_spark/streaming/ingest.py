@@ -211,18 +211,20 @@ _SINK_BATCH_ATTRIBUTION: list[dict] = []
 
 #: A long-lived streaming driver applies unbounded batches; the registry
 #: keeps only the newest rows so attribution can never become a driver
-#: memory leak. Truncation is NEVER silent: dropped rows are counted and
-#: surfaced as a leading marker row by :func:`sink_batch_attribution`.
+#: memory leak. Truncation is NEVER silent: dropped rows are counted PER
+#: SINK KIND and surfaced as a leading marker row by
+#: :func:`sink_batch_attribution` — a kind-filtered view reports only its
+#: own drops, never the other sink's (round-13 advice, low).
 _SINK_ATTRIBUTION_CAP = 4096
-_SINK_ATTRIBUTION_DROPPED = 0
+_SINK_ATTRIBUTION_DROPPED: dict[str, int] = {}
 
 
 def _record_sink_batch(row: dict) -> None:
-    global _SINK_ATTRIBUTION_DROPPED
     _SINK_BATCH_ATTRIBUTION.append(row)
     if len(_SINK_BATCH_ATTRIBUTION) > _SINK_ATTRIBUTION_CAP:
-        del _SINK_BATCH_ATTRIBUTION[0]
-        _SINK_ATTRIBUTION_DROPPED += 1
+        dropped = _SINK_BATCH_ATTRIBUTION.pop(0)
+        k = str(dropped.get("sink", "?"))
+        _SINK_ATTRIBUTION_DROPPED[k] = _SINK_ATTRIBUTION_DROPPED.get(k, 0) + 1
 
 
 def sink_batch_attribution(kind: str | None = None) -> list[dict]:
@@ -230,14 +232,17 @@ def sink_batch_attribution(kind: str | None = None) -> list[dict]:
     timing-artifact sidecar entry. ``probe_secs`` ≈ merge compute (the
     persisted frames are materialized by the bounded bucket probes);
     ``commit_secs`` ≈ durable write + manifest swap. ``kind`` filters to
-    one sink family ("cdc" or "dedup"). If the bounded registry ever
-    dropped rows, the first returned row is a ``{"sink": "_truncated"}``
-    marker carrying the drop count."""
+    one sink family ("cdc" or "dedup"). If the bounded registry dropped
+    rows OF THE REQUESTED KIND, the first returned row is a
+    ``{"sink": "_truncated"}`` marker carrying that kind's drop count
+    (unfiltered views carry the total)."""
     rows = [r for r in _SINK_BATCH_ATTRIBUTION
             if kind is None or r["sink"] == kind]
-    if _SINK_ATTRIBUTION_DROPPED:
+    dropped = (sum(_SINK_ATTRIBUTION_DROPPED.values()) if kind is None
+               else _SINK_ATTRIBUTION_DROPPED.get(kind, 0))
+    if dropped:
         rows.insert(0, {"sink": "_truncated",
-                        "dropped_rows": _SINK_ATTRIBUTION_DROPPED,
+                        "dropped_rows": dropped,
                         "cap": _SINK_ATTRIBUTION_CAP})
     return rows
 

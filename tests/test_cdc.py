@@ -161,7 +161,6 @@ def test_cdc_sink_records_batch_attribution(spark, tmp_path):
     replays/empty batches record nothing — so the sidecar's row count is
     exactly the applied-batch count."""
     from hierarchical_graph_db_spark.streaming.ingest import (
-        _SINK_BATCH_ATTRIBUTION,
         cdc_sink_attribution,
     )
 
@@ -175,7 +174,10 @@ def test_cdc_sink_records_batch_attribution(spark, tmp_path):
     for r in rows:
         assert r["sink"] == "cdc"
         assert r["store"] == "store"
-        assert r["commit_secs"] > 0
+        # 3-decimal rounding can floor a sub-0.5ms commit to 0.0 on a fast
+        # filesystem — the durable-write evidence is total > 0 (r13 advice)
+        assert r["commit_secs"] >= 0
+        assert r["total_secs"] > 0
         assert r["touched_buckets"] >= 1
         assert abs(r["probe_secs"] + r["commit_secs"] - r["total_secs"]) < 0.01
     # the accessor returns a copy — mutating it must not corrupt the record
@@ -201,33 +203,59 @@ def test_dedup_sink_records_batch_attribution(spark, tmp_path):
     assert [r["batch_id"] for r in rows] == [0]
     r = rows[0]
     assert r["sink"] == "dedup" and r["store"] == "dstore"
-    assert r["commit_secs"] > 0
+    assert r["commit_secs"] >= 0
+    assert r["total_secs"] > 0
     assert abs(r["probe_secs"] + r["commit_secs"] - r["total_secs"]) < 0.01
 
 
 def test_sink_attribution_registry_is_bounded_not_silently():
     """A long-lived streaming driver applies unbounded batches — the
     registry must cap (no driver memory leak) and the cap must be LOUD
-    (a leading marker row with the drop count), never silent truncation."""
+    (a leading marker row with the drop count), never silent truncation.
+    Drops are accounted PER SINK: a kind-filtered view reports only its
+    own drop count and stays marker-free while only the OTHER sink has
+    dropped rows (round-13 advice, low)."""
     from hierarchical_graph_db_spark.streaming import ingest as mod
 
     saved_rows = list(mod._SINK_BATCH_ATTRIBUTION)
-    saved_dropped = mod._SINK_ATTRIBUTION_DROPPED
+    saved_dropped = dict(mod._SINK_ATTRIBUTION_DROPPED)
     try:
         mod._SINK_BATCH_ATTRIBUTION.clear()
-        mod._SINK_ATTRIBUTION_DROPPED = 0
-        for i in range(mod._SINK_ATTRIBUTION_CAP + 7):
+        mod._SINK_ATTRIBUTION_DROPPED.clear()
+        # 3 dedup rows land first, then a flood of cdc rows pushes exactly
+        # the 3 dedup rows + 4 old cdc rows off the front
+        for i in range(3):
+            mod._record_sink_batch({"sink": "dedup", "batch_id": i})
+        for i in range(mod._SINK_ATTRIBUTION_CAP + 4):
             mod._record_sink_batch({"sink": "cdc", "batch_id": i})
         assert len(mod._SINK_BATCH_ATTRIBUTION) == mod._SINK_ATTRIBUTION_CAP
         rows = mod.sink_batch_attribution()
         assert rows[0] == {"sink": "_truncated", "dropped_rows": 7,
                            "cap": mod._SINK_ATTRIBUTION_CAP}
         # oldest rows dropped, newest kept
-        assert rows[1]["batch_id"] == 7
-        assert rows[-1]["batch_id"] == mod._SINK_ATTRIBUTION_CAP + 6
+        assert rows[1]["batch_id"] == 4
+        assert rows[-1]["batch_id"] == mod._SINK_ATTRIBUTION_CAP + 3
+        # per-kind accounting: cdc's view reports ONLY cdc's 4 drops …
+        cdc = mod.sink_batch_attribution("cdc")
+        assert cdc[0]["dropped_rows"] == 4 and cdc[0]["sink"] == "_truncated"
+        # … and dedup's view reports its own 3
+        dd = mod.sink_batch_attribution("dedup")
+        assert dd[0]["dropped_rows"] == 3
+        assert [r["sink"] for r in dd[1:]] == []  # all its rows dropped
+        # a kind that never dropped shows NO marker even when others did —
+        # the advice's exact scenario (marker used to leak across kinds)
+        mod._SINK_BATCH_ATTRIBUTION.clear()
+        mod._SINK_ATTRIBUTION_DROPPED.clear()
+        for i in range(mod._SINK_ATTRIBUTION_CAP):
+            mod._record_sink_batch({"sink": "cdc", "batch_id": i})
+        mod._record_sink_batch({"sink": "dedup", "batch_id": 0})  # drops 1 cdc
+        dd = mod.sink_batch_attribution("dedup")
+        assert [r["sink"] for r in dd] == ["dedup"]  # marker-free
+        assert mod.sink_batch_attribution("cdc")[0]["sink"] == "_truncated"
     finally:
         mod._SINK_BATCH_ATTRIBUTION[:] = saved_rows
-        mod._SINK_ATTRIBUTION_DROPPED = saved_dropped
+        mod._SINK_ATTRIBUTION_DROPPED.clear()
+        mod._SINK_ATTRIBUTION_DROPPED.update(saved_dropped)
 
 
 def test_cdc_sink_matches_batch_apply(spark, tmp_path):

@@ -133,8 +133,11 @@ def test_domain_quota_partial_group_limit(spark, sf_dir):
     the two needed columns."""
     plan = _plan(spark, sf_dir, "domain_quota_sample")
     assert "WindowGroupLimit" in plan
+    # anchored Partial→Exchange→Final (the formatted detail section
+    # numbers operators leaf-up), same hardening as link prediction
+    final = plan.index("row_number(), 15, Final")
     part = plan.index("row_number(), 15, Partial")
-    assert part > plan.index("Exchange")
+    assert part < final and "Exchange" in plan[part:final]
     assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
 
 
@@ -216,8 +219,14 @@ def test_link_prediction_plan_shape(spark, sf_dir):
     and the non-adjacency anti-join must stay equi hash/merge joins."""
     plan = _plan(spark, sf_dir, "graph_link_prediction")
     assert "WindowGroupLimit" in plan
-    assert "row_number(), 10, Partial" in plan
-    assert plan.index("row_number(), 10, Partial") > plan.index("Exchange")
+    # Anchor the exchange BETWEEN the Partial and Final group-limit nodes
+    # (the formatted detail section numbers operators leaf-up, so the
+    # map-side Partial prints first): an unrelated Exchange elsewhere in
+    # the text must not satisfy the below-the-shuffle claim (r13 advice)
+    final = plan.index("row_number(), 10, Final")
+    part = plan.index("row_number(), 10, Partial")
+    assert part < final
+    assert "Exchange" in plan[part:final]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan

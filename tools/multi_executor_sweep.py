@@ -85,6 +85,14 @@ def _equivalence(args) -> int:
             tag = master + ("|" + ",".join(f"{k}={v}"
                                            for k, v in sorted(env_over.items()))
                             if env_over else "")
+            if tag in cells:
+                # e.g. --masters local,local: the second cell would reuse the
+                # first's cell_N.json/ck_N paths and "compare" a cell against
+                # itself while still exiting 0 (round-13 advice, low)
+                raise SystemExit(
+                    f"[equivalence] duplicate (master, env) cell {tag!r} — "
+                    "each cell must be distinct for the identity check to "
+                    "mean anything")
             cell_out = os.path.join(
                 wd, f"cell_{len(cells)}.json")
             cmd = [sys.executable, os.path.abspath(__file__),

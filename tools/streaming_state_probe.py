@@ -406,8 +406,22 @@ def main() -> None:
             os.path.join(workdir, "dedup_nv_wd"), vacuum_every=None)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+    # VERDICT r13 #6: state bounds and per-batch cost attribution live in
+    # ONE artifact — the sink probes above drove the real sinks in this
+    # process, so the attribution registry holds their probe/commit rows.
+    # Caveat (quoted wherever the ~3 s "fixed" commit is cited): the DEDUP
+    # sink's merge compute materializes during the durable write, so its
+    # commit_secs bucket includes scaling merge work; only the CDC sink's
+    # probe-vs-commit split is a clean scaling-vs-fixed decomposition
+    # (documented at streaming/ingest.py DedupParquetSink.__call__).
+    from hierarchical_graph_db_spark.streaming.ingest import (
+        sink_batch_attribution,
+    )
+
     doc = {"sf_dir": args.sf_dir, "n_chunks": args.batches,
-           "probes": results}
+           "probes": results,
+           "cdc_sink_attribution": sink_batch_attribution("cdc"),
+           "dedup_sink_attribution": sink_batch_attribution("dedup")}
     with open(args.out, "w") as f:
         json.dump(doc, f, indent=1)
     for name, r in results.items():
