@@ -778,3 +778,80 @@ def test_streaming_incremental_dedup_equals_batch(spark):
     stream = {r["doc_id"]: (r["dup_of"], r["best_jaccard"], r["is_duplicate"])
               for r in streaming_incremental_dedup(spark, sf).collect()}
     assert batch == stream
+
+
+def test_store_emptied_bucket_crash_between_moves_and_swap(spark, tmp_path,
+                                                           monkeypatch):
+    """Fault injection for the emptied-bucket commit path (VERDICT r13 #4).
+    Batch 1 is a CDC-style commit that rewrites bucket 0 AND empties
+    bucket 1 (zero post-merge rows — only the ``emptied`` manifest drop
+    can express that). Kill the publish after the version-dir moves but
+    BEFORE the manifest swap, then check the full recovery contract:
+
+    * a fresh reader still sees batch 0 exactly (bucket 1 alive) — the
+      moved dirs are invisible until the swap;
+    * ``pending.json`` carries the emptied entry, so the replay does not
+      depend on recomputing which buckets went empty;
+    * vacuum running in the crash window spares the moved-but-unpublished
+      dirs (they are batch 1's only durable copy);
+    * ``already_done`` replays to the SAME manifest a clean commit would
+      have produced: bucket 1's live pointer dropped at the same atomic
+      swap, its final pre-delete state still time-travelable at as_of=0.
+    """
+    import pytest
+
+    from hierarchical_graph_db_spark.streaming.store import (
+        BucketedParquetStore,
+    )
+
+    path = str(tmp_path / "st")
+    store = BucketedParquetStore(spark, path)
+    store.commit(0, spark.createDataFrame(
+        [(0, "a"), (1, "b")], "bucket_id int, val string"))
+
+    orig = BucketedParquetStore._write_json
+
+    def crash_on_swap(self, name, payload):
+        if name == "manifest.json":
+            raise RuntimeError("killed before the swap")
+        return orig(self, name, payload)
+
+    monkeypatch.setattr(BucketedParquetStore, "_write_json", crash_on_swap)
+    with pytest.raises(RuntimeError, match="killed"):
+        # bucket 0 rewritten, bucket 1 deleted down to zero rows
+        store.commit(1, spark.createDataFrame(
+            [(0, "a2")], "bucket_id int, val string"), emptied=[1])
+    monkeypatch.setattr(BucketedParquetStore, "_write_json", orig)
+
+    fresh = BucketedParquetStore(spark, path)
+    # crash window: batch 0 fully intact, nothing half-published
+    assert fresh.committed_batch_id() == 0
+    assert {(r["bucket_id"], r["val"]) for r in fresh.read().collect()} == \
+        {(0, "a"), (1, "b")}
+    # the emptied entry survived into the write-ahead marker
+    pending = fresh._read_json("pending.json")
+    assert pending["batch_id"] == 1
+    assert pending["emptied"] == ["bucket_id=1"]
+
+    # maintenance fires inside the crash window, with the orphan TTL
+    # zeroed so the age guard can't be what spares anything: the moved v1
+    # dir survives because pending.json names it (and the archived b1
+    # manifest references it — both guards hold in this window). keep_last
+    # stays 2 so batch 0's snapshot archive outlives the vacuum.
+    import os
+    v1_dir = os.path.join(path, "data", "bucket_id=0", "__v=1")
+    assert os.path.isdir(v1_dir)
+    fresh.vacuum(keep_last=2, orphan_ttl_s=0.0)
+    assert os.path.isdir(v1_dir)
+
+    # replay lands on the same emptied manifest a clean commit produces
+    assert fresh.already_done(1)
+    assert fresh.committed_batch_id() == 1
+    assert "bucket_id=1" not in fresh._manifest()["buckets"]
+    assert {(r["bucket_id"], r["val"]) for r in fresh.read().collect()} == \
+        {(0, "a2")}
+    # … and the pre-delete state remains a readable snapshot
+    assert {(r["bucket_id"], r["val"])
+            for r in fresh.read(as_of=0).collect()} == {(0, "a"), (1, "b")}
+    # replay of the replay is a no-op skip, not a second publish
+    assert fresh.already_done(1)
