@@ -19,20 +19,19 @@ def _timings(name: str) -> dict:
 
 
 def test_timing_artifacts_cover_the_registry_exactly():
-    """Round 12: the sf0.1 record is the r12 sweep (244 queries, health
-    verdict embedded). The sf1 record stays the r11 sweep — the round-12
-    host never offered a healthy window (the new gate refused 31
-    consecutive probes over ~35 min; the soft-gated r12 sf1 sweep was
-    killed after fuzzy_dedup_resolution clocked 679 s vs 46 s in r11 —
-    pure I/O degradation, PLANS.md §Round-12 artifacts) — so the two
-    registry additions + the two r11-skipped movers are covered by
-    SUPPLEMENT_r12_sf1.json, and full sf1 regeneration waits for the next
-    healthy window, which the hard gate now guarantees is actually
-    healthy."""
+    """Round 14: the sf0.1 record is the r14 sweep (244 queries, 0 oracle
+    failures, health verdict + raw AND normalized series embedded —
+    tests/test_normalized_timings.py pins the normalized half). The sf1
+    record stays the r11 sweep ∪ SUPPLEMENT_r12_sf1 — rounds 12-14 never
+    offered a healthy window (r14: probes failing all session, and the
+    sweep's own bracketing calibrations disagree 3.3×, PLANS.md
+    §Round-14), and a full sf1 sweep on a degraded host is useless
+    (r12's was killed at 679 s on one query vs 46 s healthy). Full sf1
+    regeneration remains healthy_regen.sh's job at the first window."""
     from hierarchical_graph_db_spark.queries import load
 
     registry = set(load())
-    small = set(_timings("VERIFY_r12_timings_sf01.json"))
+    small = set(_timings("VERIFY_r14_timings_sf01.json"))
     large = (set(_timings("VERIFY_r11_timings_sf1.json"))
              | set(_timings("SUPPLEMENT_r12_sf1.json")))
     assert small == registry, (
