@@ -264,3 +264,47 @@ def point_in_time_join(probe: DataFrame, history: DataFrame, key_col: str,
         & (h["__vt"].isNull() | (probe[ts_col] < h["__vt"]))
     )
     return probe.join(h, cond, "left").drop("__k", "__vf", "__vt")
+
+
+def u_shaped_attribution(purchases: DataFrame, clicks: DataFrame,
+                         band_hours: int = 4) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the standard
+    marketing-analytics credit model (public practice: 40% first touch,
+    40% last, 20% split across middles; degenerate cases 1 touch → 100%,
+    2 → 50/50). Each purchase's clicks within the preceding ``band_hours``
+    (inclusive at BOTH edges) are ranked by (ts, click_id) and credited;
+    credit is fixed-point ppm and credited value cent-micros so no float
+    summation enters a cross-engine hash.
+
+    Inputs: ``purchases(purchase_id, user_id, p_ts, value)`` and
+    ``clicks(click_id, c_uid, c_ts)``. Scale shape: the touch join is a
+    user-keyed interval join (per-user bounded work); position rank and
+    touch count are windows partitioned by the PURCHASE — bounded by its
+    touch count, never corpus-wide. Extracted from the
+    ``attribution_position_based`` registry query so randomized inputs
+    can drive it directly (round-14 property layer)."""
+    touches = purchases.join(
+        clicks, (F.col("user_id") == F.col("c_uid"))
+        & F.col("c_ts").between(
+            F.col("p_ts") - F.expr(f"interval {band_hours} hours"),
+            F.col("p_ts")))
+    w = Window.partitionBy("purchase_id")
+    ranked = (
+        touches
+        .withColumn("pos", F.row_number().over(
+            w.orderBy("c_ts", "click_id")).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+              F.lit(400000))
+        .otherwise(F.round(F.lit(200000.0) / (F.col("n") - 2)))
+    ).cast("bigint")
+    return ranked.select(
+        "purchase_id", "click_id", "pos", "n",
+        credit.alias("credit_ppm"),
+        (F.round(F.col("value") * 100).cast("bigint") * credit)
+        .alias("credit_value_micros"),
+    )

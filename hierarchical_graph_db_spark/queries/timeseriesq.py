@@ -601,8 +601,13 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     credited value in cent-micros so no float summation enters the hash.
     Plan shape: the touch join is the user-keyed interval join (per-user
     bounded work); position rank and touch count are windows partitioned
-    by the PURCHASE (bounded by its touch count, never corpus-wide)."""
-    from pyspark.sql import Window
+    by the PURCHASE (bounded by its touch count, never corpus-wide).
+    Credit model extracted to ``operators/temporal.py:u_shaped_attribution``
+    (round 14) so the property layer can drive it with randomized
+    purchase/click tables."""
+    from hierarchical_graph_db_spark.operators.temporal import (
+        u_shaped_attribution,
+    )
 
     ev = Catalog(spark, sf_dir).events
     p = ev.where(F.col("event_type") == "purchase").select(
@@ -611,30 +616,7 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), F.col("user_id").alias("c_uid"),
         F.col("ts").alias("c_ts"))
-    touches = p.join(
-        c, (F.col("user_id") == F.col("c_uid"))
-        & F.col("c_ts").between(
-            F.col("p_ts") - F.expr("interval 4 hours"), F.col("p_ts")))
-    w = Window.partitionBy("purchase_id")
-    ranked = (
-        touches
-        .withColumn("pos", F.row_number().over(
-            w.orderBy("c_ts", "click_id")).cast("long"))
-        .withColumn("n", F.count(F.lit(1)).over(w).cast("long"))
-    )
-    credit = (
-        F.when(F.col("n") == 1, F.lit(1000000))
-        .when(F.col("n") == 2, F.lit(500000))
-        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")),
-              F.lit(400000))
-        .otherwise(F.round(F.lit(200000.0) / (F.col("n") - 2)))
-    ).cast("bigint")
-    return ranked.select(
-        "purchase_id", "click_id", "pos", "n",
-        credit.alias("credit_ppm"),
-        (F.round(F.col("value") * 100).cast("bigint") * credit)
-        .alias("credit_value_micros"),
-    )
+    return u_shaped_attribution(p, c, band_hours=4)
 
 
 def _holt_oracle(alpha: float = 0.5, beta: float = 0.3) -> str:
