@@ -308,3 +308,36 @@ def u_shaped_attribution(purchases: DataFrame, clicks: DataFrame,
         (F.round(F.col("value") * 100).cast("bigint") * credit)
         .alias("credit_value_micros"),
     )
+
+
+def rolling_zscore(events: DataFrame, id_col: str = "event_id",
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value", hours: int = 72,
+                   min_n: int = 5) -> DataFrame:
+    """Trailing-time-horizon z-score (streaming-style anomaly detection in
+    batch form): each row scored against its key's trailing ``hours``
+    distribution — a RANGE frame over microsecond event time, so the
+    window is a time horizon, not a row count, and rows SHARING a
+    timestamp are mutual peers regardless of within-tie order (standard
+    SQL RANGE-frame peer semantics — the boundary the property test
+    pins). |z| > 3 flags the outlier; rows with fewer than ``min_n``
+    trailing events are suppressed (no stable baseline). One window pass
+    per key. Extracted from the ``anomaly_rolling_zscore`` registry query
+    (round 14) so randomized inputs can drive it."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(ts_col))  # full precision — no frame drift
+        .rangeBetween(-hours * 3600 * 1_000_000, 0)
+    )
+    z = ((F.col(value_col) - F.avg(value_col).over(w))
+         / F.stddev_samp(value_col).over(w))
+    return (
+        events.select(
+            id_col,
+            (F.round(z, 4) + F.lit(0.0)).alias("zscore"),  # -0.0 → 0.0
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .where(F.col("_n") >= min_n)
+        .drop("_n")
+    )

@@ -162,26 +162,15 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its user's trailing-72-hour distribution (RANGE frame — time
     horizon, not row count); |z| > 3 flags the outlier. Rows with fewer
     than 5 trailing events are suppressed (no stable baseline). One window
-    pass per user."""
-    from pyspark.sql import Window
+    pass per user. Scoring extracted to
+    ``operators/temporal.py:rolling_zscore`` (round 14) so the property
+    layer can drive it with randomized streams."""
+    from hierarchical_graph_db_spark.operators.temporal import (
+        rolling_zscore,
+    )
 
-    ev = Catalog(spark, sf_dir).events
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))  # full precision — see trailing-sum note
-        .rangeBetween(-72 * 3600 * 1_000_000, 0)
-    )
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
-    return (
-        ev.select(
-            "event_id",
-            (F.round(z, 4) + F.lit(0.0)).alias("zscore"),  # -0.0 → 0.0
-            (F.abs(z) > 3.0).alias("is_anomaly"),
-            F.count(F.lit(1)).over(w).alias("_n"),
-        )
-        .where(F.col("_n") >= 5)
-        .drop("_n")
-    )
+    return rolling_zscore(Catalog(spark, sf_dir).events,
+                          hours=72, min_n=5)
 
 
 @query(
