@@ -341,3 +341,39 @@ def rolling_zscore(events: DataFrame, id_col: str = "event_id",
         .where(F.col("_n") >= min_n)
         .drop("_n")
     )
+
+
+def rolling_distinct_counts(events: DataFrame, key_col: str = "event_type",
+                            ts_col: str = "ts", id_col: str = "user_id",
+                            days: int = 7,
+                            epoch: str = "2024-01-01") -> DataFrame:
+    """Trailing-``days`` distinct ids per key at daily grain — the classic
+    NON-decomposable rolling metric (distinct doesn't merge across days).
+    Daily id *sets* aggregate first (one shuffle, |days|×|keys| rows),
+    then a RANGE frame over the day NUMBER unions ``days`` sets and
+    counts — the frame is a calendar horizon, so days missing from the
+    data are correctly absent rather than stretching the window (the
+    ROWS-frame bug a property test pins). State is bounded by
+    days×daily-distinct, never the raw stream. Extracted from the
+    ``window_rolling_distinct_users`` registry query (round 14)."""
+    daily = (
+        events.select(
+            key_col,
+            F.date_trunc("day", ts_col).alias("day"),
+            id_col,
+        )
+        .groupBy(key_col, "day")
+        .agg(F.collect_set(id_col).alias("ids"))
+        .withColumn("day_num",
+                    F.datediff("day", F.lit(epoch).cast("timestamp")))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("day_num")
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        key_col, "day",
+        F.size(F.array_distinct(F.flatten(F.collect_list("ids").over(w))))
+        .cast("long").alias(f"ids_{days}d"),
+    )

@@ -282,31 +282,17 @@ def window_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     days). Daily user *sets* aggregate first (one shuffle, |days|×|types|
     rows), then a RANGE frame unions 7 sets and counts: state is bounded by
     7×daily-distinct, never the raw event stream. DuckDB cross-checks with
-    its native windowed count(DISTINCT)."""
-    from pyspark.sql import Window
+    its native windowed count(DISTINCT). Set-union rollup extracted to
+    ``operators/temporal.py:rolling_distinct_counts`` (round 14) so the
+    property layer can drive it with randomized gapped calendars."""
+    from hierarchical_graph_db_spark.operators.temporal import (
+        rolling_distinct_counts,
+    )
 
     ev = Catalog(spark, sf_dir).events
-    daily = (
-        ev.select(
-            "event_type",
-            F.date_trunc("day", "ts").alias("day"),
-            "user_id",
-        )
-        .groupBy("event_type", "day")
-        .agg(F.collect_set("user_id").alias("users"))
-        .withColumn("day_num",
-                    F.datediff("day", F.lit("2024-01-01").cast("timestamp")))
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day_num")
-        .rangeBetween(-6, 0)
-    )
-    return daily.select(
-        "event_type", "day",
-        F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w))))
-        .cast("long").alias("users_7d"),
-    )
+    return rolling_distinct_counts(
+        ev, key_col="event_type", ts_col="ts", id_col="user_id", days=7
+    ).withColumnRenamed("ids_7d", "users_7d")
 
 
 @query(
