@@ -107,6 +107,32 @@ def assign_struct_udf(cents: list[tuple], cid_ddl: str):
     return F.pandas_udf(fn, f"struct<cid: {cid_ddl}, d: double>")
 
 
+def pool_min_dist_udf(pool: list[list[float]]):
+    """Scalar Pandas UDF ``vec -> double`` — the Arrow twin of the seeding
+    pass-B expression ``array_min(transform(pool, c -> round(sqdist(v, c),
+    6)))`` (``clustering._seed_rows``). Bit-identity argument: each
+    point-to-candidate distance is the exact sequential fold
+    (:func:`_exact_fold_dists`), and HALF_UP rounding is monotone
+    (d₁ ≤ d₂ ⇒ round6(d₁) ≤ round6(d₂)), so the min of the rounded
+    distances IS the rounded exact min — one ``_round6`` call per row, no
+    tie short-list needed (only the min VALUE is reported, never which
+    candidate attained it)."""
+    from hierarchical_graph_db_spark.operators.clustering import _round6
+
+    P = np.asarray(pool, dtype=np.float64)
+
+    def fn(vs: pd.Series) -> pd.Series:
+        V = _stack(vs)
+        n = V.shape[0]
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        dmin = _exact_fold_dists(V, P).min(axis=1)
+        return pd.Series(np.fromiter((_round6(d) for d in dmin),
+                                     dtype=np.float64, count=n))
+
+    return F.pandas_udf(fn, "double")
+
+
 def list_id_udf(centers: list[list[float]]):
     """Scalar Pandas UDF ``vec -> int`` — the Arrow twin of the
     ``ivf.assign_lists`` rounded-argmin (list ids are centroid positions)."""

@@ -121,7 +121,7 @@ def _lit_vec(v) -> F.Column:
 
 
 def _seed_rows(pts: DataFrame, k: int,
-               oversample: int = 8) -> list[tuple]:
+               oversample: int = 8, use_arrow: bool = False) -> list[tuple]:
     """Deterministic k-means‖-style seeding in TWO corpus passes (constant
     in k), then k-center greedy over the candidate pool only. Returns the
     seed list [(cid, c)] driver-side.
@@ -143,7 +143,11 @@ def _seed_rows(pts: DataFrame, k: int,
       — and replaces 2(k−1) tiny Spark jobs with plain Python that lands
       on bit-identical doubles (HALF_UP rounding twin of Spark's round).
 
-    Both passes are top-L selections (TakeOrdered — no corpus shuffle)."""
+    Both passes are top-L selections (TakeOrdered — no corpus shuffle).
+    ``use_arrow`` flips the pass-B min-distance to the bit-identical Arrow
+    kernel (``arrow_kernels.pool_min_dist_udf``) — the pass-B expression is
+    |corpus| × L interpreted fold evaluations, the measured seeding
+    hotspot (guide §4: vectorize the Python-side batch instead)."""
     n_cand = oversample * k
     a_rows = [
         (r["pid"], list(r["v"]))
@@ -155,9 +159,18 @@ def _seed_rows(pts: DataFrame, k: int,
     ]
     if not a_rows:
         return []
-    pool_a = F.lit([[float(x) for x in v] for _, v in a_rows])
-    mind = F.array_min(
-        F.transform(pool_a, lambda c: F.round(_sq_dist(F.col("v"), c), 6)))
+    pool = [[float(x) for x in v] for _, v in a_rows]
+    if use_arrow:
+        from hierarchical_graph_db_spark.operators.arrow_kernels import (
+            pool_min_dist_udf,
+        )
+
+        mind = pool_min_dist_udf(pool)(F.col("v"))
+    else:
+        pool_a = F.lit(pool)
+        mind = F.array_min(
+            F.transform(pool_a, lambda c: F.round(_sq_dist(F.col("v"), c),
+                                                  6)))
     b_rows = [
         (r["pid"], list(r["v"]))
         for r in pts.where(~F.col("pid").isin([pid for pid, _ in a_rows]))
@@ -240,7 +253,7 @@ def _train(pts: DataFrame, k: int, n_rounds: int,
     live driver-side as [(cid, c)] literals between rounds. Per round: one
     full-scan aggregate whose partials collapse map-side (shuffle O(k×dim)
     bigint/count cells), one k×dim-row collect. Nothing else moves."""
-    cents = _seed_rows(pts, k, oversample)
+    cents = _seed_rows(pts, k, oversample, use_arrow=use_arrow)
     if not cents:
         return []
     for _ in range(n_rounds):

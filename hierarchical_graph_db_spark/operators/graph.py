@@ -179,10 +179,54 @@ def degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def _driver_components(edge_rows: list[tuple]) -> list[tuple]:
+    """Union-find over a bounded edge list → (id, min-member-id) rows.
+    Exact by canonicality: ``connected_components``' output (component =
+    min member id) is algorithm-independent, so any correct sequential
+    kernel produces the identical table — the same argument that lets the
+    SCC hybrid finish with Tarjan."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    return [(v, comp_min[find(v)]) for v in parent]
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         small_cutoff: int = 4096) -> DataFrame:
     """Min-label propagation + pointer jumping → (id, component).
 
-    Each round does two distributed steps:
+    ``small_cutoff`` is the hybrid driver finish (the SCC treatment,
+    Hong, Rodia & Olukotun 2013, applied at the front door): when the
+    deduplicated symmetric edge set fits the bound (≤ 32·cutoff edges —
+    vertices are then ≤ 64·cutoff), it is pulled to the driver and
+    finished with union-find. The output is CANONICAL (component = min
+    member id), so any correct kernel produces the identical table — no
+    arithmetic twin needed. This replaces O(log diameter) join+materialize
+    rounds with one bounded collect; ``small_cutoff=0`` forces the pure
+    distributed path (the 100 TB shape, and what the differential tests
+    exercise).
+
+    Each round of the distributed path does two steps:
 
     1. *propagate*: component[v] = min over neighbors' components (and own);
     2. *pointer-jump* (path compression): component[v] = component[component[v]]
@@ -201,6 +245,19 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
     )
     sym = sym.transform(materialize)
+    if small_cutoff:
+        # One cheap count over the already-materialized edge set decides
+        # the regime; the pull is bounded by the check that precedes it.
+        e_count = sym.count()
+        if e_count <= 32 * small_cutoff:
+            from pyspark.sql.types import StructField, StructType
+
+            edge_rows = [(r["a"], r["b"]) for r in sym.collect()]
+            id_type = sym.schema.fields[0].dataType
+            schema = StructType([StructField("id", id_type),
+                                 StructField("component", id_type)])
+            return sym.sparkSession.createDataFrame(
+                _driver_components(edge_rows), schema)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -598,8 +655,65 @@ def dag_layers(edges: DataFrame, max_iter: int = 64,
         f"layering is only defined on DAGs")
 
 
+def _driver_pagerank(vert_rows: list, edge_rows: list[tuple], n_iter: int,
+                     damping: float, fp: int) -> list[tuple]:
+    """Bit-exact driver twin of the distributed PageRank loop, for the
+    hybrid small-graph finish. Every arithmetic step mirrors the Spark
+    expressions ON THE SAME IEEE-754 doubles in the same order:
+
+    * ``contrib = rank/out_degree`` — one double divide per edge row
+      (``deg`` converted long→double exactly, as Spark's implicit cast);
+    * ``_fp_sum``'s ``round(x·fp)`` — Spark's round(double) is HALF_UP over
+      the shortest decimal repr. For non-midpoint doubles that equals
+      nearest-integer (the shortest repr can never cross a representable
+      ``n.5`` midpoint without violating round-trip), and an exact
+      midpoint double rounds up — computed here as ``floor(x) + (x-floor(x)
+      >= 0.5)``, where the subtraction is exact by Sterbenz; integral
+      doubles ≥ 2^53 pass through unchanged exactly as BigDecimal's
+      ``doubleValue`` round-trip does;
+    * quanta sums in int64 (commutative, so grouping order is free — the
+      same argument that makes the distributed sum partition-independent);
+    * the update ``(base + (d·dangling)/n) + d·in_rank`` with the exact
+      literal/operator associativity of the Spark plan.
+
+    numpy elementwise ops are scalar IEEE ops in a loop — no FMA, no
+    reassociation — so each output double is bit-identical to the
+    distributed path's.
+    """
+    import numpy as np
+
+    n = len(vert_rows)
+    idx = {v: i for i, v in enumerate(vert_rows)}
+    src_i = np.fromiter((idx[s] for s, _ in edge_rows), dtype=np.int64,
+                        count=len(edge_rows))
+    dst_i = np.fromiter((idx[t] for _, t in edge_rows), dtype=np.int64,
+                        count=len(edge_rows))
+    deg = np.bincount(src_i, minlength=n)
+    deg_f = deg.astype(np.float64)
+    no_out = deg == 0
+    fpf = float(fp)
+    base = (1.0 - damping) / n
+    fn = float(n)
+    rank = np.full(n, 1.0 / n, dtype=np.float64)
+
+    def quanta(x: np.ndarray) -> np.ndarray:
+        fl = np.floor(x)
+        return (fl + ((x - fl) >= 0.5)).astype(np.int64)
+
+    for _ in range(n_iter):
+        contrib = rank[src_i] / deg_f[src_i]
+        q = quanta(contrib * fpf)
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, dst_i, q)
+        dang = int(quanta(rank[no_out] * fpf).sum()) if no_out.any() else 0
+        dangling = dang / fpf
+        in_rank = acc / fpf
+        rank = (base + (damping * dangling) / fn) + damping * in_rank
+    return [(v, float(rank[i])) for v, i in idx.items()]
+
+
 def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
-             grid: str = "relative") -> DataFrame:
+             grid: str = "relative", small_cutoff: int = 4096) -> DataFrame:
     """PageRank over (src, dst) edges → (id, rank). Fixed iteration count.
 
     rank = (1-d)/N + d·Σ rank(in)/out_degree(in); dangling mass redistributed
@@ -632,6 +746,27 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     ).transform(materialize)
     n = vertices.count()
     fp = _resolve_fp(n, grid)
+    if small_cutoff and 0 < n <= small_cutoff:
+        # Hybrid driver finish (the SCC treatment): a graph this small is
+        # all per-round job overhead on the distributed path — pull the
+        # bounded edge list and replay the EXACT fixed-point arithmetic in
+        # one driver kernel (:func:`_driver_pagerank`; bit-identity is the
+        # same argument as the distributed path's partition-independence).
+        # ``small_cutoff=0`` forces the distributed path — the 100 TB
+        # shape, and what the differential tests exercise.
+        e_count = edges.count()
+        if e_count <= 32 * small_cutoff:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            edge_rows = [(r[0], r[1])
+                         for r in edges.select("src", "dst").collect()]
+            vert_rows = [r["id"] for r in vertices.collect()]
+            rows = _driver_pagerank(vert_rows, edge_rows, n_iter, damping,
+                                    fp)
+            id_type = vertices.schema.fields[0].dataType
+            schema = StructType([StructField("id", id_type),
+                                 StructField("rank", DoubleType())])
+            return vertices.sparkSession.createDataFrame(rows, schema)
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
     ).transform(materialize)
@@ -987,10 +1122,53 @@ def sequential_interaction_edges(events: DataFrame) -> DataFrame:
     )
 
 
+def _driver_personalized_pagerank(vert_rows: list, edge_rows: list[tuple],
+                                  src_set: set, n_iter: int, damping: float,
+                                  fp: int) -> list[tuple]:
+    """Bit-exact driver twin of the :func:`personalized_pagerank` loop —
+    :func:`_driver_pagerank` with the uniform 1/N terms replaced by the
+    per-vertex ``reset`` column, operator order preserved:
+    ``((1-d)·reset + (d·dangling)·reset) + d·in_rank``."""
+    import numpy as np
+
+    n = len(vert_rows)
+    idx = {v: i for i, v in enumerate(vert_rows)}
+    src_i = np.fromiter((idx[s] for s, _ in edge_rows), dtype=np.int64,
+                        count=len(edge_rows))
+    dst_i = np.fromiter((idx[t] for _, t in edge_rows), dtype=np.int64,
+                        count=len(edge_rows))
+    deg = np.bincount(src_i, minlength=n)
+    deg_f = deg.astype(np.float64)
+    no_out = deg == 0
+    fpf = float(fp)
+    n_s = len(src_set)
+    reset = np.fromiter(
+        ((1.0 / n_s) if v in src_set else 0.0 for v in vert_rows),
+        dtype=np.float64, count=n)
+    rank = reset.copy()
+
+    def quanta(x: np.ndarray) -> np.ndarray:
+        fl = np.floor(x)
+        return (fl + ((x - fl) >= 0.5)).astype(np.int64)
+
+    for _ in range(n_iter):
+        contrib = rank[src_i] / deg_f[src_i]
+        q = quanta(contrib * fpf)
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, dst_i, q)
+        dang = int(quanta(rank[no_out] * fpf).sum()) if no_out.any() else 0
+        dangling = dang / fpf
+        in_rank = acc / fpf
+        rank = ((1.0 - damping) * reset
+                + (damping * dangling) * reset) + damping * in_rank
+    return [(v, float(rank[i])) for v, i in idx.items()]
+
+
 def personalized_pagerank(edges: DataFrame, sources: DataFrame,
                           n_iter: int = 10,
                           damping: float = 0.85,
-                          grid: str = "relative") -> DataFrame:
+                          grid: str = "relative",
+                          small_cutoff: int = 4096) -> DataFrame:
     """Personalized PageRank: teleport (and dangling) mass flows to the
     ``sources`` vertex set instead of uniformly — the "similarity to these
     seeds" ranking used for recommendations and seed-expansion retrieval.
@@ -1008,17 +1186,36 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     ).transform(materialize)
-    # Resolve the grid MODE first and count vertices only when the factor
-    # actually depends on |V| — grid="absolute" previously paid a
-    # vertices.count() Spark job whose result was unused (ADVICE r10).
+    # Resolve the grid MODE first and count vertices only when the count
+    # is actually consumed — by the relative-grid factor, or by the hybrid
+    # driver-finish gate (grid="absolute" with small_cutoff=0 previously
+    # paid a vertices.count() job whose result was unused, ADVICE r10).
     mode = _resolve_grid(grid)
-    fp = _RANK_FP if mode == "absolute" else _resolve_fp(
-        vertices.count(), mode)
+    n_v = (vertices.count()
+           if (small_cutoff or mode != "absolute") else None)
+    fp = _RANK_FP if mode == "absolute" else _resolve_fp(n_v, mode)
     src_ids = vertices.join(sources.select("id").distinct(), on="id",
                             how="left_semi").transform(materialize)
     n_s = src_ids.count()
     if n_s == 0:
         raise ValueError("no source vertex appears in the edge set")
+    if small_cutoff and 0 < n_v <= small_cutoff:
+        # Hybrid driver finish — see :func:`pagerank`. The source-set pull
+        # is bounded by the vertex cutoff (src_ids ⊆ vertices).
+        e_count = edges.count()
+        if e_count <= 32 * small_cutoff:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            edge_rows = [(r[0], r[1])
+                         for r in edges.select("src", "dst").collect()]
+            vert_rows = [r["id"] for r in vertices.collect()]
+            src_set = {r["id"] for r in src_ids.collect()}
+            rows = _driver_personalized_pagerank(
+                vert_rows, edge_rows, src_set, n_iter, damping, fp)
+            id_type = vertices.schema.fields[0].dataType
+            schema = StructType([StructField("id", id_type),
+                                 StructField("rank", DoubleType())])
+            return vertices.sparkSession.createDataFrame(rows, schema)
     base = (
         vertices.join(src_ids.withColumn("reset", F.lit(1.0 / n_s)),
                       on="id", how="left")

@@ -52,7 +52,8 @@ def deterministic_centroids(corpus: DataFrame, n_lists: int = 10,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             n_rounds: int = 2,
-                            train_sample: int = TRAIN_SAMPLE) -> list[list[float]]:
+                            train_sample: int = TRAIN_SAMPLE,
+                            use_arrow: bool = False) -> list[list[float]]:
     """Coarse quantizer trained with the engine's deterministic k-means
     (``operators/clustering.kmeans_centroid_rows``): no RNG, 6dp-quantized
     state, so a SQL oracle can replay the exact same centers. Trains on a
@@ -67,7 +68,8 @@ def deterministic_centroids(corpus: DataFrame, n_lists: int = 10,
 
     rows = kmeans_centroid_rows(corpus, id_col=id_col, vec_col=vec_col,
                                 k=n_lists, n_rounds=n_rounds,
-                                train_sample=train_sample)
+                                train_sample=train_sample,
+                                use_arrow=use_arrow)
     return [c for _, c in sorted(rows, key=lambda r: r[0])]
 
 

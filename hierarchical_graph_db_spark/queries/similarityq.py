@@ -926,7 +926,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     centers = deterministic_centroids(emb, n_lists=_IVF_LISTS,
-                                      n_rounds=_IVF_ROUNDS)
+                                      n_rounds=_IVF_ROUNDS, use_arrow=True)
     out = ivf_topk(emb.where(F.col("vec_id") < 8), emb, centers,
                    k=_IVF_TOPK, nprobe=_IVF_NPROBE, use_arrow=True)
     return out.select("query_id", "neighbor_id", "score",
@@ -987,7 +987,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     centers = deterministic_centroids(emb, n_lists=_IVF_LISTS,
-                                      n_rounds=_IVF_ROUNDS)
+                                      n_rounds=_IVF_ROUNDS, use_arrow=True)
     books = pq_codebooks(emb, dim=64, m=_PQ_M, ksub=_PQ_KSUB,
                          n_rounds=_PQ_ROUNDS, oversample=_PQ_OVERSAMPLE)
     out = ivfpq_topk(emb.where(F.col("vec_id") < 8), emb, centers, books,

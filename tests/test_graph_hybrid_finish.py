@@ -1,0 +1,72 @@
+"""Property-based differential tests for the round-14 hybrid driver
+finishes (connected_components / pagerank / personalized_pagerank).
+
+Each test runs the SAME operator twice on a randomized adversarial graph —
+``small_cutoff`` at its default (driver kernel fires: every example is under
+the bound) vs ``small_cutoff=0`` (the pure distributed fixpoint, the 100 TB
+shape) — and requires EXACT equality, doubles included bitwise: the driver
+kernels claim bit-identity with the distributed arithmetic (same IEEE ops in
+the same order, same HALF_UP fixed-point quantization), not approximation.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_digraph_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9))
+    .filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=24, unique=True,
+)
+
+# Multi-edges allowed (pagerank weights by row multiplicity) — the driver
+# twin must preserve them through the collect.
+_multi_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7))
+    .filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=30,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(edges=_digraph_edges)
+def test_cc_driver_finish_matches_distributed(spark, edges):
+    from hierarchical_graph_db_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    assert _rows(connected_components(df)) == _rows(
+        connected_components(df, small_cutoff=0))
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(edges=_multi_edges)
+def test_pagerank_driver_finish_bitexact(spark, edges):
+    from hierarchical_graph_db_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    for grid in ("absolute", "relative"):
+        fast = _rows(pagerank(df, n_iter=4, grid=grid))
+        slow = _rows(pagerank(df, n_iter=4, grid=grid, small_cutoff=0))
+        assert fast == slow  # doubles compared exactly — bit-identity
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_multi_edges, n_src=st.integers(1, 3))
+def test_ppr_driver_finish_bitexact(spark, edges, n_src):
+    from hierarchical_graph_db_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    srcs = sorted({v for e in edges for v in e})[:n_src]
+    sdf = spark.createDataFrame([(s,) for s in srcs], "id: bigint")
+    fast = _rows(personalized_pagerank(df, sdf, n_iter=4))
+    slow = _rows(personalized_pagerank(df, sdf, n_iter=4, small_cutoff=0))
+    assert fast == slow
