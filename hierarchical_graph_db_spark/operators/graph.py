@@ -212,7 +212,7 @@ def _driver_components(edge_rows: list[tuple]) -> list[tuple]:
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20,
-                         small_cutoff: int = 4096) -> DataFrame:
+                         small_cutoff: int = 16384) -> DataFrame:
     """Min-label propagation + pointer jumping → (id, component).
 
     ``small_cutoff`` is the hybrid driver finish (the SCC treatment,
@@ -224,7 +224,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     arithmetic twin needed. This replaces O(log diameter) join+materialize
     rounds with one bounded collect; ``small_cutoff=0`` forces the pure
     distributed path (the 100 TB shape, and what the differential tests
-    exercise).
+    exercise). The default bound (≤ 2^19 edges ≈ tens of MB pulled as
+    Arrow batches) is deliberately wider than SCC's: union-find is
+    near-linear with trivial constants, so the driver kernel's crossover
+    against O(log diameter) distributed rounds lies far above it.
 
     Each round of the distributed path does two steps:
 
@@ -252,12 +255,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         if e_count <= 32 * small_cutoff:
             from pyspark.sql.types import StructField, StructType
 
-            edge_rows = [(r["a"], r["b"]) for r in sym.collect()]
+            from hierarchical_graph_db_spark.localdf import (
+                collect_tuples, local_rows_df,
+            )
+
+            edge_rows = collect_tuples(sym)
             id_type = sym.schema.fields[0].dataType
             schema = StructType([StructField("id", id_type),
                                  StructField("component", id_type)])
-            return sym.sparkSession.createDataFrame(
-                _driver_components(edge_rows), schema)
+            return local_rows_df(sym.sparkSession,
+                                 _driver_components(edge_rows), schema)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -500,15 +507,18 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 100,
             if e_count <= 32 * small_cutoff:
                 from pyspark.sql.types import StructField, StructType
 
-                edge_rows = [(r["src"], r["dst"])
-                             for r in active_e.collect()]
+                from hierarchical_graph_db_spark.localdf import (
+                    collect_tuples, local_rows_df,
+                )
+
+                edge_rows = collect_tuples(active_e)
                 vert_rows = [r["id"] for r in active_v.collect()]
                 seq = _tarjan_scc(edge_rows, vert_rows)
                 id_type = active_v.schema.fields[0].dataType
                 schema = StructType([StructField("id", id_type),
                                      StructField("scc", id_type)])
                 parts.append(
-                    active_v.sparkSession.createDataFrame(seq, schema))
+                    local_rows_df(active_v.sparkSession, seq, schema))
                 remaining = 0
                 break
         fwd = _min_reach_labels(active_e, active_v, max_iter=max_iter)
@@ -588,8 +598,12 @@ def dag_layers(edges: DataFrame, max_iter: int = 64,
                 from pyspark.sql.types import (LongType, StructField,
                                                StructType)
 
-                edge_rows = [(r["src"], r["dst"]) for r in
-                             edges.select("src", "dst").distinct().collect()]
+                from hierarchical_graph_db_spark.localdf import (
+                    collect_tuples, local_rows_df,
+                )
+
+                edge_rows = collect_tuples(
+                    edges.select("src", "dst").distinct())
                 vert_rows = [r["id"] for r in verts.collect()]
                 layer = {v: 0 for v in vert_rows}
                 indeg = {v: 0 for v in vert_rows}
@@ -620,8 +634,8 @@ def dag_layers(edges: DataFrame, max_iter: int = 64,
                 id_type = verts.schema.fields[0].dataType
                 schema = StructType([StructField("id", id_type),
                                      StructField("layer", LongType())])
-                return verts.sparkSession.createDataFrame(
-                    sorted(layer.items()), schema)
+                return local_rows_df(verts.sparkSession,
+                                     sorted(layer.items()), schema)
     layers = verts.withColumn("layer", F.lit(0).cast("long"))
     for _ in range(max_iter):
         relaxed = (
@@ -758,15 +772,18 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
         if e_count <= 32 * small_cutoff:
             from pyspark.sql.types import DoubleType, StructField, StructType
 
-            edge_rows = [(r[0], r[1])
-                         for r in edges.select("src", "dst").collect()]
+            from hierarchical_graph_db_spark.localdf import (
+                collect_tuples, local_rows_df,
+            )
+
+            edge_rows = collect_tuples(edges.select("src", "dst"))
             vert_rows = [r["id"] for r in vertices.collect()]
             rows = _driver_pagerank(vert_rows, edge_rows, n_iter, damping,
                                     fp)
             id_type = vertices.schema.fields[0].dataType
             schema = StructType([StructField("id", id_type),
                                  StructField("rank", DoubleType())])
-            return vertices.sparkSession.createDataFrame(rows, schema)
+            return local_rows_df(vertices.sparkSession, rows, schema)
     out_deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_degree")
     ).transform(materialize)
@@ -1206,8 +1223,11 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
         if e_count <= 32 * small_cutoff:
             from pyspark.sql.types import DoubleType, StructField, StructType
 
-            edge_rows = [(r[0], r[1])
-                         for r in edges.select("src", "dst").collect()]
+            from hierarchical_graph_db_spark.localdf import (
+                collect_tuples, local_rows_df,
+            )
+
+            edge_rows = collect_tuples(edges.select("src", "dst"))
             vert_rows = [r["id"] for r in vertices.collect()]
             src_set = {r["id"] for r in src_ids.collect()}
             rows = _driver_personalized_pagerank(
@@ -1215,7 +1235,7 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
             id_type = vertices.schema.fields[0].dataType
             schema = StructType([StructField("id", id_type),
                                  StructField("rank", DoubleType())])
-            return vertices.sparkSession.createDataFrame(rows, schema)
+            return local_rows_df(vertices.sparkSession, rows, schema)
     base = (
         vertices.join(src_ids.withColumn("reset", F.lit(1.0 / n_s)),
                       on="id", how="left")
@@ -1388,8 +1408,47 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 256) -> DataFrame:
     )
 
 
-def local_clustering(edges: DataFrame) -> DataFrame:
+def _driver_local_clustering(edge_rows: list[tuple]) -> list[tuple]:
+    """Driver twin of :func:`local_clustering` over the canonical (a<b,
+    deduplicated) edge list: triangle counts are integers (algorithm-free),
+    and the coefficient replays the exact Spark expression —
+    ``round6((2.0·T)/(deg·(deg−1)))`` on IEEE doubles (T and the degree
+    product convert long→double exactly below 2^53)."""
+    from hierarchical_graph_db_spark.operators.clustering import _round6
+
+    adj: dict = {}
+    for a, b in edge_rows:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in edge_rows:
+        # count each triangle once at its (a,b) edge via the c > b corner
+        small, large = (adj[a], adj[b])
+        if len(small) > len(large):
+            small, large = large, small
+        for c in small:
+            if c > b and c in large:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+    out = []
+    for v in adj:
+        deg = len(adj[v])
+        t = tri[v]
+        lcc = (2.0 * t) / float(deg * (deg - 1)) if deg >= 2 else 0.0
+        out.append((v, deg, t, _round6(lcc)))
+    return out
+
+
+def local_clustering(edges: DataFrame,
+                     small_cutoff: int = 4096) -> DataFrame:
     """Per-vertex local clustering coefficient: 2·T(v) / (deg(v)·(deg(v)−1)).
+
+    ``small_cutoff`` is the hybrid driver finish (the SCC/CC treatment):
+    when the canonical edge set fits ≤ 32·cutoff rows, it is pulled to the
+    driver and the triangles are counted sequentially — the wedge-closing
+    3-way self-join is pure job overhead at that size. ``small_cutoff=0``
+    forces the distributed path (the 100 TB shape).
 
     Canonicalize to a<b, enumerate triangles once via the wedge-closing
     two-join (same discipline as :func:`triangle_count`), then credit each
@@ -1407,6 +1466,25 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         .distinct()
         .transform(materialize)
     )
+    if small_cutoff and e.count() <= 32 * small_cutoff:
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType,
+        )
+
+        from hierarchical_graph_db_spark.localdf import (
+            collect_tuples, local_rows_df,
+        )
+
+        edge_rows = collect_tuples(e)
+        id_type = e.schema.fields[0].dataType
+        schema = StructType([
+            StructField("id", id_type),
+            StructField("degree", LongType()),
+            StructField("triangles", LongType()),
+            StructField("clustering", DoubleType()),
+        ])
+        return local_rows_df(e.sparkSession,
+                             _driver_local_clustering(edge_rows), schema)
     deg = (
         e.select(F.col("a").alias("id"))
         .unionAll(e.select(F.col("b").alias("id")))
