@@ -107,6 +107,36 @@ def assign_struct_udf(cents: list[tuple], cid_ddl: str):
     return F.pandas_udf(fn, f"struct<cid: {cid_ddl}, d: double>")
 
 
+def sharded_assign_udf(state: list[tuple], cid_ddl: str):
+    """Scalar Pandas UDF ``(shard, vec) -> struct<cid, d>`` — the Arrow twin
+    of ``clustering._assign_sharded``'s per-row argmin against the row's OWN
+    shard's centroids (``array_sort(struct(round6(d), cid))[0]`` over the
+    broadcast-joined centroid array). Same total order as
+    :func:`nearest_centroid_batch` (rounded distance asc, cid asc), applied
+    per shard group within each Arrow batch. Every shard present in the
+    input MUST appear in ``state`` (the seeding pass guarantees it — it
+    draws candidates from every non-empty shard); a miss raises loudly
+    rather than silently dropping rows the way a broken inner join would.
+    """
+    by_shard = {shard: cents for shard, cents in state}
+
+    def fn(shards: pd.Series, vs: pd.Series) -> pd.DataFrame:
+        n = len(shards)
+        cid_out = np.empty(n, dtype=object)
+        d_out = np.empty(n, dtype=np.float64)
+        if n:
+            codes, uniq = pd.factorize(shards, use_na_sentinel=False)
+            for u, shard in enumerate(uniq):
+                mask = codes == u
+                cid, d = nearest_centroid_batch(
+                    by_shard[shard], _stack(vs[mask]), need_dist=True)
+                cid_out[mask] = cid
+                d_out[mask] = d
+        return pd.DataFrame({"cid": cid_out, "d": d_out})
+
+    return F.pandas_udf(fn, f"struct<cid: {cid_ddl}, d: double>")
+
+
 def pool_min_dist_udf(pool: list[list[float]]):
     """Scalar Pandas UDF ``vec -> double`` — the Arrow twin of the seeding
     pass-B expression ``array_min(transform(pool, c -> round(sqdist(v, c),

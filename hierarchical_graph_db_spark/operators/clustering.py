@@ -445,12 +445,26 @@ def _shard_centroid_df(pts: DataFrame, state: list[tuple]) -> DataFrame:
     return pts.sparkSession.createDataFrame(rows, schema)
 
 
-def _assign_sharded(pts: DataFrame, cent_df: DataFrame) -> DataFrame:
+def _assign_sharded(pts: DataFrame, state: list[tuple],
+                    use_arrow: bool = False) -> DataFrame:
     """Per-row argmin against the row's OWN shard's centroids: one
     broadcast hash join on ``shard`` brings the k-centroid array alongside,
     then the argmin is a pure expression over that column — the corpus
     never shuffles (the literal-argmin trick, broadcast-keyed so k_total
-    can scale with the shard count instead of living in one expression)."""
+    can scale with the shard count instead of living in one expression).
+    ``use_arrow`` flips to the bit-identical vectorized kernel
+    (``arrow_kernels.sharded_assign_udf`` — same rounded-distance/cid total
+    order, the r6 fast-path discipline applied to the sharded argmin)."""
+    if use_arrow:
+        from hierarchical_graph_db_spark.operators.arrow_kernels import (
+            sharded_assign_udf,
+        )
+
+        cid_ddl = pts.schema["pid"].dataType.simpleString()
+        best = sharded_assign_udf(state, cid_ddl)(F.col("shard"), F.col("v"))
+        return pts.select("shard", "pid", "v",
+                          best["cid"].alias("cid"), best["d"].alias("d"))
+    cent_df = _shard_centroid_df(pts, state)
     scored = F.transform(
         F.col("cents"),
         lambda s: F.struct(
@@ -465,7 +479,8 @@ def _assign_sharded(pts: DataFrame, cent_df: DataFrame) -> DataFrame:
 
 
 def sharded_kmeans_state(pts: DataFrame, k: int, n_rounds: int,
-                         oversample: int = 8) -> list[tuple]:
+                         oversample: int = 8,
+                         use_arrow: bool = False) -> list[tuple]:
     """Per-shard Lloyd training, every round ONE distributed plan over all
     shards at once: broadcast-join assignment (no corpus shuffle) + a
     (shard, cid, pos) fixed-point hash aggregate whose partials collapse
@@ -477,7 +492,7 @@ def sharded_kmeans_state(pts: DataFrame, k: int, n_rounds: int,
     if not state:
         return []
     for _ in range(n_rounds):
-        assigned = _assign_sharded(pts, _shard_centroid_df(pts, state))
+        assigned = _assign_sharded(pts, state, use_arrow)
         upd = (
             assigned.select("shard", "cid", "v")
             .select("shard", "cid", F.posexplode("v").alias("pos", "x"))
@@ -506,7 +521,8 @@ def semantic_dedup_sharded(vectors: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            shard_col: str = "label", k: int = 2,
                            n_rounds: int = 2,
-                           oversample: int = 8) -> DataFrame:
+                           oversample: int = 8,
+                           use_arrow: bool = False) -> DataFrame:
     """SemDeDup run independently per shard (language / topic / hash
     bucket) in one plan — the production shape the flat :func:`semantic_dedup`
     docstring promised: k_total = k × n_shards grows with the corpus while
@@ -517,14 +533,14 @@ def semantic_dedup_sharded(vectors: DataFrame, id_col: str = "vec_id",
     flat operator. Abbas et al. 2023 (public method), sharded per its §4
     scale recipe."""
     pts = _sharded_project(vectors, shard_col, id_col, vec_col)
-    state = sharded_kmeans_state(pts, k, n_rounds, oversample)
+    state = sharded_kmeans_state(pts, k, n_rounds, oversample, use_arrow)
     if not state:
         return pts.where(F.lit(False)).select(
             F.col("shard"), F.col("pid").alias("cluster"),
             F.col("pid").alias("keeper_id"),
             F.lit(0).cast("long").alias("n_members"),
             F.lit(0.0).alias("keeper_dist"))
-    assigned = _assign_sharded(pts, _shard_centroid_df(pts, state))
+    assigned = _assign_sharded(pts, state, use_arrow)
     order_key = F.struct(F.col("d"), F.col("pid"))
     return (
         assigned.groupBy("shard", F.col("cid").alias("cluster"))

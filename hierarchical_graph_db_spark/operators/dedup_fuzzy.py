@@ -109,6 +109,12 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     within-document repetition metrics need, where duplicate n-grams ARE the
     signal rather than noise.
     """
+    # Input-skew guard (guide §2.5): a single-file fixture scan would run
+    # the whole tokenize+shingle+hash stage as ONE task; no-op when the
+    # scan already has ≥ core-count partitions (the 100 TB shape).
+    from hierarchical_graph_db_spark.operators.skew import fan_out_scan
+
+    docs = fan_out_scan(docs)
     # Materialize the token array once per row; referencing the raw
     # tokenization expression inside the transform lambda would re-run the
     # regex split per element access (O(tokens²) regex work per doc).
@@ -579,7 +585,9 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = 64,
 
     Token hash bit b comes from hex digit ``b//4`` of the sha256 (bit
     ``3-b%4``), decoded arithmetically (strpos on a hex alphabet) so the
-    identical computation exists in the SQL oracle.
+    identical computation exists in the SQL oracle. Input fans out through
+    the §2.5 single-split guard before the per-token hash stage (no-op on
+    multi-split scans).
 
     Plan shape: the bit votes are ``n_bits`` WIDE sum aggregates over the
     token rows (one ±1 expression per bit, hex digits decoded once per
@@ -590,8 +598,10 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = 64,
     exchange. Values are bit-identical to the long form: same per-token
     ±1 votes, same per-bit integer sums, same ``vote >= 0`` sign rule.
     """
+    from hierarchical_graph_db_spark.operators.skew import fan_out_scan
+
     toks = (
-        docs.select(
+        fan_out_scan(docs).select(
             F.col(id_col).alias("id"),
             F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
         )

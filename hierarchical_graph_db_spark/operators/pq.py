@@ -61,7 +61,8 @@ def pq_codebooks(corpus: DataFrame, dim: int, m: int = M_SUBSPACES,
                  ksub: int = KSUB, id_col: str = "vec_id",
                  vec_col: str = "embedding", n_rounds: int = PQ_ROUNDS,
                  oversample: int = PQ_OVERSAMPLE,
-                 train_sample: int | None = TRAIN_SAMPLE) -> list[list[list[float]]]:
+                 train_sample: int | None = TRAIN_SAMPLE,
+                 use_arrow: bool = False) -> list[list[list[float]]]:
     """``books[s][j]`` = codeword j of subspace s, trained as ONE sharded
     k-means run over the exploded (subspace, pid, subvector) rows — all m
     codebooks learn concurrently; no per-subspace job trains alone. The
@@ -95,7 +96,7 @@ def pq_codebooks(corpus: DataFrame, dim: int, m: int = M_SUBSPACES,
                 F.col("e.sv").alias("v"))
     )
     state = sharded_kmeans_state(sub, k=ksub, n_rounds=n_rounds,
-                                 oversample=oversample)
+                                 oversample=oversample, use_arrow=use_arrow)
     by_shard = dict(state)
     return [
         [c for _, c in sorted(by_shard.get(s, []), key=lambda r: r[0])]

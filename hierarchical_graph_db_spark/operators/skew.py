@@ -42,3 +42,30 @@ def salted_topk(
         .where(F.col("rank") <= k)
         .drop("_salt")
     )
+
+
+def fan_out_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Input-skew guard (guide §2.5 "input skew: one huge unsplittable
+    file … repartition immediately after the read"): when a scan resolves
+    to fewer partitions than the session's parallelism — the fixture shape:
+    one small parquet file = one split = ONE task doing all the downstream
+    per-row work (shingling+sha256 minhash, RFC822 parsing) — round-robin
+    repartition to ``min_parts`` (default ``sc.defaultParallelism``) so the
+    expensive per-row stage uses every core.
+
+    Scale posture: at 100 TB a scan has thousands of splits, the guard sees
+    ``cur >= target`` and inserts NOTHING — no extra exchange ever reaches a
+    large input. Correctness: callers are partition-independent by the
+    engine's discipline (order-free aggregates / FWW merges), pinned by the
+    multi-executor hash-identity sweeps; Spark's sort-before-repartition
+    keeps the row→partition assignment retry-deterministic (SPARK-38388).
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning-only probe; never fatal
+        return df
+    if cur >= target:
+        return df
+    return df.repartition(target)

@@ -638,7 +638,7 @@ def semantic_dedup_sharded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = Catalog(spark, sf_dir).embeddings
-    return semantic_dedup_sharded(emb, id_col="vec_id",
+    return semantic_dedup_sharded(emb, id_col="vec_id", use_arrow=True,
                                   vec_col="embedding", shard_col="label",
                                   k=_SH_K, n_rounds=_SH_ROUNDS,
                                   oversample=_SH_OVERSAMPLE)
@@ -820,7 +820,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = Catalog(spark, sf_dir).embeddings
     books = pq_codebooks(emb, dim=64, m=_PQ_M, ksub=_PQ_KSUB,
-                         n_rounds=_PQ_ROUNDS, oversample=_PQ_OVERSAMPLE)
+                         n_rounds=_PQ_ROUNDS, oversample=_PQ_OVERSAMPLE,
+                         use_arrow=True)
     out = pq_adc_topk(emb.where(F.col("vec_id") < 8), emb, books, dim=64,
                       k=_PQ_TOPK)
     return out.select("query_id", "neighbor_id", "adc",
@@ -989,7 +990,8 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = deterministic_centroids(emb, n_lists=_IVF_LISTS,
                                       n_rounds=_IVF_ROUNDS, use_arrow=True)
     books = pq_codebooks(emb, dim=64, m=_PQ_M, ksub=_PQ_KSUB,
-                         n_rounds=_PQ_ROUNDS, oversample=_PQ_OVERSAMPLE)
+                         n_rounds=_PQ_ROUNDS, oversample=_PQ_OVERSAMPLE,
+                         use_arrow=True)
     out = ivfpq_topk(emb.where(F.col("vec_id") < 8), emb, centers, books,
                      dim=64, k=_IVF_TOPK, nprobe=_IVF_NPROBE)
     return out.select("query_id", "neighbor_id", "adc",

@@ -237,10 +237,19 @@ def _parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def parse_emails(scanned: DataFrame) -> DataFrame:
     """P1-P7 as one Arrow-batched ``mapInPandas``; output PARSED_EMAIL rows
-    with a quarantine ``error`` column."""
-    return scanned.select("content", "user", "folder", "filename").mapInPandas(
-        _parse_batches, schema=PARSED_EMAIL
-    )
+    with a quarantine ``error`` column.
+
+    Input-skew guard (guide §2.5): a whole-corpus scan that resolves to one
+    split (the single-file fixture shape) would put EVERY message through
+    one Python worker; round-robin to core-count partitions first — a no-op
+    at real maildir scale where the scan has many splits. Results are
+    partition-independent (per-row parse; the downstream merge is FWW by
+    explicit order columns)."""
+    from hierarchical_graph_db_spark.operators.skew import fan_out_scan
+
+    return fan_out_scan(
+        scanned.select("content", "user", "folder", "filename")
+    ).mapInPandas(_parse_batches, schema=PARSED_EMAIL)
 
 
 def merge_parsed(parsed: DataFrame) -> DataFrame:

@@ -105,3 +105,65 @@ def test_arrow_plan_is_arrow_eval(spark):
         .executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_seed_rows_arrow_matches_default(spark):
+    from hierarchical_graph_db_spark.operators.clustering import (
+        _project, _seed_rows,
+    )
+
+    pts = _project(_emb(spark), "vec_id", "embedding")
+    slow = _seed_rows(pts, 4, 8, use_arrow=False)
+    fast = _seed_rows(pts, 4, 8, use_arrow=True)
+    assert slow == fast  # pass-B min-dists bit-identical → same candidates
+
+
+def test_sharded_assign_arrow_matches_default(spark):
+    from hierarchical_graph_db_spark.operators.clustering import (
+        semantic_dedup_sharded,
+    )
+
+    emb = _emb(spark)
+    slow = sorted(tuple(r) for r in
+                  semantic_dedup_sharded(emb, use_arrow=False).collect())
+    fast = sorted(tuple(r) for r in
+                  semantic_dedup_sharded(emb, use_arrow=True).collect())
+    assert slow == fast  # per-shard argmin + 6dp dists, bit-for-bit
+
+
+def test_pq_codebooks_arrow_matches_default(spark):
+    from hierarchical_graph_db_spark.operators.pq import pq_codebooks
+
+    emb = _emb(spark)
+    slow = pq_codebooks(emb, dim=64, use_arrow=False)
+    fast = pq_codebooks(emb, dim=64, use_arrow=True)
+    assert slow == fast  # every subspace codebook identical
+
+
+def test_pool_min_dist_matches_expression(spark):
+    """Randomized: the Arrow pool-min-dist kernel vs the pure expression on
+    adversarially close vectors (rounding-boundary shapes included)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from hierarchical_graph_db_spark.operators.arrow_kernels import (
+        pool_min_dist_udf,
+    )
+    from hierarchical_graph_db_spark.operators.clustering import _sq_dist
+
+    rng = random.Random(7)
+    dim = 8
+    pool = [[round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+            for _ in range(6)]
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+            for i in range(64)]
+    # include exact pool members (distance 0) and near-ties
+    rows += [(100 + j, list(c)) for j, c in enumerate(pool)]
+    df = spark.createDataFrame(rows, "pid: bigint, v: array<double>")
+    expr = F.array_min(F.transform(
+        F.lit(pool), lambda c: F.round(_sq_dist(F.col("v"), c), 6)))
+    slow = {r["pid"]: r["m"] for r in df.select("pid", expr.alias("m")).collect()}
+    fast = {r["pid"]: r["m"] for r in df.select(
+        "pid", pool_min_dist_udf(pool)(F.col("v")).alias("m")).collect()}
+    assert slow == fast
