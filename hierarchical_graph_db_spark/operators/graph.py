@@ -827,7 +827,55 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
     return ranks
 
 
-def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
+def _driver_hits(vert_rows: list, edge_rows: list[tuple],
+                 n_iter: int) -> list[tuple]:
+    """Bit-exact driver twin of the :func:`hits` loop (hybrid small-graph
+    finish): per half-step, int64 sums of ``round(state·1e6)`` quanta over
+    the multi-edge list (the same HALF_UP-nearest trick as
+    :func:`_driver_pagerank` — state is in [0, 1] so quanta stay ≤ 1e6),
+    exact double max-norm, and the 6dp output quantization through the
+    ``_round6`` HALF_UP/shortest-repr twin, one call per vertex per
+    half-step."""
+    import numpy as np
+
+    from hierarchical_graph_db_spark.operators.clustering import _round6
+
+    n = len(vert_rows)
+    idx = {v: i for i, v in enumerate(vert_rows)}
+    src_i = np.fromiter((idx[s] for s, _ in edge_rows), dtype=np.int64,
+                        count=len(edge_rows))
+    dst_i = np.fromiter((idx[t] for _, t in edge_rows), dtype=np.int64,
+                        count=len(edge_rows))
+
+    def quanta(x: np.ndarray) -> np.ndarray:
+        fl = np.floor(x)
+        return (fl + ((x - fl) >= 0.5)).astype(np.int64)
+
+    def half_step(state: np.ndarray, from_i: np.ndarray,
+                  to_i: np.ndarray) -> np.ndarray:
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, to_i, quanta(state[from_i] * 1000000.0))
+        has = np.zeros(n, dtype=bool)
+        has[to_i] = True
+        s = acc / 1000000.0
+        m = s[has].max()
+        out = np.zeros(n, dtype=np.float64)
+        for i in np.nonzero(has)[0]:
+            out[i] = _round6(s[i] / m)
+        # vertices with no inbound term: coalesce(NULL, 0.0) → round6(0.0)
+        # == 0.0 exactly, already the fill value
+        return out
+
+    hubs = np.full(n, 1.0, dtype=np.float64)
+    auths = np.zeros(n, dtype=np.float64)
+    for _ in range(n_iter):
+        auths = half_step(hubs, src_i, dst_i)
+        hubs = half_step(auths, dst_i, src_i)
+    return [(v, float(hubs[i]), float(auths[i])) for v, i in idx.items()]
+
+
+def hits(edges: DataFrame, n_iter: int = 8,
+         small_cutoff: int = 4096) -> DataFrame:
     """HITS hubs/authorities (Kleinberg 1999, public algorithm) over
     (src, dst) edges → (id, hub, auth). Fixed iteration count, max-norm
     each half-step (deterministic and SQL-replayable, unlike an L2 norm's
@@ -866,6 +914,25 @@ def hits(edges: DataFrame, n_iter: int = 8) -> DataFrame:
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     ).transform(materialize)
+    if small_cutoff and 0 < vertices.count() <= small_cutoff:
+        # Hybrid driver finish — see :func:`pagerank`. ``small_cutoff=0``
+        # forces the distributed path (the 100 TB shape).
+        e_count = edges.count()
+        if e_count <= 32 * small_cutoff:
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
+            from hierarchical_graph_db_spark.localdf import (
+                collect_tuples, local_rows_df,
+            )
+
+            edge_rows = collect_tuples(edges.select("src", "dst"))
+            vert_rows = [r["id"] for r in vertices.collect()]
+            rows = _driver_hits(vert_rows, edge_rows, n_iter)
+            id_type = vertices.schema.fields[0].dataType
+            schema = StructType([StructField("id", id_type),
+                                 StructField("hub", DoubleType()),
+                                 StructField("auth", DoubleType())])
+            return local_rows_df(vertices.sparkSession, rows, schema)
     hubs = vertices.withColumn("hub", F.lit(1.0))
     auths = None
     for _ in range(n_iter):

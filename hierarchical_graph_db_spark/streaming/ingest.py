@@ -139,28 +139,36 @@ class DedupParquetSink:
         # pin it so a file-source micro-batch isn't re-read per job.
         batch.persist()
         try:
-            # O(n_buckets) driver rows — the bucket ids, never store data.
-            touched = [
-                r[0] for r in batch.select(
-                    self._bucket_of(F.col(self.key)).alias("b")).distinct().collect()
-            ]
-            if not touched:
-                # Empty batch: advance the ledger WITHOUT creating a store —
-                # an empty data/ dir would break schema inference for every
-                # later batch of a fresh store.
-                self.store.mark_committed(batch_id)
-                return
             if self.store.exists():
+                # O(n_buckets) driver rows — the bucket ids, never store
+                # data; needed to PRUNE the store read below.
+                touched = [
+                    r[0] for r in batch.select(
+                        self._bucket_of(F.col(self.key)).alias("b"))
+                    .distinct().collect()
+                ]
+                if not touched:
+                    self.store.mark_committed(batch_id)
+                    return
                 target = self.store.read(buckets=touched).drop("bucket_id")
                 merged = merge_into(target, batch, self.key, self.order_by,
                                     self.member_cols)
             else:
+                # Fresh store: there is nothing to prune, so the bucket
+                # probe buys nothing — a limit-1 emptiness check guards the
+                # ledger instead (an empty batch must advance it WITHOUT
+                # creating a store: an empty data/ dir would break schema
+                # inference for every later batch).
+                if batch.isEmpty():
+                    self.store.mark_committed(batch_id)
+                    return
+                touched = None
                 merged = dedup_merge(batch, self.key, self.order_by,
                                      self.member_cols)
             merged = merged.withColumn(
                 "bucket_id", self._bucket_of(F.col("dedupe_key")))
             tc = time.perf_counter()
-            self.store.commit(batch_id, merged)
+            entries = self.store.commit(batch_id, merged)
             done = time.perf_counter()
             # Unlike the CDC sink, the merge plan is NOT pre-materialized
             # by a probe — the commit's write computes it — so here
@@ -170,7 +178,8 @@ class DedupParquetSink:
                 "sink": "dedup",
                 "store": os.path.basename(self.store.path.rstrip("/")),
                 "batch_id": batch_id,
-                "touched_buckets": len(touched),
+                "touched_buckets": (len(touched) if touched is not None
+                                    else len(entries)),
                 "probe_secs": round(tc - t0, 3),
                 "commit_secs": round(done - tc, 3),
                 "total_secs": round(done - t0, 3),
@@ -305,52 +314,55 @@ class CdcParquetSink:
         net = changelog_net(batch, self.keys, self.seq_col, self.op_col,
                             carry_seq=True).persist()
         try:
-            touched = [
-                r[0] for r in net.select(
-                    self._bucket_of(*self.keys).alias("b"))
-                .distinct().collect()
-            ]
-            if not touched:
-                self.store.mark_committed(batch_id)
-                return
             if self.store.exists():
+                # O(n_buckets) driver rows — needed to PRUNE the store read.
+                touched = [
+                    r[0] for r in net.select(
+                        self._bucket_of(*self.keys).alias("b"))
+                    .distinct().collect()
+                ]
+                if not touched:
+                    self.store.mark_committed(batch_id)
+                    return
                 stored = self.store.read(buckets=touched).drop("bucket_id")
                 pseudo = stored.withColumn(self.op_col, F.lit("B"))
                 final = changelog_net(
                     pseudo.unionByName(net.select(*pseudo.columns)),
                     self.keys, self.seq_col, self.op_col, carry_seq=True)
             else:
+                # Fresh store: nothing to prune, nothing to empty — skip the
+                # probe pass; a limit-1 emptiness check guards the ledger.
+                if net.isEmpty():
+                    self.store.mark_committed(batch_id)
+                    return
+                touched = None
                 final = net
             keep = final.where(F.col(self.op_col) != F.lit("D")) \
                 .drop(self.op_col)
             merged = keep.withColumn(
-                "bucket_id", self._bucket_of(*self.keys)).persist()
-            try:
-                # A delete can wipe a bucket entirely; absence from `merged`
-                # alone cannot express that — name the emptied buckets so
-                # the commit drops them from the live manifest. The persist
-                # keeps the present-bucket probe from recomputing the
-                # store-read + net for the commit's write.
-                present = {
-                    r[0] for r in
-                    merged.select("bucket_id").distinct().collect()
-                }
-                tc = time.perf_counter()
-                self.store.commit(batch_id, merged,
-                                  emptied=[b for b in touched
-                                           if b not in present])
-                commit_secs = time.perf_counter() - tc
-            finally:
-                merged.unpersist()
+                "bucket_id", self._bucket_of(*self.keys))
+            tc = time.perf_counter()
+            # A delete can wipe a bucket entirely; absence from `merged`
+            # alone cannot express that — the commit derives the emptied
+            # set from `all_touched` minus the bucket dirs its own write
+            # produced (round-14: this replaced a caller-side
+            # select(bucket).distinct().collect() probe that materialized
+            # the whole merge plan one extra time per micro-batch).
+            entries = self.store.commit(batch_id, merged,
+                                        all_touched=touched)
+            commit_secs = time.perf_counter() - tc
             total = time.perf_counter() - t0
             _record_sink_batch({
                 "sink": "cdc",
                 "store": os.path.basename(self.store.path.rstrip("/")),
                 "batch_id": batch_id,
-                "touched_buckets": len(touched),
-                # probe ≈ net + bucket-merge compute (materialized by the
-                # two bounded collects); commit ≈ durable write + manifest
-                # swap — the fixed per-batch overhead at any scale
+                "touched_buckets": (len(touched) if touched is not None
+                                    else len(entries)),
+                # probe ≈ the changelog net (materialized by the bounded
+                # touched-bucket collect); commit ≈ store-merge compute +
+                # durable write + manifest swap (the merge materializes
+                # during the write — same attribution caveat as the dedup
+                # sink since round 14)
                 "probe_secs": round(total - commit_secs, 3),
                 "commit_secs": round(commit_secs, 3),
                 "total_secs": round(total, 3),

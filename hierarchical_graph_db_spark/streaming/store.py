@@ -197,15 +197,19 @@ class BucketedParquetStore:
             raise ValueError(
                 f"store at {self.path} is empty and has no pinned schema — "
                 "check exists() before read()")
-        # mergeSchema: buckets written before a schema-evolving commit lack
-        # the new columns — the footer-merged read surfaces the union, so
-        # newer buckets' values survive and older buckets null-fill natively
-        # (cost: one footer per live bucket version, metadata-only).
-        df = (
-            self.spark.read.option("basePath", self.data_dir)
-            .option("mergeSchema", "true")
-            .parquet(*paths)
-        )
+        if schema is not None:
+            # The manifest pins the schema, so hand it to the reader and
+            # skip footer merging entirely — mergeSchema costs one footer
+            # read per live bucket version at PLANNING time (a measurable
+            # ~1 s per probe at 64 buckets, per-batch on the sink path).
+            # Old buckets missing later-pinned columns null-fill natively
+            # under an explicit schema, exactly as the footer-merged read
+            # did; the conform-select below still owns order and types.
+            reader = self.spark.read.schema(schema)
+        else:
+            # Pre-schema manifest: footer-merge to surface the union.
+            reader = self.spark.read.option("mergeSchema", "true")
+        df = reader.option("basePath", self.data_dir).parquet(*paths)
         # __v materializes as a partition column under basePath — internal.
         df = df.drop("__v")
         if schema is not None:
@@ -250,13 +254,22 @@ class BucketedParquetStore:
         return False
 
     def commit(self, batch_id: int, merged_touched: DataFrame,
-               emptied: list[str] | None = None) -> None:
+               emptied: list[str] | None = None,
+               all_touched: list | None = None) -> list[str]:
         """Durably replace the touched buckets with ``merged_touched``
         (which must contain ``bucket_col`` and the full post-merge contents
         of every bucket it mentions). ``emptied`` names bucket ids whose
         post-merge contents are ZERO rows (a CDC delete can wipe a bucket;
         absence from the data alone cannot express that) — they are
-        removed from the live manifest at the same atomic swap."""
+        removed from the live manifest at the same atomic swap.
+
+        ``all_touched`` (bucket ids) is the cheaper way to express the same
+        thing: the scratch listing the commit performs anyway IS the set of
+        non-empty post-merge buckets, so emptied = all_touched minus the
+        written dirs — no caller-side ``merged.select(bucket).distinct().
+        collect()`` pass over the merge plan (that probe cost one extra
+        materialization of the whole merge per micro-batch). Returns the
+        written bucket dir names."""
         scratch = self._scratch(batch_id)
         # Scratch is written ALREADY partitioned by bucket: the publish step
         # is then per-bucket directory moves + one manifest swap (metadata
@@ -278,12 +291,20 @@ class BucketedParquetStore:
         # crash-replay publish pins it identically to a clean commit.
         schema_json = merged_touched.schema.json()
         emptied_entries = [f"{prefix}{b}" for b in (emptied or [])]
+        if all_touched is not None:
+            written = set(entries)
+            emptied_entries += [
+                f"{prefix}{b}" for b in all_touched
+                if f"{prefix}{b}" not in written
+                and f"{prefix}{b}" not in emptied_entries
+            ]
         self._write_json("pending.json", {"batch_id": batch_id,
                                           "entries": entries,
                                           "emptied": emptied_entries,
                                           "schema": schema_json})
         self._publish(batch_id, entries, schema_json=schema_json,
                       emptied=emptied_entries)
+        return entries
 
     def mark_committed(self, batch_id: int) -> None:
         """Advance the manifest for a batch that needed no data change."""

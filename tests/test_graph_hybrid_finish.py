@@ -70,3 +70,14 @@ def test_ppr_driver_finish_bitexact(spark, edges, n_src):
     fast = _rows(personalized_pagerank(df, sdf, n_iter=4))
     slow = _rows(personalized_pagerank(df, sdf, n_iter=4, small_cutoff=0))
     assert fast == slow
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_multi_edges)
+def test_hits_driver_finish_bitexact(spark, edges):
+    from hierarchical_graph_db_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    fast = _rows(hits(df, n_iter=3))
+    slow = _rows(hits(df, n_iter=3, small_cutoff=0))
+    assert fast == slow
