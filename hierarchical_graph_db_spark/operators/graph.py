@@ -1002,8 +1002,49 @@ def thread_ids(emails: DataFrame, max_iter: int = 20) -> DataFrame:
     )
 
 
+def _collect_small_graph(e: DataFrame, small_cutoff: int):
+    """Shared hybrid-finish gate over a MATERIALIZED canonical edge frame:
+    returns the pulled edge list when it fits ≤ 32·cutoff rows, else None
+    (caller proceeds distributed). One count job + one bounded Arrow pull."""
+    if not small_cutoff:
+        return None
+    if e.count() > 32 * small_cutoff:
+        return None
+    from hierarchical_graph_db_spark.localdf import collect_tuples
+
+    return collect_tuples(e)
+
+
+def _bfs_driver(edge_rows: list[tuple], seeds: list, max_hops: int) -> dict:
+    """Level-synchronous BFS over an adjacency dict — the driver twin of the
+    iterative frontier joins. Hop distances are canonical (unique), so any
+    correct BFS reproduces the distributed result exactly. Returns
+    {(source, id): distance} including (s, s): 0."""
+    succ: dict = {}
+    for s, d in edge_rows:
+        succ.setdefault(s, set()).add(d)
+    out: dict = {}
+    for s in seeds:
+        out[(s, s)] = 0
+        frontier = {s}
+        seen = {s}
+        for hop in range(1, max_hops + 1):
+            nxt = set()
+            for v in frontier:
+                for w in succ.get(v, ()):
+                    if w not in seen:
+                        nxt.add(w)
+            if not nxt:
+                break
+            for w in nxt:
+                out[(s, w)] = hop
+                seen.add(w)
+            frontier = nxt
+    return out
+
+
 def shortest_paths(edges: DataFrame, landmark: str, max_hops: int = 10,
-                   directed: bool = False) -> DataFrame:
+                   directed: bool = False, small_cutoff: int = 4096) -> DataFrame:
     """Unweighted shortest-path distance from ``landmark`` → (id, distance).
 
     Level-synchronous BFS as iterative joins: frontier ⋈ edges → next
@@ -1017,6 +1058,23 @@ def shortest_paths(edges: DataFrame, landmark: str, max_hops: int = 10,
         e = e.union(edges.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
     e = e.where(F.col("src") != F.col("dst")).distinct().transform(materialize)
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(e.schema["src"].dataType, StringType):
+        edge_rows = _collect_small_graph(e, small_cutoff)
+        if edge_rows is not None:
+            # Hybrid driver finish (canonical hop distances — the CC
+            # argument); small_cutoff=0 forces the distributed path. The
+            # string-dtype gate keeps the driver path off exotic caller
+            # dtypes so the emitted schema always matches the distributed
+            # one (the seed frame pins id to string).
+            from hierarchical_graph_db_spark.localdf import local_rows_df
+
+            dist = _bfs_driver(edge_rows, [landmark], max_hops)
+            return local_rows_df(
+                e.sparkSession,
+                [(v, d) for (_, v), d in dist.items()],
+                StructType.fromDDL("id string, distance int"))
 
     visited = e.sparkSession.createDataFrame(
         [(landmark, 0)], "id string, distance int"
@@ -1038,7 +1096,7 @@ def shortest_paths(edges: DataFrame, landmark: str, max_hops: int = 10,
     return visited
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, small_cutoff: int = 4096) -> DataFrame:
     """Global triangle count over an undirected simple graph.
 
     Canonicalize to a<b (each undirected edge once), then the two-join
@@ -1056,6 +1114,20 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .distinct()
         .transform(materialize)
     )
+    edge_rows = _collect_small_graph(e, small_cutoff)
+    if edge_rows is not None:
+        # Hybrid driver finish: both outputs are integer counts
+        # (algorithm-free); reuse the per-vertex triangle kernel's
+        # adjacency-intersection walk. small_cutoff=0 forces the joins.
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from hierarchical_graph_db_spark.localdf import local_rows_df
+
+        tri3 = sum(t for _, _, t, _ in _driver_local_clustering(edge_rows))
+        schema = StructType([StructField("n_edges", LongType(), False),
+                             StructField("n_triangles", LongType(), False)])
+        return local_rows_df(e.sparkSession,
+                             [(len(edge_rows), tri3 // 3)], schema)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -1420,7 +1492,29 @@ def link_prediction(edges: DataFrame, min_common: int = 2,
             .drop("_rn"))
 
 
-def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 256) -> DataFrame:
+def _driver_k_core(edge_rows: list[tuple], k: int) -> list[tuple]:
+    """Driver twin of the k-core peel: the k-core is the UNIQUE maximal
+    subgraph with induced degree ≥ k (peeling order is irrelevant), so any
+    correct sequential peel reproduces the distributed fixed point.
+    ``edge_rows`` is the deduplicated symmetric edge list; returns
+    (id, induced_degree ≥ k) rows."""
+    adj: dict = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, set()).add(d)
+    queue = [v for v, nb in adj.items() if len(nb) < k]
+    while queue:
+        v = queue.pop()
+        for w in adj.pop(v, ()):  # drop v and its incidences
+            nb = adj.get(w)
+            if nb is not None:
+                nb.discard(v)
+                if len(nb) == k - 1:  # just fell below k — peel next
+                    queue.append(w)
+    return [(v, len(nb)) for v, nb in adj.items() if len(nb) >= k]
+
+
+def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 256,
+           small_cutoff: int = 16384) -> DataFrame:
     """k-core membership by peeling to the FIXED POINT: repeatedly drop
     vertices with induced degree < k until a full round drops nothing.
     ``max_rounds`` is a safety valve only (a peeling sequence deeper than
@@ -1441,6 +1535,20 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 256) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .distinct()
     ).transform(materialize)
+    edge_rows = _collect_small_graph(sym, small_cutoff)
+    if edge_rows is not None:
+        # Hybrid driver finish: the k-core is unique (peel-order-free), the
+        # CC canonicality argument; the wider CC-style bound applies (the
+        # peel is near-linear). small_cutoff=0 forces the distributed path.
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from hierarchical_graph_db_spark.localdf import local_rows_df
+
+        id_type = sym.schema.fields[0].dataType
+        schema = StructType([StructField("id", id_type),
+                             StructField("degree", LongType())])
+        return local_rows_df(sym.sparkSession,
+                             _driver_k_core(edge_rows, k), schema)
     alive = sym
     n_prev = alive.count()
     for _ in range(max_rounds):
@@ -1583,7 +1691,8 @@ def local_clustering(edges: DataFrame,
 
 def multi_source_distances(edges: DataFrame, sources: list[str],
                            max_hops: int = 6,
-                           directed: bool = False) -> DataFrame:
+                           directed: bool = False,
+                           small_cutoff: int = 4096) -> DataFrame:
     """Level-synchronous BFS from ``k`` seed vertices at once →
     (source, id, distance) — :func:`shortest_paths` generalized to carry
     the source id through the frontier, so one iterative plan serves all
@@ -1598,6 +1707,24 @@ def multi_source_distances(edges: DataFrame, sources: list[str],
                                  F.col("src").alias("dst")))
     e = e.where(F.col("src") != F.col("dst")).distinct() \
         .transform(materialize)
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(e.schema["src"].dataType, StringType):
+        edge_rows = _collect_small_graph(e, small_cutoff)
+        if edge_rows is not None:
+            # Hybrid driver finish — see :func:`shortest_paths`.
+            from hierarchical_graph_db_spark.localdf import local_rows_df
+
+            dist = _bfs_driver(edge_rows, list(dict.fromkeys(sources)),
+                               max_hops)
+            # seed rows once per ORIGINAL sources entry (the distributed
+            # seed frame does not dedup), hop>0 rows from the BFS map
+            rows = [(s, s, 0) for s in sources] + [
+                (s, v, d) for (s, v), d in dist.items() if d > 0]
+            return local_rows_df(
+                e.sparkSession, rows,
+                StructType.fromDDL(
+                    "source string, id string, distance int"))
 
     visited = e.sparkSession.createDataFrame(
         [(s, s, 0) for s in sources], "source string, id string, distance int"
@@ -1776,8 +1903,32 @@ def betweenness_sampled(edges: DataFrame, sources: list[str],
     )
 
 
+def _driver_ktruss(edge_rows: list[tuple], k: int,
+                   n_rounds: int) -> list[tuple]:
+    """Driver twin of the fixed-round k-truss prune: per round, support of
+    each surviving edge (a, b) = |N(a) ∩ N(b)| over the surviving
+    undirected graph (pure set intersection — exactly what the two keyed
+    joins count), drop edges with support < k-2, repeat for EXACTLY
+    ``n_rounds`` (the round count is the contract, as in the distributed
+    form), then report final supports."""
+    def supports(es: list[tuple]) -> dict:
+        adj: dict = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b): len(adj[a] & adj[b]) for a, b in es}
+
+    e = list(edge_rows)
+    min_sup = k - 2
+    for _ in range(n_rounds):
+        sup = supports(e)
+        e = [ab for ab in e if sup[ab] >= min_sup]
+    sup = supports(e)
+    return [(a, b, sup[(a, b)]) for a, b in e]
+
+
 def ktruss_edges(edges: DataFrame, k: int = 4,
-                 n_rounds: int = 3) -> DataFrame:
+                 n_rounds: int = 3, small_cutoff: int = 4096) -> DataFrame:
     """Fixed-round k-truss pruning (Cohen 2008, public method) over the
     undirected graph → the surviving edges (a < b) with their final
     triangle support. An edge is in the k-truss iff it participates in at
@@ -1797,6 +1948,21 @@ def ktruss_edges(edges: DataFrame, k: int = 4,
                         F.greatest("src", "dst").alias("b"))
            .where(F.col("a") != F.col("b"))
            .distinct().transform(materialize))
+    edge_rows = _collect_small_graph(und, small_cutoff)
+    if edge_rows is not None:
+        # Hybrid driver finish: support counts are integers and the prune
+        # replays the same fixed rounds — no arithmetic to twin.
+        # small_cutoff=0 forces the distributed join shape.
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from hierarchical_graph_db_spark.localdf import local_rows_df
+
+        id_type = und.schema.fields[0].dataType
+        schema = StructType([StructField("a", id_type),
+                             StructField("b", id_type),
+                             StructField("support", LongType())])
+        return local_rows_df(und.sparkSession,
+                             _driver_ktruss(edge_rows, k, n_rounds), schema)
     e = und
     min_sup = k - 2
     for _ in range(n_rounds):

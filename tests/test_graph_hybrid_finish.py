@@ -81,3 +81,62 @@ def test_hits_driver_finish_bitexact(spark, edges):
     fast = _rows(hits(df, n_iter=3))
     slow = _rows(hits(df, n_iter=3, small_cutoff=0))
     assert fast == slow
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_digraph_edges, k=st.integers(2, 4))
+def test_kcore_driver_finish_matches_distributed(spark, edges, k):
+    from hierarchical_graph_db_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    assert _rows(k_core(df, k=k)) == _rows(k_core(df, k=k, small_cutoff=0))
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_digraph_edges)
+def test_triangle_count_driver_finish_matches_distributed(spark, edges):
+    from hierarchical_graph_db_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    assert _rows(triangle_count(df)) == _rows(
+        triangle_count(df, small_cutoff=0))
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_digraph_edges, k=st.integers(3, 5))
+def test_ktruss_driver_finish_matches_distributed(spark, edges, k):
+    from hierarchical_graph_db_spark.operators.graph import ktruss_edges
+
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    assert _rows(ktruss_edges(df, k=k, n_rounds=3)) == _rows(
+        ktruss_edges(df, k=k, n_rounds=3, small_cutoff=0))
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_digraph_edges, directed=st.booleans())
+def test_bfs_driver_finish_matches_distributed(spark, edges, directed):
+    from hierarchical_graph_db_spark.operators.graph import (
+        multi_source_distances, shortest_paths,
+    )
+
+    df = spark.createDataFrame([(str(a), str(b)) for a, b in edges],
+                               "src string, dst string")
+    srcs = ["0", "3"]
+    assert _rows(multi_source_distances(df, srcs, max_hops=3,
+                                        directed=directed)) == _rows(
+        multi_source_distances(df, srcs, max_hops=3, directed=directed,
+                               small_cutoff=0))
+    assert _rows(shortest_paths(df, "0", max_hops=4,
+                                directed=directed)) == _rows(
+        shortest_paths(df, "0", max_hops=4, directed=directed,
+                       small_cutoff=0))
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_digraph_edges)
+def test_local_clustering_driver_finish_matches_distributed(spark, edges):
+    from hierarchical_graph_db_spark.operators.graph import local_clustering
+
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    assert _rows(local_clustering(df)) == _rows(
+        local_clustering(df, small_cutoff=0))
