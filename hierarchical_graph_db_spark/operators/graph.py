@@ -1200,7 +1200,29 @@ def weighted_distances(edges: DataFrame, landmark: str,
     )
 
 
-def label_propagation_communities(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+def _driver_lpa(edge_rows: list[tuple], n_iter: int) -> list[tuple]:
+    """Driver twin of synchronized LPA: per round every vertex adopts its
+    neighbors' most frequent label, ties → min label — pure counting over
+    integer/string labels (min_by over (-freq, label) replayed as a Python
+    tuple min), so the replay is exact with no floating point anywhere."""
+    nbrs: dict = {}
+    for a, b in edge_rows:
+        nbrs.setdefault(a, []).append(b)
+    label = {v: v for v in nbrs}
+    for _ in range(n_iter):
+        new = {}
+        for v, ns in nbrs.items():
+            freq: dict = {}
+            for w in ns:
+                lw = label[w]
+                freq[lw] = freq.get(lw, 0) + 1
+            new[v] = min(freq.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        label = new
+    return list(label.items())
+
+
+def label_propagation_communities(edges: DataFrame, n_iter: int = 5,
+                                  small_cutoff: int = 8192) -> DataFrame:
     """Community detection via synchronized label propagation → (id, community).
 
     Each round every vertex adopts its neighbors' most frequent label
@@ -1216,6 +1238,20 @@ def label_propagation_communities(edges: DataFrame, n_iter: int = 5) -> DataFram
         .where(F.col("a") != F.col("b"))
         .distinct()
     ).transform(materialize)
+    edge_rows = _collect_small_graph(sym, small_cutoff)
+    if edge_rows is not None:
+        # Hybrid driver finish: the synchronized rounds + deterministic
+        # tie-break replay exactly in plain counting (no FP); cutoff=0
+        # forces the distributed path.
+        from pyspark.sql.types import StructField, StructType
+
+        from hierarchical_graph_db_spark.localdf import local_rows_df
+
+        id_type = sym.schema.fields[0].dataType
+        schema = StructType([StructField("id", id_type),
+                             StructField("community", id_type)])
+        return local_rows_df(sym.sparkSession,
+                             _driver_lpa(edge_rows, n_iter), schema)
     labels = (
         sym.select(F.col("a").alias("id")).distinct()
         .withColumn("community", F.col("id"))
@@ -1770,8 +1806,50 @@ def harmonic_centrality(edges: DataFrame, sources: list[str],
     )
 
 
+def _driver_textrank(edge_rows: list[tuple], n_iter: int,
+                     damping: float) -> list[tuple]:
+    """Bit-exact driver twin of the :func:`weighted_textrank` loop for
+    INTEGER edge weights (the callers' shape — co-occurrence counts): the
+    out-strength sum is exact integer arithmetic, the per-edge quanta
+    replay ``round(((score·w)/outw)·1e6)`` with the
+    :func:`_driver_pagerank` HALF_UP-nearest trick, and the 6dp state
+    quantization goes through the ``_round6`` twin."""
+    import numpy as np
+
+    from hierarchical_graph_db_spark.operators.clustering import _round6
+
+    verts = list(dict.fromkeys(s for s, _, _ in edge_rows))
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    src_i = np.fromiter((idx[s] for s, _, _ in edge_rows), dtype=np.int64,
+                        count=len(edge_rows))
+    dst_i = np.fromiter((idx[t] for _, t, _ in edge_rows), dtype=np.int64,
+                        count=len(edge_rows))
+    w = np.fromiter((float(w_) for _, _, w_ in edge_rows), dtype=np.float64,
+                    count=len(edge_rows))
+    outw_int: dict = {}
+    for s, _, w_ in edge_rows:
+        outw_int[s] = outw_int.get(s, 0) + w_
+    outw = np.fromiter((float(outw_int[v]) for v in verts),
+                       dtype=np.float64, count=n)
+    base = 1 - damping
+    score = np.full(n, 1.0, dtype=np.float64)
+    for _ in range(n_iter):
+        x = ((score[src_i] * w) / outw[src_i]) * 1000000.0
+        fl = np.floor(x)
+        q = (fl + ((x - fl) >= 0.5)).astype(np.int64)
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, dst_i, q)
+        s = acc / 1000000.0
+        score = np.fromiter(
+            (_round6(base + damping * s[i]) for i in range(n)),
+            dtype=np.float64, count=n)
+    return [(v, float(score[idx[v]])) for v in verts]
+
+
 def weighted_textrank(edges: DataFrame, n_iter: int = 8,
-                      damping: float = 0.85) -> DataFrame:
+                      damping: float = 0.85,
+                      small_cutoff: int = 4096) -> DataFrame:
     """Weighted TextRank scores (Mihalcea & Tarau 2004, public method) over
     symmetric weighted edges (src, dst, weight) → (id, score). The TextRank
     recurrence — note the UN-normalized (1-d) constant, unlike PageRank's
@@ -1786,6 +1864,30 @@ def weighted_textrank(edges: DataFrame, n_iter: int = 8,
     engines; constants enter both engines via ``repr`` so the doubles are
     identical. Callers pass symmetric edges for the undirected TextRank
     semantics (every vertex then has out-strength > 0 — no dangling term)."""
+    from pyspark.sql.types import (ByteType, DoubleType, IntegerType,
+                                   LongType, ShortType, StructField,
+                                   StructType)
+
+    if small_cutoff and isinstance(
+            edges.schema["weight"].dataType,
+            (ByteType, ShortType, IntegerType, LongType)):
+        # Hybrid driver finish — integer weights make the out-strength sum
+        # exact, so the fixed-point replay is bit-identical (see
+        # _driver_textrank). Double-weighted callers keep the distributed
+        # path (its partial double sums are its own contract);
+        # small_cutoff=0 forces it too.
+        ecap = edges.select("src", "dst", "weight").transform(materialize)
+        edge_rows = _collect_small_graph(ecap, small_cutoff)
+        if edge_rows is not None:
+            from hierarchical_graph_db_spark.localdf import local_rows_df
+
+            id_type = ecap.schema.fields[0].dataType
+            schema = StructType([StructField("id", id_type),
+                                 StructField("score", DoubleType())])
+            return local_rows_df(
+                ecap.sparkSession,
+                _driver_textrank(edge_rows, n_iter, damping), schema)
+        edges = ecap  # already materialized — reuse for the loop below
     vertices = edges.select(F.col("src").alias("id")).distinct() \
         .transform(materialize)
     outw = edges.groupBy("src").agg(F.sum("weight").alias("outw"))

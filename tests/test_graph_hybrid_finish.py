@@ -140,3 +140,32 @@ def test_local_clustering_driver_finish_matches_distributed(spark, edges):
     df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
     assert _rows(local_clustering(df)) == _rows(
         local_clustering(df, small_cutoff=0))
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_digraph_edges)
+def test_lpa_driver_finish_matches_distributed(spark, edges):
+    from hierarchical_graph_db_spark.operators.graph import (
+        label_propagation_communities,
+    )
+
+    df = spark.createDataFrame(edges, "src: bigint, dst: bigint")
+    assert _rows(label_propagation_communities(df, n_iter=3)) == _rows(
+        label_propagation_communities(df, n_iter=3, small_cutoff=0))
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_digraph_edges)
+def test_textrank_driver_finish_bitexact(spark, edges):
+    from pyspark.sql import functions as F
+
+    from hierarchical_graph_db_spark.operators.graph import weighted_textrank
+
+    # symmetrize with integer co-occurrence-style weights (the caller shape)
+    sym = [(a, b, (a + b) % 3 + 1) for a, b in edges]
+    sym += [(b, a, w) for a, b, w in sym]
+    df = spark.createDataFrame(sorted(set(sym)),
+                               "src: bigint, dst: bigint, weight: bigint")
+    fast = _rows(weighted_textrank(df, n_iter=3))
+    slow = _rows(weighted_textrank(df, n_iter=3, small_cutoff=0))
+    assert fast == slow
