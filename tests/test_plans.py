@@ -172,13 +172,14 @@ def test_bpe_encode_hash_join_no_cartesian(spark, sf_dir):
 
 def test_bloom_probe_filter_sits_below_the_join(spark, sf_dir):
     """The Bloom membership test must run inside the lineitem scan stage
-    (a Filter over sha2 projections BELOW the join), so the join's
-    exchange only moves surviving rows; and pruning must stay expression-
-    only — no extra join for the bitmap."""
+    (a Filter over xxhash64 positions BELOW the join — round 14 swapped the
+    sha2 hex-slice family for the native codegen hash; guide §4.1), so the
+    join's exchange only moves surviving rows; and pruning must stay
+    expression-only — no extra join for the bitmap."""
     plan = _plan(spark, sf_dir, "bloom_prune_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "sha2" in plan
+    assert "xxhash64" in plan
     # exactly the one orders⋈lineitem join: the bitmap rides as a literal
     assert plan.count("HashJoin") + plan.count("SortMergeJoin (") <= 2
 

@@ -43,7 +43,11 @@ _ONE_ROW_TOTAL = {
     "event_transition_stationary", "events_value_histogram",
     "graph_lpa_modularity", "neyman_allocation_plan",
     "temporal_split_leakage",
-    "graph_triangle_count", "graph_rich_club", "hybrid_retrieval_rrf",
+    # graph_triangle_count left this set in round 14: its small-graph
+    # driver finish replaces the 1-row crossJoin with a LocalTableScan at
+    # audit scale (the distributed form under small_cutoff=0 still uses
+    # the broadcast-scalar pattern, which the audit never sees).
+    "graph_rich_club", "hybrid_retrieval_rrf",
     "quality_perplexity_buckets", "sketch_hll_set_operations",
     "text_bm25_topk", "text_pmi_collocations",
     "tpch_q11_important_parts", "tpch_q22_global_sales_opportunity",
