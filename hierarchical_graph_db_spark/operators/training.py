@@ -335,10 +335,16 @@ def span_corrupt(docs: DataFrame, rate: float = 0.15,
     from hierarchical_graph_db_spark.functions.hashing import normalized_text
     from hierarchical_graph_db_spark.functions.text import tokens
 
+    from hierarchical_graph_db_spark.operators.skew import fan_out_scan
+
     thr = int(rate * 65536)
     t = (
-        docs.select(F.col(id_col).alias("id"),
-                    tokens(normalized_text(F.col(text_col))).alias("toks"))
+        # §2.5 single-split guard: the per-token salted-sha256 draw below is
+        # the expensive stage — don't run it on one scan task (no-op on
+        # multi-split scans).
+        fan_out_scan(docs).select(
+            F.col(id_col).alias("id"),
+            tokens(normalized_text(F.col(text_col))).alias("toks"))
         .select("id", F.posexplode("toks").alias("pos", "tok"))
     )
     masked = uniform16(
