@@ -148,10 +148,12 @@ def test_semantic_dedup_sharded_blobs(spark):
 
 
 def test_semantic_dedup_sharded_plan_shape(spark, sf_dir):
-    """The sharded plan's only joins are broadcast hash joins on shard
-    (assignment), and the keeper pass partial-aggregates below its
-    exchange — no cartesian, no sort-merge join, no window over the
-    corpus output path."""
+    """The query's assignment runs through the Arrow kernel since round 14
+    (one ArrowEvalPython projection — no join at all, so no corpus shuffle
+    by construction), and the keeper pass partial-aggregates below its
+    exchange — no cartesian, no sort-merge join, no window over the corpus
+    output path. The expression path (use_arrow=False) keeps the
+    broadcast-hash-join assignment — pinned separately below."""
     from hierarchical_graph_db_spark.queries import load
 
     plan = (
@@ -160,6 +162,25 @@ def test_semantic_dedup_sharded_plan_shape(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" in plan
     assert "partial_min_by" in plan
     assert plan.index("partial_min_by") > plan.index("Exchange")
+
+
+def test_semantic_dedup_sharded_expression_path_plan_shape(spark, sf_dir):
+    """The oracle-replayable expression path's only join is the broadcast
+    hash join on shard (assignment) — the corpus is never shuffled."""
+    from hierarchical_graph_db_spark.io import Catalog
+    from hierarchical_graph_db_spark.operators.clustering import (
+        semantic_dedup_sharded,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings
+    plan = (
+        semantic_dedup_sharded(emb, use_arrow=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_min_by" in plan
