@@ -20,6 +20,7 @@ which are shallow).
 
 from __future__ import annotations
 
+import math
 import os
 import warnings
 
@@ -1138,9 +1139,42 @@ def triangle_count(edges: DataFrame, small_cutoff: int = 4096) -> DataFrame:
     )
 
 
+def _driver_bellman_ford(edge_rows: list[tuple], landmark,
+                         max_rounds: int) -> dict:
+    """Driver twin of the synchronous Bellman-Ford loop: the SAME
+    relaxation (`dist[u] + cost`, one double add per edge — the identical
+    left fold along any path) iterated in synchronous rounds to the same
+    fixed point; `min` over the same candidate set gives bit-identical
+    doubles. Raises on non-convergence exactly like the distributed loop."""
+    dist = {landmark: 0.0}
+    for _ in range(max_rounds):
+        new = dict(dist)
+        improved = 0
+        for u, v, c in edge_rows:
+            du = dist.get(u)
+            if du is None:
+                continue
+            cand = du + c
+            cur = new.get(v)
+            if cur is None or cand < cur:
+                new[v] = cand
+        for v, d in new.items():
+            old = dist.get(v)
+            if old is None or d < old:
+                improved += 1
+        dist = new
+        if improved == 0:
+            return dist
+    raise RuntimeError(
+        f"weighted_distances did not converge within max_rounds="
+        f"{max_rounds}; the graph's weighted diameter exceeds the safety "
+        f"cap — raise it")
+
+
 def weighted_distances(edges: DataFrame, landmark: str,
                        weight_col: str = "cost",
-                       max_rounds: int = 64) -> DataFrame:
+                       max_rounds: int = 64,
+                       small_cutoff: int = 4096) -> DataFrame:
     """Bellman-Ford relaxation from ``landmark`` → (id, distance), iterated
     to the FIXED POINT (non-negative costs): rounds continue until one full
     relaxation improves no distance. ``max_rounds`` is a safety valve only
@@ -1161,6 +1195,22 @@ def weighted_distances(edges: DataFrame, landmark: str,
     """
     e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("cost"))
     e = e.transform(materialize)
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(e.schema["src"].dataType, StringType):
+        edge_rows = _collect_small_graph(e, small_cutoff)
+        if edge_rows is not None:
+            # Hybrid driver finish: the SAME synchronous relaxation from
+            # the same init is replayed verbatim (identical update
+            # function → identical fixed point, doubles included) —
+            # see _driver_bellman_ford. small_cutoff=0 forces the
+            # distributed loop.
+            from hierarchical_graph_db_spark.localdf import local_rows_df
+
+            dist = _driver_bellman_ford(edge_rows, landmark, max_rounds)
+            return local_rows_df(
+                e.sparkSession, list(dist.items()),
+                StructType.fromDDL("id string, distance double"))
     dist = e.sparkSession.createDataFrame(
         [(landmark, 0.0)], "id string, distance double"
     ).transform(materialize)
@@ -1912,8 +1962,73 @@ def weighted_textrank(edges: DataFrame, n_iter: int = 8,
     return scores
 
 
+def _driver_betweenness(edge_rows: list[tuple], sources: list,
+                        max_hops: int) -> list[tuple]:
+    """Driver twin of :func:`betweenness_sampled`: per-source BFS with
+    exact integer σ path counts (canonical), then Brandes' depth-by-depth
+    dependency accumulation replaying the exact quantization —
+    per-successor quanta ``round(((σv/σw)·(1+δw))·1e6)`` with the HALF_UP
+    floor trick, 6dp ``_round6`` per level, and the final per-vertex
+    fixed-point sum. Depth-(≥1) rows only feed the final sum, exactly like
+    the distributed ``acc`` union."""
+    from hierarchical_graph_db_spark.operators.clustering import _round6
+
+    succ: dict = {}
+    for s, d in edge_rows:
+        succ.setdefault(s, []).append(d)
+    info: dict = {}  # (source, v) -> (dist, sigma)
+    depths = 0
+    for src in dict.fromkeys(sources):
+        info[(src, src)] = (0, 1)
+        frontier = {src: 1}
+        seen = {src}
+        for hop in range(1, max_hops + 1):
+            nxt: dict = {}
+            for v, sig in frontier.items():
+                for w in succ.get(v, ()):
+                    if w not in seen:
+                        nxt[w] = nxt.get(w, 0) + sig
+            if not nxt:
+                break
+            for w, sig in nxt.items():
+                info[(src, w)] = (hop, sig)
+                seen.add(w)
+            frontier = nxt
+            depths = max(depths, hop)
+    if depths == 0:
+        return []
+
+    def quanta(x: float) -> int:
+        fl = math.floor(x)
+        return int(fl) + (1 if (x - fl) >= 0.5 else 0)
+
+    delta: dict = {}  # (source, v) at the CURRENT deeper level -> δ
+    acc_q: dict = {}  # v -> Σ round(δ·1e6) over depth ≥ 1 rows
+    dl = {(sv, v): 0.0 for (sv, v), (d, _) in info.items() if d == depths}
+    for d in range(depths, 0, -1):
+        for (sv, v), dv in dl.items():
+            acc_q[v] = acc_q.get(v, 0) + quanta(dv * 1000000.0)
+        nxt_dl = {}
+        for (sv, v), (dist_v, sig_v) in info.items():
+            if dist_v != d - 1:
+                continue
+            q = 0
+            hit = False
+            for w in succ.get(v, ()):
+                key = (sv, w)
+                if key in dl:
+                    hit = True
+                    sig_w = info[key][1]
+                    q += quanta(((sig_v / sig_w) * (1.0 + dl[key]))
+                                * 1000000.0)
+            nxt_dl[(sv, v)] = _round6(q / 1000000.0) if hit else 0.0
+        dl = nxt_dl
+    return [(v, _round6(s / 1000000.0)) for v, s in acc_q.items()]
+
+
 def betweenness_sampled(edges: DataFrame, sources: list[str],
-                        max_hops: int = 4) -> DataFrame:
+                        max_hops: int = 4,
+                        small_cutoff: int = 4096) -> DataFrame:
     """Sampled, hop-bounded betweenness centrality (Brandes 2001; source
     sampling per Brandes & Pich 2007; k-bounded variant — all public
     methods) over DIRECTED (src, dst) edges → (id, betweenness): each
@@ -1940,6 +2055,19 @@ def betweenness_sampled(edges: DataFrame, sources: list[str],
     spark = edges.sparkSession
     e = (edges.select("src", "dst").where(F.col("src") != F.col("dst"))
          .distinct().transform(materialize))
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(e.schema["src"].dataType, StringType):
+        edge_rows = _collect_small_graph(e, small_cutoff)
+        if edge_rows is not None:
+            # Hybrid driver finish — exact σ counts + quantized Brandes
+            # accumulation replayed verbatim (:func:`_driver_betweenness`);
+            # small_cutoff=0 forces the distributed two-phase plan.
+            from hierarchical_graph_db_spark.localdf import local_rows_df
+
+            return local_rows_df(
+                spark, _driver_betweenness(edge_rows, sources, max_hops),
+                StructType.fromDDL("id string, betweenness double"))
     visited = spark.createDataFrame(
         [(s, s, 0, 1) for s in sources],
         "source string, id string, dist int, sigma bigint",

@@ -169,3 +169,29 @@ def test_textrank_driver_finish_bitexact(spark, edges):
     fast = _rows(weighted_textrank(df, n_iter=3))
     slow = _rows(weighted_textrank(df, n_iter=3, small_cutoff=0))
     assert fast == slow
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_digraph_edges)
+def test_bellman_ford_driver_finish_bitexact(spark, edges):
+    from hierarchical_graph_db_spark.operators.graph import weighted_distances
+
+    rows = [(str(a), str(b), float((a * 7 + b) % 5 + 1) / 4.0)
+            for a, b in edges]
+    df = spark.createDataFrame(rows, "src string, dst string, cost double")
+    fast = _rows(weighted_distances(df, "0"))
+    slow = _rows(weighted_distances(df, "0", small_cutoff=0))
+    assert fast == slow
+
+
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(edges=_digraph_edges)
+def test_betweenness_driver_finish_bitexact(spark, edges):
+    from hierarchical_graph_db_spark.operators.graph import betweenness_sampled
+
+    df = spark.createDataFrame([(str(a), str(b)) for a, b in edges],
+                               "src string, dst string")
+    srcs = ["0", "3"]
+    fast = _rows(betweenness_sampled(df, srcs, max_hops=3))
+    slow = _rows(betweenness_sampled(df, srcs, max_hops=3, small_cutoff=0))
+    assert fast == slow
