@@ -108,8 +108,13 @@ def _greedy_seeds(cands: list[tuple], k: int) -> list[tuple]:
 def _lit_vec(v) -> F.Column:
     """A vector as ONE array<double> literal node (plan constant). A single
     Literal beats a CreateArray of dim Literal expressions: the expression
-    tree stays O(1), so per-round codegen cost doesn't scale with dim."""
-    return F.lit([float(x) for x in v])
+    tree stays O(1), so per-round codegen cost doesn't scale with dim.
+    Built by parsing one SQL string (functions/fastlit) — ``F.lit(list)``
+    costs one py4j round trip per element, a measured driver-side tax on
+    every plan that bakes trained state in (guide §1.2 step 2)."""
+    from hierarchical_graph_db_spark.functions.fastlit import lit_double_array
+
+    return lit_double_array(v)
 
 
 # NOTE on the distance kernel: an unrolled k×dim arithmetic expression
@@ -167,7 +172,11 @@ def _seed_rows(pts: DataFrame, k: int,
 
         mind = pool_min_dist_udf(pool)(F.col("v"))
     else:
-        pool_a = F.lit(pool)
+        from hierarchical_graph_db_spark.functions.fastlit import (
+            lit_double_matrix,
+        )
+
+        pool_a = lit_double_matrix(pool)
         mind = F.array_min(
             F.transform(pool_a, lambda c: F.round(_sq_dist(F.col("v"), c),
                                                   6)))
@@ -218,8 +227,13 @@ def _argmin_literal(cents: list[tuple], cid_type) -> F.Column:
     as TWO literal array nodes zip_with'd together — the expression tree is
     O(1) in k and dim, so analysis/codegen stay cheap however the literals
     change between rounds (see the distance-kernel NOTE above)."""
-    cent_arr = F.lit([[float(x) for x in c] for _, c in cents])
-    cid_arr = F.lit([cid for cid, _ in cents])
+    from hierarchical_graph_db_spark.functions.fastlit import (
+        lit_double_matrix,
+        lit_index_array,
+    )
+
+    cent_arr = lit_double_matrix([c for _, c in cents])
+    cid_arr = lit_index_array([cid for cid, _ in cents])
     scored = F.zip_with(
         cent_arr, cid_arr,
         lambda c, cid: F.struct(
@@ -284,32 +298,199 @@ def _train(pts: DataFrame, k: int, n_rounds: int,
     return cents
 
 
+def _sha_hex(pid) -> str:
+    """Driver twin of ``F.sha2(F.col("pid").cast("string"), 256)``: Spark's
+    long→string cast prints the decimal digits (same as Python ``str``) and
+    sha2 emits lowercase hex (same as ``hexdigest``), so the sort keys are
+    byte-identical."""
+    import hashlib
+
+    return hashlib.sha256(str(pid).encode("utf-8")).hexdigest()
+
+
+def _np_round_half_up_int64(x):
+    """Vectorized driver twin of ``round(double)`` at scale 0 (Spark =
+    BigDecimal HALF_UP over the shortest decimal repr): for non-midpoint
+    doubles that is nearest-integer (a shortest repr cannot cross a
+    representable ``n.5`` without violating round-trip), and an exact
+    midpoint rounds AWAY FROM ZERO. Computed as sign(x)·(floor(|x|) +
+    (|x|-floor(|x|) ≥ 0.5)); the subtraction is exact by Sterbenz — the
+    same argument as the graph hybrid finishes' ``quanta``, extended to
+    negative inputs (embedding components are signed)."""
+    import numpy as np
+
+    ax = np.abs(x)
+    fl = np.floor(ax)
+    r = fl + ((ax - fl) >= 0.5)
+    return (np.sign(x) * r).astype(np.int64)
+
+
+def _collect_pid_vecs(df: DataFrame) -> list[tuple]:
+    """Bounded (pid, vector) pull via Arrow (``toPandas``), falling back to
+    ``collect()`` — value-identical either way (array<double> crosses Arrow
+    losslessly; pids are non-null ids, so no int→float dtype degradation).
+    Callers must already have bounded the row count (the ``train_sample``
+    contract)."""
+    try:
+        pdf = df.toPandas()
+        return [(int(p), [float(x) for x in v])
+                for p, v in zip(pdf["pid"], pdf["v"])]
+    except Exception:  # noqa: BLE001 — the row path is the reference impl
+        return [(r["pid"], [float(x) for x in r["v"]]) for r in df.collect()]
+
+
+def train_rows_local(rows: list[tuple], k: int, n_rounds: int,
+                     oversample: int = 8) -> list[tuple]:
+    """Driver twin of :func:`_seed_rows` + :func:`_train` over an
+    already-pulled bounded sample — the hybrid-finish discipline (graph
+    operators, round 14) applied to the sampled k-means trainer: one Spark
+    job pulls the ``train_sample`` rows, then seeding passes A/B, the
+    k-center greedy, and every Lloyd round run in NumPy on the SAME IEEE-754
+    doubles in the same order. Step-by-step parity:
+
+    * pass A — top-L by ``(sha256(str(pid)), pid)``: :func:`_sha_hex` is the
+      byte-identical sort key;
+    * pass B — min pool distance per remaining row via the exact sequential
+      fold (``arrow_kernels._exact_fold_dists`` — np.cumsum adds in fold
+      order), rounded by the :func:`_round6` HALF_UP twin (monotone, so
+      round(min) == min(round)); top-L by (mind desc, pid asc);
+    * greedy — :func:`_greedy_seeds`, shared verbatim with the distributed
+      path (it was already driver-side);
+    * Lloyd round — assignment via ``arrow_kernels.nearest_centroid_batch``
+      (the pinned bit-identical argmin) and the fixed-point update: per-row
+      component quanta ``round(x·1e6)`` (:func:`_np_round_half_up_int64`),
+      int64 sums (integer addition commutes — the same argument that makes
+      the distributed partial aggregation partition-independent), then
+      ``_round6((s/1e6)/n)`` with the same long→double conversion.
+
+    Pinned bitwise against the distributed trainer in
+    ``tests/test_kmeans_driver_twin.py``."""
+    import numpy as np
+
+    from hierarchical_graph_db_spark.operators.arrow_kernels import (
+        _exact_fold_dists,
+        nearest_centroid_batch,
+    )
+
+    if not rows:
+        return []
+    n_cand = oversample * k
+    by_sha = sorted(rows, key=lambda r: (_sha_hex(r[0]), r[0]))
+    a_rows = [(pid, list(v)) for pid, v in by_sha[:n_cand]]
+    rest = by_sha[n_cand:]
+    if rest:
+        pool = np.asarray([v for _, v in a_rows], dtype=np.float64)
+        V = np.asarray([v for _, v in rest], dtype=np.float64)
+        mind = _exact_fold_dists(V, pool).min(axis=1)
+        order = sorted(range(len(rest)),
+                       key=lambda i: (-_round6(mind[i]), rest[i][0]))
+        b_rows = [(rest[i][0], list(rest[i][1])) for i in order[:n_cand]]
+    else:
+        b_rows = []
+    cents = _greedy_seeds(a_rows + b_rows, k)
+    if not cents:
+        return []
+    allV = np.asarray([v for _, v in rows], dtype=np.float64)
+    quanta = _np_round_half_up_int64(allV * 1000000.0)
+    for _ in range(n_rounds):
+        cids, _ = nearest_centroid_batch(cents, allV, need_dist=False)
+        by_cid: dict = {}
+        for cid in dict.fromkeys(cids.tolist()):
+            mask = cids == cid
+            s = quanta[mask].sum(axis=0)
+            n = int(mask.sum())
+            by_cid[cid] = [
+                _round6((float(si) / 1000000.0) / float(n)) for si in s
+            ]
+        cents = [(cid, c) for cid, c in sorted(by_cid.items())]
+    return cents
+
+
+def sharded_train_rows_local(shard_rows: dict, k: int, n_rounds: int,
+                             oversample: int = 8) -> list[tuple]:
+    """Driver twin of :func:`_sharded_seed_state` + the
+    :func:`sharded_kmeans_state` Lloyd loop over an already-pulled bounded
+    sample, per shard — the sampled-PQ counterpart of
+    :func:`train_rows_local` (same pinned twin recipes: sha-hex draw order,
+    exact-fold distances, ``nearest_centroid_batch`` argmin, fixed-point
+    int64 update, ``_round6`` quantization). ``shard_rows`` maps shard →
+    [(pid, vector)]. The sharded seeding has no pass B — shards ARE the
+    coarse structure — exactly as the distributed trainer. Pinned bitwise in
+    ``tests/test_kmeans_driver_twin.py``."""
+    import numpy as np
+
+    from hierarchical_graph_db_spark.operators.arrow_kernels import (
+        nearest_centroid_batch,
+    )
+
+    n_cand = oversample * k
+    state = []
+    for shard in sorted(shard_rows):
+        pool = sorted(shard_rows[shard],
+                      key=lambda r: (_sha_hex(r[0]), r[0]))[:n_cand]
+        state.append((shard, _greedy_seeds(
+            [(pid, list(v)) for pid, v in pool], k)))
+    if not state:
+        return []
+    mats = {
+        shard: np.asarray([v for _, v in rows], dtype=np.float64)
+        for shard, rows in shard_rows.items()
+    }
+    quanta = {shard: _np_round_half_up_int64(V * 1000000.0)
+              for shard, V in mats.items()}
+    for _ in range(n_rounds):
+        new_state = []
+        for shard, cents in state:
+            cids, _ = nearest_centroid_batch(cents, mats[shard],
+                                             need_dist=False)
+            by_cid: dict = {}
+            for cid in dict.fromkeys(cids.tolist()):
+                mask = cids == cid
+                s = quanta[shard][mask].sum(axis=0)
+                n = int(mask.sum())
+                by_cid[cid] = [
+                    _round6((float(si) / 1000000.0) / float(n)) for si in s
+                ]
+            new_state.append((shard, sorted(by_cid.items())))
+        state = new_state
+    return [(shard, [(cid, list(c)) for cid, c in cents])
+            for shard, cents in state]
+
+
 def kmeans_centroid_rows(vectors: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding", k: int = 8,
                          n_rounds: int = 3,
                          train_sample: int | None = None,
-                         use_arrow: bool = False) -> list[tuple]:
+                         use_arrow: bool = False,
+                         driver_train: bool = True) -> list[tuple]:
     """Driver-side trained centroids [(cid, c)] — the literal form other
     operators (IVF ANN) bake into their plans. With ``train_sample`` the
     quantizer trains on a bounded deterministic sample: the N rows with the
     smallest ``sha256(pid)`` (the seeding pass-A draw, widened — a
     TakeOrdered top-N, no shuffle), so training cost is CONSTANT in corpus
-    size (round-5 verdict item 3); the tiny sample is localCheckpoint-ed so
-    the constant number of training passes re-reads N rows, not the
-    corpus."""
+    size (round-5 verdict item 3).
+
+    Sampled training runs as ONE Spark job + a driver NumPy replay by
+    default (``driver_train=True`` — :func:`train_rows_local`, bit-identical
+    by the pinned twin recipes): the former per-pass/per-round job cadence
+    cost ~6 jobs plus their Catalyst gaps per trained quantizer, ~3-4 s of
+    the measured ann_ivf/ann_pq walls (round-15 profile). The pull is
+    bounded by the ``train_sample`` contract (a constant, corpus-size
+    independent — the k-means‖ paper's own "recluster the candidate pool on
+    one machine" step, widened to the sample). ``driver_train=False`` keeps
+    the fully distributed cadence (the differential-test path; also the
+    escape hatch if a deployment wants zero driver compute)."""
     pts = _project(vectors, id_col, vec_col)
     if train_sample is not None:
-        # GlobalLimit squeezes the sample into ONE partition — repartition
-        # before checkpointing so the constant number of training passes
-        # keeps the executors busy (a ≤N-row shuffle, once).
+        sample = pts.orderBy(F.sha2(F.col("pid").cast("string"), 256),
+                             F.col("pid")).limit(train_sample)
+        if driver_train:
+            return train_rows_local(_collect_pid_vecs(sample), k, n_rounds)
+        # Distributed cadence: GlobalLimit squeezes the sample into ONE
+        # partition — repartition before checkpointing so the constant
+        # number of training passes keeps the executors busy.
         par = vectors.sparkSession.sparkContext.defaultParallelism
-        pts = (
-            pts.orderBy(F.sha2(F.col("pid").cast("string"), 256),
-                        F.col("pid"))
-            .limit(train_sample)
-            .repartition(par)
-            .transform(materialize)
-        )
+        pts = sample.repartition(par).transform(materialize)
     return _train(pts, k, n_rounds, use_arrow=use_arrow)
 
 

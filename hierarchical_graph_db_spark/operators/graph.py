@@ -250,10 +250,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     )
     sym = sym.transform(materialize)
     if small_cutoff:
-        # One cheap count over the already-materialized edge set decides
-        # the regime; the pull is bounded by the check that precedes it.
-        e_count = sym.count()
-        if e_count <= 32 * small_cutoff:
+        # LIMIT-bounded regime probe (r14 advice): short-circuits on large
+        # graphs instead of paying a full edge-set count to reject the
+        # driver path; the pull is bounded by the check that precedes it.
+        bound = 32 * small_cutoff
+        if sym.limit(bound + 1).count() <= bound:
             from pyspark.sql.types import StructField, StructType
 
             from hierarchical_graph_db_spark.localdf import (
@@ -504,8 +505,8 @@ def strongly_connected_components(edges: DataFrame, max_rounds: int = 100,
         if remaining == 0:
             break
         if small_cutoff and remaining <= small_cutoff:
-            e_count = active_e.count()
-            if e_count <= 32 * small_cutoff:
+            bound = 32 * small_cutoff
+            if active_e.limit(bound + 1).count() <= bound:
                 from pyspark.sql.types import StructField, StructType
 
                 from hierarchical_graph_db_spark.localdf import (
@@ -594,8 +595,8 @@ def dag_layers(edges: DataFrame, max_iter: int = 64,
     if small_cutoff:
         n_verts = verts.count()
         if n_verts <= small_cutoff:
-            e_count = edges.count()
-            if e_count <= 32 * small_cutoff:
+            bound = 32 * small_cutoff
+            if edges.limit(bound + 1).count() <= bound:
                 from pyspark.sql.types import (LongType, StructField,
                                                StructType)
 
@@ -768,9 +769,12 @@ def pagerank(edges: DataFrame, n_iter: int = 10, damping: float = 0.85,
         # one driver kernel (:func:`_driver_pagerank`; bit-identity is the
         # same argument as the distributed path's partition-independence).
         # ``small_cutoff=0`` forces the distributed path — the 100 TB
-        # shape, and what the differential tests exercise.
-        e_count = edges.count()
-        if e_count <= 32 * small_cutoff:
+        # shape, and what the differential tests exercise. The edge probe
+        # is LIMIT-bounded (r14 advice): a small vertex set can still hang
+        # off a huge multi-edge list, and the probe should short-circuit
+        # rather than count it all just to reject the driver path.
+        bound = 32 * small_cutoff
+        if edges.limit(bound + 1).count() <= bound:
             from pyspark.sql.types import DoubleType, StructField, StructType
 
             from hierarchical_graph_db_spark.localdf import (
@@ -918,8 +922,8 @@ def hits(edges: DataFrame, n_iter: int = 8,
     if small_cutoff and 0 < vertices.count() <= small_cutoff:
         # Hybrid driver finish — see :func:`pagerank`. ``small_cutoff=0``
         # forces the distributed path (the 100 TB shape).
-        e_count = edges.count()
-        if e_count <= 32 * small_cutoff:
+        bound = 32 * small_cutoff
+        if edges.limit(bound + 1).count() <= bound:
             from pyspark.sql.types import DoubleType, StructField, StructType
 
             from hierarchical_graph_db_spark.localdf import (
@@ -1006,10 +1010,18 @@ def thread_ids(emails: DataFrame, max_iter: int = 20) -> DataFrame:
 def _collect_small_graph(e: DataFrame, small_cutoff: int):
     """Shared hybrid-finish gate over a MATERIALIZED canonical edge frame:
     returns the pulled edge list when it fits ≤ 32·cutoff rows, else None
-    (caller proceeds distributed). One count job + one bounded Arrow pull."""
+    (caller proceeds distributed).
+
+    The regime probe is a LIMIT-bounded count (round 15, r14 advice): a
+    full ``count()`` paid one whole-edge-set pass per operator call purely
+    to REJECT the driver path at the 100 TB shape, where
+    ``limit(bound+1).count()`` short-circuits after the first partitions
+    yield bound+1 rows. On the accept path the subsequent pull is the same
+    full ``collect_tuples(e)`` as before — row set and order unchanged."""
     if not small_cutoff:
         return None
-    if e.count() > 32 * small_cutoff:
+    bound = 32 * small_cutoff
+    if e.limit(bound + 1).count() > bound:
         return None
     from hierarchical_graph_db_spark.localdf import collect_tuples
 
@@ -1444,8 +1456,8 @@ def personalized_pagerank(edges: DataFrame, sources: DataFrame,
     if small_cutoff and 0 < n_v <= small_cutoff:
         # Hybrid driver finish — see :func:`pagerank`. The source-set pull
         # is bounded by the vertex cutoff (src_ids ⊆ vertices).
-        e_count = edges.count()
-        if e_count <= 32 * small_cutoff:
+        bound = 32 * small_cutoff
+        if edges.limit(bound + 1).count() <= bound:
             from pyspark.sql.types import DoubleType, StructField, StructType
 
             from hierarchical_graph_db_spark.localdf import (
@@ -1727,7 +1739,7 @@ def local_clustering(edges: DataFrame,
         .distinct()
         .transform(materialize)
     )
-    if small_cutoff and e.count() <= 32 * small_cutoff:
+    if small_cutoff and e.limit(32 * small_cutoff + 1).count() <= 32 * small_cutoff:
         from pyspark.sql.types import (
             DoubleType, LongType, StructField, StructType,
         )

@@ -39,6 +39,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hierarchical_graph_db_spark.functions.fastlit import (
+    lit_double_array,
+    lit_double_matrix,
+    lit_index_array,
+)
 from hierarchical_graph_db_spark.materialize import materialize
 
 from hierarchical_graph_db_spark.operators.clustering import (
@@ -62,27 +67,52 @@ def pq_codebooks(corpus: DataFrame, dim: int, m: int = M_SUBSPACES,
                  vec_col: str = "embedding", n_rounds: int = PQ_ROUNDS,
                  oversample: int = PQ_OVERSAMPLE,
                  train_sample: int | None = TRAIN_SAMPLE,
-                 use_arrow: bool = False) -> list[list[list[float]]]:
+                 use_arrow: bool = False,
+                 driver_train: bool = True) -> list[list[list[float]]]:
     """``books[s][j]`` = codeword j of subspace s, trained as ONE sharded
     k-means run over the exploded (subspace, pid, subvector) rows — all m
     codebooks learn concurrently; no per-subspace job trains alone. The
     bounded sample keeps training cost independent of corpus size.
     Codewords are ordered by seed id, so code j is reproducible
-    cross-engine (the IVF centroid-ordering trick)."""
+    cross-engine (the IVF centroid-ordering trick).
+
+    Sampled training defaults to ONE Spark job + a driver NumPy replay
+    (``driver_train=True`` — ``clustering.sharded_train_rows_local``,
+    bit-identical by the pinned twin recipes; the subvector slices are the
+    same elements ``F.slice`` selects). The former cadence paid a sample
+    materialize plus per-round plan/collect gaps, ~2 s of the measured
+    ann_pq wall. ``driver_train=False`` keeps the fully distributed path
+    (differential tests; zero-driver-compute deployments)."""
     dsub = dim // m
     pts = corpus.select(
         F.col(id_col).alias("pid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     if train_sample is not None:
+        sample = pts.orderBy(F.sha2(F.col("pid").cast("string"), 256),
+                             F.col("pid")).limit(train_sample)
+        if driver_train:
+            from hierarchical_graph_db_spark.operators.clustering import (
+                _collect_pid_vecs,
+                sharded_train_rows_local,
+            )
+
+            rows = _collect_pid_vecs(sample)
+            shard_rows = {
+                s: [(pid, v[s * dsub:(s + 1) * dsub]) for pid, v in rows]
+                for s in range(m)
+            }
+            state = sharded_train_rows_local(shard_rows, k=ksub,
+                                             n_rounds=n_rounds,
+                                             oversample=oversample)
+            by_shard = dict(state)
+            return [
+                [c for _, c in sorted(by_shard.get(s, []),
+                                      key=lambda r: r[0])]
+                for s in range(m)
+            ]
         par = corpus.sparkSession.sparkContext.defaultParallelism
-        pts = (
-            pts.orderBy(F.sha2(F.col("pid").cast("string"), 256),
-                        F.col("pid"))
-            .limit(train_sample)
-            .repartition(par)
-            .transform(materialize)
-        )
+        pts = sample.repartition(par).transform(materialize)
     sub = (
         pts.select(
             "pid",
@@ -108,8 +138,8 @@ def _code_expr(vec, book: list[list[float]]) -> F.Column:
     """argmin codeword index for one subspace: distances to the codebook
     literal rounded to 6dp, ties → lowest code (lexicographic struct
     min)."""
-    cents = F.lit([[float(x) for x in c] for c in book])
-    idxs = F.lit(list(range(len(book))))
+    cents = lit_double_matrix(book)
+    idxs = lit_index_array(range(len(book)))
     scored = F.zip_with(
         cents, idxs,
         lambda c, j: F.struct(F.round(_sq_dist(vec, c), 6).alias("d"),
@@ -149,7 +179,7 @@ def pq_adc_topk(queries: DataFrame, corpus: DataFrame,
     qv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     tabs = F.array(*[
         F.transform(
-            F.lit([[float(x) for x in c] for c in books[s]]),
+            lit_double_matrix(books[s]),
             lambda c: F.round(_sq_dist(_subvec(qv, s, dsub), c), 6))
         for s in range(m)
     ])
@@ -216,7 +246,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame,
     )
     tabs = F.array(*[
         F.transform(
-            F.lit([[float(x) for x in c] for c in books[s]]),
+            lit_double_matrix(books[s]),
             lambda c: F.round(_sq_dist(_subvec(v, s, dsub), c), 6))
         for s in range(m)
     ])
@@ -268,30 +298,42 @@ def scalar_quantize_int8(df: DataFrame, dim: int, id_col: str = "vec_id",
     by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in stats}
     mins = [by_pos[p][0] for p in range(dim)]
     spans = [by_pos[p][1] - by_pos[p][0] for p in range(dim)]
-    centered = F.zip_with(v, F.lit(mins), lambda x, m: x - m)
+    centered = F.zip_with(v, lit_double_array(mins), lambda x, m: x - m)
     codes = F.zip_with(
-        centered, F.lit(spans),
+        centered, lit_double_array(spans),
         lambda d, s: F.when(s == 0.0, F.lit(0)).otherwise(
             F.round(d / s * 255).cast("int")))
     return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
 
 
-def binary_signature(vec_col, dim: int) -> list[F.Column]:
+def binary_signature(vec_sql: str, dim: int) -> list[F.Column]:
     """Sign-bit binary code of a vector, packed as ⌈dim/32⌉ bigint words
     (component ≥ 0 → bit set; bit i of word w = dimension w·32+i). 32-bit
     words keep every shift well inside bigint range on BOTH engines
     (DuckDB's ``<<`` errors on a 63-bit overflow where Spark wraps — the
-    cross-engine reason not to pack 64 bits into one signed word)."""
+    cross-engine reason not to pack 64 bits into one signed word).
+
+    ``vec_sql`` is the SQL text of the vector column: each word is parsed
+    from ONE SQL string (the hyperplane_signature trick) — the former
+    per-bit ``when``-chain cost ~2.3 s of driver-side py4j round trips per
+    hamming_topk call just to BUILD the expressions (measured round 15);
+    the parsed CASE/ELSE arithmetic is node-for-node the same plan."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec_sql):
+        raise ValueError(
+            f"binary_signature expects a plain column identifier, got "
+            f"{vec_sql!r}")
     words = []
     for w in range((dim + 31) // 32):
-        bits = None
-        for i in range(min(32, dim - w * 32)):
-            b = F.when(F.element_at(vec_col, w * 32 + i + 1).cast("double")
-                       >= 0.0,
-                       F.lit(1).cast("bigint") * (1 << i)).otherwise(
-                F.lit(0).cast("bigint"))
-            bits = b if bits is None else bits + b
-        words.append(bits)
+        terms = [
+            f"(CASE WHEN CAST(element_at({vec_sql}, {w * 32 + i + 1}) "
+            f"AS DOUBLE) >= 0.0D "
+            f"THEN CAST(1 AS BIGINT) * {1 << i} "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for i in range(min(32, dim - w * 32))
+        ]
+        words.append(F.expr(" + ".join(terms)))
     return words
 
 
@@ -309,18 +351,18 @@ def hamming_topk(queries: DataFrame, corpus: DataFrame, dim: int,
 
     n_words = (dim + 31) // 32
     def coded(df, prefix):
-        words = binary_signature(F.col(vec_col), dim)
+        words = binary_signature(vec_col, dim)
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             *[w.alias(f"{prefix}_w{i}") for i, w in enumerate(words)])
 
     q = coded(queries, "q")
     c = coded(corpus, "c")
-    ham = None
-    for i in range(n_words):
-        t = F.bit_count(
-            F.col(f"q_w{i}").bitwiseXOR(F.col(f"c_w{i}"))).cast("long")
-        ham = t if ham is None else ham + t
+    # one parsed expression, left-assoc adds — same plan as the former
+    # bit_count/bitwiseXOR Column chain, none of its py4j build cost
+    ham = F.expr(" + ".join(
+        f"CAST(bit_count(q_w{i} ^ c_w{i}) AS BIGINT)" for i in range(n_words)
+    ))
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("q_id") != F.col("c_id"))

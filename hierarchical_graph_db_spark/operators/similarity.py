@@ -850,7 +850,9 @@ def center_normalize(vectors: DataFrame, id_col: str = "vec_id",
         .collect()
     )
     mean = [r["m"] for r in sorted(mean_rows, key=lambda r: r["pos"])]
-    mean_lit = F.lit([float(m) for m in mean])
+    from hierarchical_graph_db_spark.functions.fastlit import lit_double_array
+
+    mean_lit = lit_double_array(mean)
     centered = F.zip_with(F.col("v"), mean_lit, lambda a, b: a - b)
 
     def _norm(arr) -> F.Column:

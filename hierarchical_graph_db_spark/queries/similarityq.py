@@ -1238,7 +1238,9 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lex_rnk")
     )
     qv = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    qlit = F.lit([float(x) for x in qv])
+    from hierarchical_graph_db_spark.functions.fastlit import lit_double_array
+
+    qlit = lit_double_array(qv)
     sem_scored = (
         emb.where(F.col("vec_id") != 0)
         .select(F.col("vec_id").alias("doc_id"),
