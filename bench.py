@@ -274,7 +274,9 @@ def main() -> None:
     # small_cutoff gate, so wall-time regression cover for the distributed
     # iterative plans had become tests-only. Time one PageRank with
     # small_cutoff=0 — the 100 TB plan shape (per-round join + fixed-point
-    # aggregate + materialize), 4 iterations to bound the entry's cost.
+    # aggregate + materialize), 2 iterations to bound the entry's cost
+    # (every round runs the identical plan, so per-round regressions show
+    # at any iteration count).
     from hierarchical_graph_db_spark.io import Catalog as _Catalog
     from hierarchical_graph_db_spark.operators.graph import (
         pagerank as _pagerank,
@@ -285,7 +287,7 @@ def main() -> None:
         _F.col("src").cast("string").alias("src"),
         _F.col("dst").cast("string").alias("dst"))
     t0 = time.perf_counter()
-    _pagerank(_pr_edges, n_iter=4, grid="absolute", small_cutoff=0).collect()
+    _pagerank(_pr_edges, n_iter=2, grid="absolute", small_cutoff=0).collect()
     timings["graph_pagerank_distributed"] = round(
         time.perf_counter() - t0, 3)
 

@@ -28,12 +28,33 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
-def dot_static(a: Column, b: Column, dim: int) -> Column:
+def dot_static(a: Column | str, b: Column | str, dim: int) -> Column:
     """Σ aᵢ·bᵢ unrolled for a known dimension — a flat arithmetic expression
     that whole-stage codegen compiles, unlike ``aggregate``/``zip_with``
     higher-order functions which interpret per element. ~10× faster in the
     quadratic kernels (pair joins) where the dot product IS the workload.
+
+    When both operands are column NAMES (plain identifiers), the identical
+    tree is generated as ONE SQL string parsed by a single ``F.expr`` — the
+    per-term ``Column``-op construction costs a py4j round trip per node,
+    ~0.5 s of pure driver time per call site at dim=64 (round 15, the
+    hyperplane_signature treatment applied here). Column operands keep the
+    op-by-op construction (callers with computed operand expressions).
     """
+    if isinstance(a, str) and isinstance(b, str):
+        import re
+
+        for name in (a, b):
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+                raise ValueError(
+                    f"dot_static expects a plain column identifier, "
+                    f"got {name!r}")
+        # left-assoc " + " chain == the Column form's `out = out + t` order
+        return F.expr(" + ".join(
+            f"CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
+            f"CAST(element_at({b}, {i + 1}) AS DOUBLE)"
+            for i in range(dim)
+        ))
     terms = [
         F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
         for i in range(dim)

@@ -250,7 +250,8 @@ def _jaccard_pairs_from_shingles(sh: DataFrame, threshold: float,
 
 
 def _minhash_wide(docs: DataFrame, n_hashes: int, n: int,
-                  id_col: str, text_col: str) -> DataFrame:
+                  id_col: str, text_col: str,
+                  sh: DataFrame | None = None) -> DataFrame:
     """Wide MinHash signatures: one row per doc, columns m0..m{n_hashes-1}.
 
     Hash family: chunking a sha256 digest — hash *i* of a shingle is the
@@ -260,9 +261,15 @@ def _minhash_wide(docs: DataFrame, n_hashes: int, n: int,
     rows before the shuffle (only |docs| rows move, not |shingles|×seeds —
     the difference between 5k and 4M shuffled rows here, and between 100 GB
     and 80 TB at full scale).
+
+    ``sh``: an already-built ``(id, shingle)`` table for ``docs`` (the
+    :func:`shingles` output, possibly materialized) — callers that also
+    need the shingle sets themselves pass it so the tokenize+shingle
+    explode runs once, not once per consumer (round 15).
     """
     assert n_hashes % 8 == 0
-    sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    if sh is None:
+        sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
     srcs = [
         F.sha2(F.concat(F.lit(f"{s}#"), F.col("shingle")), 256)
         for s in range(n_hashes // 8)
@@ -297,7 +304,8 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, n: int = 3,
 
 def lsh_band_table(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
                    n: int = 3, id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   sh: DataFrame | None = None) -> DataFrame:
     """The MinHash-LSH signature index rows: (id, band, band_key), one row
     per doc per band — the table a bulk dedup PERSISTS and an incremental
     ingest PROBES (band_key = '|'-joined minhashes of that band's rows).
@@ -305,7 +313,7 @@ def lsh_band_table(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
     and the index-probe path (:func:`incremental_minhash_dedup`) so both
     produce byte-identical keys."""
     rows_per_band = n_hashes // bands
-    wide = _minhash_wide(docs, n_hashes, n, id_col, text_col)
+    wide = _minhash_wide(docs, n_hashes, n, id_col, text_col, sh=sh)
     return wide.select(
         "id",
         F.explode(
@@ -498,11 +506,23 @@ def incremental_minhash_dedup(
             _validate_lsh_index(index, n_hashes=n_hashes, bands=bands,
                                 existing=existing, n=n,
                                 id_col=id_col, text_col=text_col)
+    # The NEW-batch shingle table feeds two consumers (band-key probe +
+    # verification sets) and is bounded by the per-batch contract — build
+    # it once and materialize (round 15). The EXISTING-corpus shingle
+    # table deliberately stays a recomputed projection: it is corpus-sized,
+    # and re-reading the column-pruned parquet beats materializing it to
+    # executor storage at the 100 TB shape (the clustering-module
+    # recompute-over-persist argument; a real deployment passes the
+    # PERSISTED ``index`` anyway, which skips the existing-side band pass
+    # entirely).
     idx = index if index is not None else lsh_band_table(
         existing, n_hashes=n_hashes, bands=bands, n=n,
         id_col=id_col, text_col=text_col)
+    sh_e = shingles(existing, n=n, id_col=id_col, text_col=text_col)
+    sh_n = shingles(new, n=n, id_col=id_col,
+                    text_col=text_col).transform(materialize)
     probe = lsh_band_table(new, n_hashes=n_hashes, bands=bands, n=n,
-                           id_col=id_col, text_col=text_col)
+                           id_col=id_col, text_col=text_col, sh=sh_n)
     cand = (
         probe.select(F.col("id").alias("nid"), "band", "band_key")
         .join(idx.select(F.col("id").alias("eid"), "band", "band_key"),
@@ -511,7 +531,7 @@ def incremental_minhash_dedup(
         .distinct()
     )
     sets_n = (
-        shingles(new, n=n, id_col=id_col, text_col=text_col)
+        sh_n
         .groupBy("id")
         .agg(F.sort_array(F.collect_set("shingle")).alias("sn"))
         .select(F.col("id").alias("nid"), "sn")
@@ -519,7 +539,7 @@ def incremental_minhash_dedup(
     # Existing-side shingle sets only for candidate ids: the semi-join IS
     # the "point-read the matched docs" step of a real index probe.
     sets_e = (
-        shingles(existing, n=n, id_col=id_col, text_col=text_col)
+        sh_e
         .join(cand.select(F.col("eid").alias("id")).distinct(), on="id",
               how="leftsemi")
         .groupBy("id")

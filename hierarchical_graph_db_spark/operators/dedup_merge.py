@@ -86,31 +86,46 @@ def merge_into(
     counter counts every *delivered* row — true same-batch replays are the
     sink's write-ahead guard's job, not this operator's.)
 
-    Both joins are equi-joins on the dedupe key; at scale, bucketing target
-    and batch on the key makes them shuffle-free. Result is the new target.
+    The merge is ONE full-outer equi-join on the dedupe key (round 15 —
+    formerly an anti-join for inserts plus a left join for updates plus a
+    union, which scanned the target twice and aggregated the batch twice
+    per micro-batch): matched rows keep the target payload and union-in the
+    batch members/duplicate counts, target-only rows pass through, and
+    batch-only rows are the inserts verbatim. Row-for-row the same result
+    as the two-join form (both sides are key-unique, so the join is 1:1).
+    At scale, bucketing target and batch on the key makes it shuffle-free.
+    Result is the new target.
     """
     batch_merged = dedup_merge(batch, key, order_by, member_cols, payload_cols)
-    inserts = batch_merged.join(target, on="dedupe_key", how="left_anti")
-
-    updates = (
-        target.alias("t")
-        .join(batch_merged.select("dedupe_key",
-                                  F.col("members").alias("_new_members"),
-                                  F.col("n_duplicates").alias("_new_dups")),
-              on="dedupe_key", how="left")
-        .withColumn(
-            "members",
-            F.when(F.col("_new_members").isNull(), F.col("t.members")).otherwise(
-                F.array_distinct(F.concat(F.col("t.members"), F.col("_new_members")))
-            ),
-        )
-        .withColumn(
-            "n_duplicates",
-            F.col("t.n_duplicates") + F.coalesce(F.col("_new_dups"), F.lit(0)),
-        )
-        .drop("_new_members", "_new_dups")
+    out_cols = target.columns
+    b = batch_merged.select(
+        "dedupe_key",
+        *[F.col(c).alias(f"_b_{c}") for c in batch_merged.columns
+          if c != "dedupe_key"],
     )
-    return updates.unionByName(inserts.select(*updates.columns))
+    joined = target.withColumn("_t_present", F.lit(True)) \
+        .join(b, on="dedupe_key", how="full_outer")
+    present = F.col("_t_present").isNotNull()
+    sel = []
+    for c in out_cols:
+        if c == "dedupe_key":
+            sel.append(F.col(c))
+        elif c == "members":
+            sel.append(
+                F.when(~present, F.col("_b_members"))
+                .when(F.col("_b_members").isNull(), F.col("members"))
+                .otherwise(F.array_distinct(
+                    F.concat(F.col("members"), F.col("_b_members"))))
+                .alias(c))
+        elif c == "n_duplicates":
+            sel.append(
+                F.when(present, F.col("n_duplicates")
+                       + F.coalesce(F.col("_b_n_duplicates"), F.lit(0)))
+                .otherwise(F.col("_b_n_duplicates")).alias(c))
+        else:
+            sel.append(F.when(present, F.col(c))
+                       .otherwise(F.col(f"_b_{c}")).alias(c))
+    return joined.select(*sel)
 
 
 def ingest_counters(df: DataFrame, merged: DataFrame) -> dict[str, int]:

@@ -162,7 +162,7 @@ def ivf_topk(
             F.col("id").alias("neighbor_id"),
             F.round(
                 cosine_from_parts(
-                    dot_static(F.col("q_vec"), F.col("vec"), dim),
+                    dot_static("q_vec", "vec", dim),
                     F.col("q_norm"),
                     F.col("norm"),
                 ),

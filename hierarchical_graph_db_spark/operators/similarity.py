@@ -41,7 +41,13 @@ from hierarchical_graph_db_spark.functions.vectors import (
 
 
 def _dot(a, b, dim: int | None):
-    return dot_static(a, b, dim) if dim else dot(a, b)
+    """``a``/``b`` may be column names (str) — with ``dim`` set they take
+    dot_static's one-parsed-expression fast build path."""
+    if dim:
+        return dot_static(a, b, dim)
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return dot(a, b)
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
@@ -86,7 +92,7 @@ def brute_force_topk(
             "neighbor_id",
             F.round(
                 cosine_from_parts(
-                    _dot(F.col("q_vec"), F.col("c_vec"), dim),
+                    _dot("q_vec", "c_vec", dim),
                     F.col("q_norm"),
                     F.col("c_norm"),
                 ),
@@ -214,7 +220,7 @@ def lsh_topk(
             "neighbor_id",
             F.round(
                 cosine_from_parts(
-                    dot_static(F.col("q_vec"), F.col("c_vec"), dim),
+                    dot_static("q_vec", "c_vec", dim),
                     F.col("q_norm"),
                     F.col("c_norm"),
                 ),
@@ -649,7 +655,7 @@ def mmr_topk(
             F.round(
                 F.round(
                     cosine_from_parts(
-                        _dot(F.col("_va"), F.col("_vb"), dim),
+                        _dot("_va", "_vb", dim),
                         F.col("_na"), F.col("_nb")),
                     5,
                 ) * 100000
@@ -750,7 +756,7 @@ def hard_negatives(
             "neg_label",
             F.round(
                 cosine_from_parts(
-                    _dot(F.col("q_vec"), F.col("c_vec"), dim),
+                    _dot("q_vec", "c_vec", dim),
                     F.col("q_norm"),
                     F.col("c_norm"),
                 ),
@@ -804,7 +810,7 @@ def label_centroid_quality(
             "label",
             F.round(
                 cosine_from_parts(
-                    _dot(F.col("vec"), F.col("centroid"), dim),
+                    _dot("vec", "centroid", dim),
                     F.col("v_norm"),
                     F.col("c_norm"),
                 ),

@@ -142,12 +142,20 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which fuses it with a semantic ranking). Identical arithmetic either
     way, so the DuckDB CTE replay covers both callers."""
     docs = Catalog(spark, sf_dir).documents.where(F.length(F.trim("text")) > 0)
+    # The (doc_id, term, tf) table feeds THREE plan subtrees (df→qt, dl,
+    # and the matched-postings scoring join); without materialization the
+    # tokenize+explode+agg recomputes once per subtree — the measured four
+    # ~0.35 s single-task broadcast-stage jobs in hybrid_retrieval_rrf's
+    # profile (round 15; same justification as ngram_jaccard_pairs' shared
+    # shingle table).
+    from hierarchical_graph_db_spark.materialize import materialize
+
     terms = (
         docs.select("doc_id",
                     F.explode(tokens(F.lower(F.col("text")))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).transform(materialize)
     doc_freq = terms.groupBy("term").agg(
         F.count(F.lit(1)).alias("doc_freq"))
     dl = terms.groupBy("doc_id").agg(F.sum("tf").alias("dl"))

@@ -255,7 +255,8 @@ class BucketedParquetStore:
 
     def commit(self, batch_id: int, merged_touched: DataFrame,
                emptied: list[str] | None = None,
-               all_touched: list | None = None) -> list[str]:
+               all_touched: list | None = None,
+               write_partitions: int | None = None) -> list[str]:
         """Durably replace the touched buckets with ``merged_touched``
         (which must contain ``bucket_col`` and the full post-merge contents
         of every bucket it mentions). ``emptied`` names bucket ids whose
@@ -276,10 +277,21 @@ class BucketedParquetStore:
         # only), not a second Spark write of the same data. Clustering on
         # the bucket column first means one file per bucket instead of one
         # per (task, bucket) — without it a 32-task batch over 64 buckets
-        # sprays ~2k tiny files.
+        # sprays ~2k tiny files. ``write_partitions`` (the sink passes its
+        # bucket count) pins the exchange width: with the keyless form AQE
+        # coalesced the small post-merge set to ~3 partitions, so 3 tasks
+        # wrote ~21 parquet files each back-to-back — the measured 2.5 s/
+        # batch commit floor (round 15). One partition per bucket keeps one
+        # file per bucket and lets the per-file writer open/close overhead
+        # run in parallel at ANY scale (write tasks ∝ buckets touched).
+        clustered = (
+            merged_touched.repartition(write_partitions,
+                                       F.col(self.bucket_col))
+            if write_partitions
+            else merged_touched.repartition(F.col(self.bucket_col))
+        )
         (
-            merged_touched.repartition(F.col(self.bucket_col))
-            .write.mode("overwrite")
+            clustered.write.mode("overwrite")
             .partitionBy(self.bucket_col)
             .parquet(scratch)
         )
