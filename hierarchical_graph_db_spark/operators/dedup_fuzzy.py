@@ -506,21 +506,19 @@ def incremental_minhash_dedup(
             _validate_lsh_index(index, n_hashes=n_hashes, bands=bands,
                                 existing=existing, n=n,
                                 id_col=id_col, text_col=text_col)
-    # The NEW-batch shingle table feeds two consumers (band-key probe +
-    # verification sets) and is bounded by the per-batch contract — build
-    # it once and materialize (round 15). The EXISTING-corpus shingle
-    # table deliberately stays a recomputed projection: it is corpus-sized,
-    # and re-reading the column-pruned parquet beats materializing it to
-    # executor storage at the 100 TB shape (the clustering-module
-    # recompute-over-persist argument; a real deployment passes the
-    # PERSISTED ``index`` anyway, which skips the existing-side band pass
-    # entirely).
+    # Both shingle tables stay RECOMPUTED projections (measured round 15:
+    # materializing either side is a net loss here — the existing side is
+    # corpus-sized, where re-reading column-pruned parquet beats an
+    # executor-storage checkpoint at the 100 TB shape, and even the bounded
+    # batch side's eager checkpoint job cost more than the one recompute it
+    # saved, 2.7 vs 2.3 s warm at sf0.1). A real deployment passes the
+    # PERSISTED ``index``, which skips the existing-side band pass
+    # entirely.
     idx = index if index is not None else lsh_band_table(
         existing, n_hashes=n_hashes, bands=bands, n=n,
         id_col=id_col, text_col=text_col)
     sh_e = shingles(existing, n=n, id_col=id_col, text_col=text_col)
-    sh_n = shingles(new, n=n, id_col=id_col,
-                    text_col=text_col).transform(materialize)
+    sh_n = shingles(new, n=n, id_col=id_col, text_col=text_col)
     probe = lsh_band_table(new, n_hashes=n_hashes, bands=bands, n=n,
                            id_col=id_col, text_col=text_col, sh=sh_n)
     cand = (

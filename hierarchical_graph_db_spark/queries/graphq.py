@@ -941,10 +941,12 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_directed, n_reciprocal,
            round(n_reciprocal / CAST(n_directed AS DOUBLE), 6)
                AS reciprocity,
-           round((m * sxy - sx * sy)
-                 / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
-                        * CAST(m * syy - sy * sy AS DOUBLE)), 6)
-               AS assortativity
+           CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0
+                THEN NULL
+                ELSE round((m * sxy - sx * sy)
+                           / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                                  * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+           END AS assortativity
     FROM rec CROSS JOIN mom
     """,
 )
@@ -992,12 +994,23 @@ def graph_reciprocity_assortativity(spark: SparkSession,
         F.lit(n_reciprocal).cast("bigint").alias("n_reciprocal"),
         F.round(F.lit(n_reciprocal) / F.lit(float(n_directed)), 6)
         .alias("reciprocity"),
-        F.round((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / F.sqrt((F.col("m") * F.col("sxx")
-                          - F.col("sx") * F.col("sx")).cast("double")
-                         * (F.col("m") * F.col("syy")
-                            - F.col("sy") * F.col("sy")).cast("double")), 6)
-        .alias("assortativity"),
+        # Degree-variance guard (round 15, inherited sf0.001 crash): a
+        # degenerate graph where every endpoint degree is equal has zero
+        # variance — Pearson correlation is undefined and ANSI division
+        # errored. Both engines now emit NULL for the undefined case; any
+        # non-degenerate graph is bit-identical to the unguarded form.
+        F.when(
+            ((F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")) == 0)
+            | ((F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")) == 0),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            F.round((F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / F.sqrt((F.col("m") * F.col("sxx")
+                              - F.col("sx") * F.col("sx")).cast("double")
+                             * (F.col("m") * F.col("syy")
+                                - F.col("sy") * F.col("sy")).cast("double")),
+                    6)
+        ).alias("assortativity"),
     )
 
 

@@ -164,11 +164,17 @@ class DedupParquetSink:
         import os
         import time
 
+        from hierarchical_graph_db_spark.operators.skew import fan_out_scan
+
         if self.store.already_done(batch_id):
             return
         t0 = time.perf_counter()
-        # The batch feeds two jobs (touched-bucket ids, then the merge);
-        # pin it so a file-source micro-batch isn't re-read per job.
+        # Input-skew guard (guide §2.5): a single-split micro-batch (the
+        # fixture shape) would run the merge's map-side partial aggregation
+        # as ONE task; no-op when the batch already has ≥ core-count
+        # partitions. Then pin it — the batch feeds two jobs (touched-bucket
+        # ids, then the merge) and must not re-read per job.
+        batch = fan_out_scan(batch)
         batch.persist()
         try:
             if self.store.exists():
@@ -341,12 +347,17 @@ class CdcParquetSink:
             changelog_net,
         )
 
+        from hierarchical_graph_db_spark.operators.skew import fan_out_scan
+
         if self.store.already_done(batch_id):
             return
         t0 = time.perf_counter()
         commit_secs = 0.0
-        net = changelog_net(batch, self.keys, self.seq_col, self.op_col,
-                            carry_seq=True).persist()
+        # Input-skew guard before the net (guide §2.5) — same rationale as
+        # the dedup sink: the net's partial aggregation should not run as
+        # one task just because the micro-batch resolved to one split.
+        net = changelog_net(fan_out_scan(batch), self.keys, self.seq_col,
+                            self.op_col, carry_seq=True).persist()
         try:
             if self.store.exists():
                 # O(n_buckets) driver rows — needed to PRUNE the store read.
