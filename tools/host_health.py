@@ -163,12 +163,13 @@ def require_healthy(context: str, retries: int = 3,
 
 def gate_for_artifact(context: str, probe_dir: str | None = None) -> dict:
     """The standard entry for timed sweeps: retry count from
-    ``SPARK_GRAFT_HEALTH_RETRIES`` (default 2, ~1 extra minute per retry
-    only when degraded); hard refusal only when
-    ``SPARK_GRAFT_REQUIRE_HEALTHY=1`` (set during artifact-of-record
-    regeneration), soft self-marking otherwise so driver-scheduled runs
-    always emit their JSON."""
-    retries = int(os.environ.get("SPARK_GRAFT_HEALTH_RETRIES", "2"))
+    ``SPARK_GRAFT_HEALTH_RETRIES`` (default 5 since round 15 — the round-15
+    tail measured multi-hour degraded stretches where 2 minutes of retry
+    bought nothing; each retry costs ~1 minute and ONLY when degraded);
+    hard refusal only when ``SPARK_GRAFT_REQUIRE_HEALTHY=1`` (set during
+    artifact-of-record regeneration), soft self-marking otherwise so
+    driver-scheduled runs always emit their JSON."""
+    retries = int(os.environ.get("SPARK_GRAFT_HEALTH_RETRIES", "5"))
     hard = os.environ.get("SPARK_GRAFT_REQUIRE_HEALTHY") == "1"
     return require_healthy(context, retries=retries, sleep_sec=60.0,
                            probe_dir=probe_dir, hard=hard)
